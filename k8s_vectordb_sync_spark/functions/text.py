@@ -1,0 +1,146 @@
+"""Text-analysis functions for the training-data pipeline surface.
+
+All JVM-side Column expressions (split/transform/aggregate/regexp) — no Python
+UDFs in the hot path, so these run inside whole-stage codegen and scale to
+100 TB of documents. Each has an exact ANSI-SQL equivalent for the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small, fixed stopword list (deterministic; mirrored in the SQL oracles).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Marker words per language for the n-gram/marker language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "que", "los"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-alphanumeric-non-space characters (mirrors how byte-pair pretokenizers
+# split words / numbers / punctuation).
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letter-runs + digit-runs + punctuation singletons."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = tokens(text)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are not alphanumeric."""
+    no_space = F.regexp_replace(text, "\\s+", "")
+    punct = F.regexp_replace(no_space, "[a-zA-Z0-9]", "")
+    return F.when(
+        F.length(no_space) > 0, F.length(punct) / F.length(no_space)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1]: rewards moderate length, low
+    punctuation density, and a natural-language stopword ratio. Deterministic
+    arithmetic only so the oracle reproduces it bit-for-bit (after rounding).
+    """
+    length_component = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    return (length_component + punct_component + stop_component) / F.lit(3.0)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token set."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """Language-ID heuristic: argmax of marker-hit counts, 'und' when all zero.
+
+    Ties broken by language code order (deterministic; mirrored in the SQL
+    oracle via a greatest/case chain).
+    """
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reverse-alphabetical order so that on ties the alphabetically
+    # FIRST language wins (strict > comparison overwrites later candidates).
+    for lang in reversed(langs):
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def md5_prefix_long(s: Column, hexlen: int = 15) -> Column:
+    """Deterministic 60-bit hash: first ``hexlen`` hex chars of md5 as BIGINT.
+
+    Identical in DuckDB: CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT).
+    Used for fingerprints / minhash shingle hashing so Spark and the oracle
+    agree exactly (Spark's hash() is murmur3 and does not match DuckDB's).
+    """
+    return F.conv(F.substring(F.md5(s), 1, hexlen), 16, 10).cast("bigint")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of the normalized text (rolling-hash
+    stand-in with exact oracle parity)."""
+    return md5_prefix_long(normalize_text(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text, as an array of strings.
+
+    Built via sequence + transform + array_join over the token array —
+    all JVM-side higher-order functions.
+    """
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array_distinct(F.array(F.array_join(toks, " ")))
+    )

@@ -1,0 +1,37 @@
+"""Vector math as Column expressions over array<float> embedding columns.
+
+JVM-side (zip_with / aggregate higher-order functions): no serialization to
+Python per row, runs in codegen. For large top-k scans a Pandas-UDF variant
+exists in operators.similarity (numpy matmul beats per-element JVM loops when
+the batch is wide), but these expressions are the portable, oracle-matching
+core. All arithmetic in double precision with sequential left-to-right
+summation so DuckDB's list_* fold order reproduces the values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either norm is zero."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+    )
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))

@@ -1,0 +1,197 @@
+"""Stateful dedup / debounce operators — the heart of the reference (SURVEY §2.4).
+
+The reference's DebounceBuffer (internal/controller/debounce.go:32-232) keeps a
+per-key map of pending changes: a quiet-period timer resets on every upsert,
+only the latest state survives (last-state-wins), DELETEs bypass the buffer and
+cancel pending upserts, flushes are batched.
+
+A debounce *is* a session window (the gap timeout resets on each event), so the
+Spark-first expression is:
+
+  batch:     session assignment via lag()+cumsum (deterministic, oracle-able)
+             or groupBy(session_window(ts, gap), key) + max_by
+  streaming: session_window + watermark, or transformWithStateInPandas for
+             exact per-key timers (see streaming.pipeline)
+
+Everything here is built-in DataFrame ops — one hash exchange by key, no UDFs,
+no driver-side state. At 100 TB the per-key map becomes a keyed shuffle, which
+is exactly what Spark's stateful operators scale out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import EVENT_DELETE
+
+
+def last_state_wins(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    ts_col: str = "event_ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key latest state: N events per key -> 1 row (the newest).
+
+    Reference semantics: pending[id] <- last state, newer overwrites older
+    (debounce.go:127-149; integration_test.go:257-312 asserts 5 rapid updates
+    collapse to exactly 1 upsert carrying the last payload).
+
+    Implemented as max_by over groupBy(key) — a single hash aggregation with
+    map-side partial aggregation (each task keeps only its local max per key),
+    so the shuffle carries one row per key per map task, not the raw stream.
+    This beats the window/row_number formulation, which must shuffle and sort
+    ALL rows. Ties broken by tiebreak_cols (e.g. a monotonic event id) so the
+    result is deterministic.
+    """
+    ordering = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    payload = F.struct(*[F.col(c) for c in events.columns])
+    keys = [F.col(k) for k in key_cols]
+    latest = events.groupBy(*keys).agg(F.max_by(payload, ordering).alias("__latest"))
+    return latest.select("__latest.*")
+
+
+def assign_sessions(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    ts_col: str = "event_ts",
+    gap_ms: int = 10_000,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign a per-key session id: a new session starts when the gap since the
+    previous event for the same key exceeds ``gap_ms`` — the batch-analytic
+    form of the debounce timer (debounce.go:127-149: timer resets on every
+    event; a key flushes only after gap_ms of quiet).
+
+    lag() + running sum over Window.partitionBy(key).orderBy(ts): deterministic
+    and expressible identically in ANSI SQL (the DuckDB oracle), unlike
+    session_window whose emitted window bounds are Spark-specific structs.
+    Adds a ``session_id`` column (0-based per key).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_expr = (
+        F.col(ts_col).cast("double") - prev_ts.cast("double")
+    ) * F.lit(1000.0)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_expr > F.lit(float(gap_ms))), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(
+        "session_id", F.sum(new_session).over(running) - F.lit(1)
+    )
+
+
+def debounce(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    ts_col: str = "event_ts",
+    gap_ms: int = 10_000,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Full batch debounce: per key per session, emit ONE row — the latest
+    state in the session (last-state-wins within the quiet-period window).
+
+    5 rapid updates inside one gap -> exactly 1 output row carrying the final
+    payload (integration_test.go:257-312).
+    """
+    sessioned = assign_sessions(events, key_cols, ts_col, gap_ms, tiebreak_cols)
+    return last_state_wins(
+        sessioned,
+        key_cols=[*key_cols, "session_id"],
+        ts_col=ts_col,
+        tiebreak_cols=tiebreak_cols,
+    )
+
+
+def delete_cancels_pending(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    ts_col: str = "event_ts",
+    event_type_col: str = "event_type",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Upsert/delete resolution per key: the latest event decides the op.
+
+    - latest event is DELETE  -> emit a delete (any pending upsert cancelled:
+      debounce.go:107-113, debounce_test.go:161)
+    - latest event is ADD/UPDATE -> emit an upsert with the latest state
+    - DELETE wins ties at equal timestamp (the reference processes the delete
+      by removing the pending entry, debounce.go:107-121)
+
+    Output = input columns + ``op`` ('upsert' | 'delete'). One hash aggregation.
+    """
+    delete_rank = F.when(F.col(event_type_col) == EVENT_DELETE, F.lit(1)).otherwise(F.lit(0))
+    ordering = F.struct(
+        F.col(ts_col), delete_rank.alias("__del"), *[F.col(c) for c in tiebreak_cols]
+    )
+    payload = F.struct(*[F.col(c) for c in events.columns])
+    latest = events.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.max_by(payload, ordering).alias("__latest")
+    )
+    flat = latest.select("__latest.*")
+    return flat.withColumn(
+        "op",
+        F.when(F.col(event_type_col) == EVENT_DELETE, F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    )
+
+
+def dedup_names(
+    events: DataFrame,
+    name_col: str = "crd_name",
+    ts_col: str = "event_ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """CRD-pipeline dedup: N rapid ADDs of one name -> exactly 1 upsert,
+    keeping the FIRST occurrence (crd_debounce.go:125-148,
+    integration_test.go:609-645).
+
+    min_by aggregation == dropDuplicates but deterministic about which row
+    survives (dropDuplicates keeps an arbitrary row; tests need stability).
+    """
+    ordering = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    payload = F.struct(*[F.col(c) for c in events.columns])
+    first = events.groupBy(name_col).agg(F.min_by(payload, ordering).alias("__first"))
+    return first.select("__first.*")
+
+
+def assign_batches(
+    rows: DataFrame,
+    batch_max_size: int = 50,
+    order_cols: Sequence[str] = ("event_ts",),
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Batch assembly (debounce.go:153-207): cap payload size at
+    ``batch_max_size`` rows by assigning a ``batch_id`` over a deterministic
+    global (or per-partition-group) ordering.
+
+    NOTE scale: a global row_number forces a single-partition sort — fine for
+    sink-payload chunking of a flushed micro-batch (bounded by flush interval),
+    wrong for a 100 TB table. For the scale path pass partition_cols so
+    numbering is per group (one window per shuffle partition group).
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    if partition_cols:
+        w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(*order)
+    else:
+        w = Window.orderBy(*order)
+    rn = F.row_number().over(w) - F.lit(1)
+    return rows.withColumn("batch_id", (rn / F.lit(batch_max_size)).cast("bigint"))
+
+
+def split_payloads(resolved: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Upsert/delete payload separation (debounce.go:115-121,200-206): a single
+    emission contains upserts XOR deletes. Returns (upserts_df, delete_ids_df).
+    """
+    upserts = resolved.filter(F.col("op") == "upsert").drop("op")
+    deletes = resolved.filter(F.col("op") == "delete").select(F.col("id"))
+    return upserts, deletes

@@ -1,0 +1,260 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+  brute_force_topk   exact top-k: broadcast the (small) query set, score every
+                     row, per-query window top-k. The correctness baseline.
+  lsh_topk           random-hyperplane LSH buckets; search only matching
+                     buckets. The sub-linear scale path — deterministic
+                     hyperplanes so the DuckDB oracle reproduces it exactly.
+  ivf_topk           IVF: k-means (Lloyd's, DataFrame iterations) -> probe the
+                     nearest centroid partitions. Iterative, so rows-only
+                     checked (no closed-form SQL oracle).
+
+Scale notes (100 TB): the query side is broadcast (small dim table — Spark's
+BroadcastHashJoin / BroadcastNestedLoopJoin, no shuffle of the big side); the
+big embedding table is scanned once, scored map-side, and only the per-query
+top-k (via partial aggregation) crosses the network. LSH/IVF cut the scanned
+fraction by bucket/centroid pruning — a partition-pruning analogue.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine, dot
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudo-random hyperplanes for LSH.
+# Components derived from md5 digests of "plane:dim" strings — fixed across
+# runs, platforms, and engines; embedded as literals into both the Spark plan
+# and the oracle SQL.
+# ---------------------------------------------------------------------------
+LSH_NUM_PLANES = 8
+LSH_DIM = 64
+
+
+def _det_unit(tag: str) -> float:
+    """Deterministic float in [-1, 1) from an md5 digest."""
+    h = int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+    return (h / float(1 << 31)) - 1.0
+
+
+HYPERPLANES: list[list[float]] = [
+    [round(_det_unit(f"plane{p}:dim{d}"), 6) for d in range(LSH_DIM)]
+    for p in range(LSH_NUM_PLANES)
+]
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    queries is broadcast (it is the small side by construction); every base
+    row is scored map-side; row_number over (query_id, score desc) keeps k.
+    Ties broken by neighbor id for determinism.
+    """
+    scorer = cosine if metric == "cosine" else dot
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        scorer(F.col(query_vec_col), F.col(vec_col)).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+        )
+    )
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]] | None = None):
+    """LSH bucket id: bit p = (dot(vec, plane_p) > 0), bucket = sum(bit<<p).
+
+    Pure Column expression over literal plane arrays — identical in SQL.
+    """
+    planes = planes if planes is not None else HYPERPLANES
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane_col) > 0,
+                     F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only base vectors in the query's hyperplane
+    bucket. The cross join becomes an equi-join on bucket — at scale, with the
+    base table written bucketed/partitioned by `bucket`, this is partition
+    pruning: only 1/2^planes of the data is read per query.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(vec_col).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+        hyperplane_bucket(query_vec_col).alias("bucket"),
+    )
+    scored = base.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means on the driver-coordinated DataFrame loop.
+
+    Init: the n_clusters rows with the smallest ids (deterministic, no RNG).
+    Each iteration: broadcast centroids -> assign (map-side argmin) ->
+    groupBy(cluster).avg (one shuffle of dim-sized partial sums). Only the
+    centroid list (n_clusters x dim floats) ever reaches the driver.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    seed_rows = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in seed_rows]
+    for _ in range(iterations):
+        assigned = assign_clusters(embeddings, centroids, vec_col)
+        sums = assigned.groupBy("cluster").agg(
+            *[
+                F.sum(F.col(vec_col).getItem(j).cast("double")).alias(f"s{j}")
+                for j in range(dim)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = sums.collect()
+        new_centroids = list(centroids)
+        for r in rows:
+            c = r["cluster"]
+            n = r["n"]
+            new_centroids[c] = [r[f"s{j}"] / n for j in range(dim)]
+        centroids = new_centroids
+    return list(enumerate(centroids))
+
+
+def assign_clusters(
+    embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-side nearest-centroid assignment against broadcast literal centroids
+    (no shuffle; whole-stage codegen over zip_with/aggregate expressions)."""
+    best_c = F.lit(0)
+    best_d = F.lit(float("inf"))
+    for ci, cvec in enumerate(centroids):
+        c_col = F.array(*[F.lit(float(v)) for v in cvec])
+        diffs = F.zip_with(
+            F.col(vec_col), c_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        d = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+        take = d < best_d
+        best_c = F.when(take, F.lit(ci)).otherwise(best_c)
+        best_d = F.when(take, d).otherwise(best_d)
+    return embeddings.withColumn("cluster", best_c)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: cluster the base set (k-means), then for each
+    query scan only the ``n_probe`` nearest centroid partitions.
+
+    At scale the assignment is precomputed and the table is written
+    partitioned by cluster — probing = partition pruning, reading
+    n_probe/n_clusters of the data.
+    """
+    centroids = kmeans_centroids(embeddings, n_clusters, vec_col=vec_col, id_col=id_col)
+    base = assign_clusters(embeddings, [c for _, c in centroids], vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cluster"
+    )
+
+    # Driver-side probe selection for each query is a tiny cross join:
+    # queries x centroids (both broadcast-size), keep n_probe nearest.
+    cent_rows = [(ci, c) for ci, c in centroids]
+    cent_df = queries.sparkSession.createDataFrame(
+        cent_rows, schema="cluster int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("query_vec"),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    scored = base.join(F.broadcast(probes), "cluster").select(
+        "query_id", "neighbor_id", cosine(F.col("query_vec"), F.col("vec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+    )

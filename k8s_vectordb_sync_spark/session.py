@@ -1,0 +1,52 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on local[N]; the configs below are the ones that matter at
+cluster scale too (AQE, adaptive skew handling, Arrow for the Pandas-UDF
+operators). Everything else is left to Spark defaults so a real cluster's
+spark-defaults.conf wins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    app_name: str = "k8s-vectordb-sync-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a SparkSession with scale-oriented defaults.
+
+    - AQE on: runtime coalescing of shuffle partitions, skew-join splitting.
+      At 100 TB the static ``spark.sql.shuffle.partitions`` is always wrong;
+      AQE re-plans from actual map output sizes.
+    - Arrow on: the dedup/similarity/multimodal operators use pandas UDFs;
+      Arrow batch transfer is the difference between 10x and 1000x slower
+      than JVM expressions.
+    - Parquet pushdown left on (default) — the projection/filter operators are
+      written so predicates and column pruning reach the scan.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def get_or_create(spark: SparkSession | None = None) -> SparkSession:
+    return spark if spark is not None else build_spark()

@@ -1,0 +1,151 @@
+"""Micro-batch sinks with the reference's REST-client contract.
+
+Re-expresses internal/client/rest.go (SURVEY §2.1) as a foreachBatch writer:
+  - skip empty payloads               (rest.go:83-85, debounce.go:22-24)
+  - chunk upserts to batch_max_size   (debounce.go:153-161 -> 50/POST)
+  - deletes sent alone, before upserts(debounce.go:105-121: delete priority)
+  - retry 5xx/network with exponential backoff + jitter, 4xx terminal
+                                      (rest.go:92-158)
+
+The payload rows are collected per micro-batch *chunk* only (bounded by the
+flush interval x batch cap), never a full-table collect. Exactly-once-ish:
+checkpointed offsets + an idempotent upsert target mean a retried batch is
+harmless — strictly stronger than the reference's drop-on-full channels.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class SinkClientError(Exception):
+    """4xx-equivalent: terminal, no retry (rest.go:126-147)."""
+
+
+class SinkServerError(Exception):
+    """5xx/network-equivalent: retryable (rest.go:126-147)."""
+
+
+@dataclass
+class RetryPolicy:
+    """rest.go:65-78,150-158: 3 retries, 1s initial, x2, cap 30s, jitter .75-1."""
+
+    max_retries: int = 3
+    initial_delay_s: float = 1.0
+    max_delay_s: float = 30.0
+    jitter: tuple[float, float] = (0.75, 1.0)
+    sleep: Callable[[float], None] = time.sleep
+    rng: Callable[[], float] = random.random
+
+    def delay(self, attempt: int) -> float:
+        base = min(self.initial_delay_s * (2 ** (attempt - 1)), self.max_delay_s)
+        lo, hi = self.jitter
+        return base * (lo + (hi - lo) * self.rng())
+
+
+def send_with_retry(post: Callable[[dict], None], payload: dict, policy: RetryPolicy) -> int:
+    """POST with the reference's retry loop; returns attempts used.
+
+    Raises SinkClientError immediately (4xx: rest_test.go:166 DoesNotRetryOn4xx)
+    and SinkServerError after retries are exhausted.
+    """
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            post(payload)
+            return attempt
+        except SinkClientError:
+            raise
+        except SinkServerError:
+            if attempt > policy.max_retries:
+                raise
+            policy.sleep(policy.delay(attempt))
+
+
+@dataclass
+class CollectingSink:
+    """In-memory payload collector — the analog of the reference's e2e mock
+    server (test/e2e/mockserver/main.go:18-92): records every payload for
+    assertion; an injectable `post` hook simulates failures."""
+
+    batch_max_size: int = 50
+    policy: RetryPolicy = field(default_factory=RetryPolicy)
+    post: Callable[[dict], None] | None = None
+    payloads: list[dict] = field(default_factory=list)
+
+    def _send(self, payload: dict) -> None:
+        if self.post is not None:
+            send_with_retry(self.post, payload, self.policy)
+        self.payloads.append(payload)
+
+    def write_batch(self, resolved: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: split ops, deletes first (delete priority), then
+        upserts chunked to batch_max_size. Empty-payload skip throughout."""
+        if resolved.isEmpty():  # typed-nil/empty guard (rest.go:83-85)
+            return
+        ops = resolved.cache()
+        try:
+            deletes = [
+                r["id"]
+                for r in ops.filter(F.col("op") == "delete").select("id").collect()
+            ]
+            if deletes:
+                self._send({"deletes": deletes, "batch_id": batch_id})
+            upsert_rows = (
+                ops.filter(F.col("op") == "upsert")
+                .drop("op")
+                .orderBy("event_ts", "id")
+                .collect()
+            )
+            for i in range(0, len(upsert_rows), self.batch_max_size):
+                chunk = upsert_rows[i : i + self.batch_max_size]
+                self._send(
+                    {
+                        "upserts": [r.asDict(recursive=True) for r in chunk],
+                        "batch_id": batch_id,
+                    }
+                )
+        finally:
+            ops.unpersist()
+
+    def to_json_lines(self) -> str:
+        return "\n".join(json.dumps(p, default=str) for p in self.payloads)
+
+
+def parquet_upsert_sink(target_path: str, key_col: str = "id"):
+    """foreachBatch writer that MERGEs each micro-batch into a parquet target
+    (idempotent upsert-by-key; delete rows remove keys). The durable-sink
+    variant of CollectingSink."""
+    from ..plans.resync import merge_deletes, merge_upserts
+
+    def write_batch(resolved: DataFrame, batch_id: int) -> None:
+        if resolved.isEmpty():
+            return
+        spark = resolved.sparkSession
+        try:
+            target = spark.read.parquet(target_path)
+            exists = True
+        except Exception:
+            exists = False
+        upserts = resolved.filter(F.col("op") == "upsert").drop("op")
+        deletes = resolved.filter(F.col("op") == "delete").select(key_col)
+        if exists:
+            merged = merge_upserts(target, upserts, key_col)
+            merged = merge_deletes(merged, deletes, key_col)
+        else:
+            merged = upserts
+        # overwrite via temp path for atomicity on plain parquet
+        tmp = target_path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target_path)
+
+    return write_batch

@@ -1,0 +1,161 @@
+"""Debounce/dedup operator tests — translations of
+internal/controller/debounce_test.go and crd_debounce_test.go (SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from k8s_vectordb_sync_spark.operators.debounce import (
+    assign_batches,
+    assign_sessions,
+    debounce,
+    dedup_names,
+    delete_cancels_pending,
+    last_state_wins,
+    split_payloads,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(ms: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(milliseconds=ms)
+
+
+EVENT_SCHEMA = "event_type string, event_ts timestamp, id string, event_id long, value string"
+
+
+def test_last_state_wins(spark):
+    # debounce_test.go:109 LastStateWins / integration_test.go:257-312:
+    # 5 rapid updates -> exactly 1 row carrying the final state (v5)
+    rows = [("UPDATE", _t(i * 10), "k1", i, f"v{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = last_state_wins(df, key_cols=["id"], tiebreak_cols=["event_id"]).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == "v5"
+
+
+def test_last_state_wins_tie_broken_by_event_id(spark):
+    rows = [("UPDATE", _t(0), "k1", 1, "first"), ("UPDATE", _t(0), "k1", 2, "second")]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = last_state_wins(df, key_cols=["id"], tiebreak_cols=["event_id"]).collect()
+    assert out[0]["value"] == "second"
+
+
+def test_debounce_sessions_split_on_gap(spark):
+    # DebounceResetsOnNewEvent (debounce_test.go:316): events 5ms apart stay in
+    # one session even past the window; a gap > window starts a new session.
+    rows = [
+        ("UPDATE", _t(0), "k1", 1, "a"),
+        ("UPDATE", _t(5_000), "k1", 2, "b"),
+        ("UPDATE", _t(9_000), "k1", 3, "c"),     # gaps < 10s: same session
+        ("UPDATE", _t(25_000), "k1", 4, "d"),    # 16s gap: new session
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = debounce(df, gap_ms=10_000, tiebreak_cols=["event_id"]).orderBy("event_ts").collect()
+    assert [(r["session_id"], r["value"]) for r in out] == [(0, "c"), (1, "d")]
+
+
+def test_debounce_multiple_keys_independent(spark):
+    # BatchMultipleResources (debounce_test.go:228)
+    rows = [
+        ("UPDATE", _t(0), "k1", 1, "a"),
+        ("UPDATE", _t(100), "k2", 2, "b"),
+        ("UPDATE", _t(200), "k3", 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = debounce(df, gap_ms=10_000, tiebreak_cols=["event_id"])
+    assert out.count() == 3
+
+
+def test_delete_cancels_pending_upsert(spark):
+    # DeleteCancelsPendingUpsert (debounce_test.go:161): UPDATE then DELETE in
+    # the window -> only a delete comes out.
+    rows = [
+        ("UPDATE", _t(0), "k1", 1, "a"),
+        ("DELETE", _t(100), "k1", 2, None),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = delete_cancels_pending(df, tiebreak_cols=["event_id"]).collect()
+    assert len(out) == 1
+    assert out[0]["op"] == "delete"
+
+
+def test_delete_wins_tie_at_equal_timestamp(spark):
+    rows = [
+        ("DELETE", _t(0), "k1", 1, None),
+        ("UPDATE", _t(0), "k1", 0, "a"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = delete_cancels_pending(df, tiebreak_cols=[]).collect()
+    assert out[0]["op"] == "delete"
+
+
+def test_upsert_after_delete_survives(spark):
+    # delete-then-readd: the later ADD must win (crd_debounce_test.go:267
+    # DeleteThenReaddUsesNewGeneration semantics)
+    rows = [
+        ("DELETE", _t(0), "k1", 1, None),
+        ("ADD", _t(100), "k1", 2, "readd"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = delete_cancels_pending(df, tiebreak_cols=["event_id"]).collect()
+    assert len(out) == 1
+    assert out[0]["op"] == "upsert"
+    assert out[0]["value"] == "readd"
+
+
+def test_separate_upsert_and_delete_payloads(spark):
+    # SeparateUpsertAndDeletePayloads (debounce_test.go:267)
+    rows = [
+        ("UPDATE", _t(0), "k1", 1, "a"),
+        ("DELETE", _t(0), "k2", 2, None),
+        ("ADD", _t(0), "k3", 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    resolved = delete_cancels_pending(df, tiebreak_cols=["event_id"])
+    upserts, deletes = split_payloads(resolved)
+    assert sorted(r["id"] for r in upserts.collect()) == ["k1", "k3"]
+    assert [r["id"] for r in deletes.collect()] == ["k2"]
+    assert "op" not in upserts.columns
+
+
+def test_dedup_names_keeps_first(spark):
+    # crd_debounce_test.go:128 DeduplicatesRepeatedAdds /
+    # integration_test.go:609-645: 5 rapid adds -> exactly 1
+    rows = [("ADD", _t(i * 10), "widgets.example.com", i) for i in range(5)] + [
+        ("ADD", _t(0), "gadgets.example.com", 99)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, event_ts timestamp, crd_name string, event_id long")
+    out = dedup_names(df, tiebreak_cols=["event_id"]).orderBy("crd_name").collect()
+    assert [(r["crd_name"], r["event_id"]) for r in out] == [
+        ("gadgets.example.com", 99),
+        ("widgets.example.com", 0),
+    ]
+
+
+def test_assign_batches_caps_size(spark):
+    # batch size cap (debounce.go:153-161): 120 rows, cap 50 -> batches of
+    # 50/50/20 with deterministic assignment
+    rows = [("ADD", _t(i), f"k{i}", i, "v") for i in range(120)]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = assign_batches(df, batch_max_size=50, order_cols=["event_ts", "id"])
+    sizes = {
+        r["batch_id"]: r["n"]
+        for r in out.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {0: 50, 1: 50, 2: 20}
+
+
+def test_assign_sessions_zero_based_per_key(spark):
+    rows = [
+        ("UPDATE", _t(0), "k1", 1, "a"),
+        ("UPDATE", _t(60_000), "k1", 2, "b"),
+        ("UPDATE", _t(0), "k2", 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = assign_sessions(df, gap_ms=10_000, tiebreak_cols=["event_id"]).collect()
+    by_event = {r["event_id"]: r["session_id"] for r in out}
+    assert by_event == {1: 0, 2: 1, 3: 0}
