@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query result on sf0.001
+queries()     -> every implemented operator from SURVEY.md §2 (+ §7 extension)
+oracle_sql()  -> DuckDB-equivalent SQL per query (omitted only for genuinely
+                 non-SQL-expressible ops, e.g. iterative k-means IVF)
+
+Implementation lives in k8s_vectordb_sync_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from k8s_vectordb_sync_spark.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full instance-sync pipeline (projection -> change
+    suppression -> quiet-period debounce -> delete-cancels-upsert) on
+    sf0.001."""
+    # The driver may pass a session built without our nanos config; the events
+    # loader needs it to read TIMESTAMP(NANOS) parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return QUERIES["pipeline_sync_resolved"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def _wrap(fn):
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return runner
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

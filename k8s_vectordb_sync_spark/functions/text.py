@@ -97,12 +97,13 @@ def detect_language(text: Column) -> Column:
     oracle via a greatest/case chain).
     """
     scores = lang_scores(text)
-    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    langs = sorted(scores)
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # Iterate in reverse-alphabetical order so that on ties the alphabetically
-    # FIRST language wins (strict > comparison overwrites later candidates).
-    for lang in reversed(langs):
+    # Forward alphabetical order with strict >: on ties the alphabetically
+    # FIRST language wins (a later candidate only replaces when strictly
+    # higher); all-zero scores leave 'und'.
+    for lang in langs:
         s = scores[lang]
         take = s > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)

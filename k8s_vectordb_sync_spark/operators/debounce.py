@@ -75,17 +75,17 @@ def assign_sessions(
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_expr = (
-        F.col(ts_col).cast("double") - prev_ts.cast("double")
-    ) * F.lit(1000.0)
+    # Integer millisecond arithmetic (not float seconds): bit-for-bit
+    # reproducible in any ANSI engine (epoch_ms differences in the oracle).
+    gap_expr = F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_ts)
     new_session = F.when(
-        prev_ts.isNull() | (gap_expr > F.lit(float(gap_ms))), F.lit(1)
+        prev_ts.isNull() | (gap_expr > F.lit(gap_ms)), F.lit(1)
     ).otherwise(F.lit(0))
     running = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return events.withColumn(
-        "session_id", F.sum(new_session).over(running) - F.lit(1)
+        "session_id", F.sum(new_session).over(running).cast("bigint") - F.lit(1)
     )
 
 

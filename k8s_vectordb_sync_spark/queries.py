@@ -1,0 +1,1083 @@
+"""Query registry: every operator from SURVEY §2 (+ the §7 extension surface)
+as a named (Spark callable, DuckDB oracle SQL) pair.
+
+The driver's t2 gate runs queries()[name](spark, sf_dir) AND oracle_sql()[name]
+on the same parquet tables and compares row count + schema + order-insensitive
+value hash. Parity rules used throughout:
+
+  - integers out as BIGINT on both sides (Spark casts, SQL casts)
+  - no raw timestamps out: epoch milliseconds (unix_millis / epoch_ms)
+  - window orderings tie-broken by a unique id; the oracle orders by
+    epoch_us(ts) because Spark's timestamp is microseconds while the raw
+    parquet is nanoseconds
+  - money aggregates via DECIMAL(18,2) sums (exact, order-independent) cast
+    to DOUBLE at the end; ratio outputs rounded to 4 decimals
+  - all hashing is md5-based: Spark conv(substring(md5 x,1,N),16,10) ==
+    DuckDB cast('0x'||substring(md5 x,1,N) as bigint)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import text as T
+from .functions.vectors import cosine
+from .operators import debounce as dbn
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators.dedup import BAND_SIZE, MINHASH_COEFFS, MINHASH_P, NUM_MINHASHES, SIMHASH_BITS
+from .operators.filters import discover_sources, should_watch, suppress_unchanged_updates
+from .operators.similarity import HYPERPLANES
+from .sources.cdc import events_as_change_stream
+from .sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect, matching the Spark transforms above)
+# ---------------------------------------------------------------------------
+
+# events -> change stream (sources.cdc.events_as_change_stream)
+SQL_CH = """
+ch AS (
+  SELECT CASE WHEN event_type = 'signup' THEN 'ADD'
+              WHEN event_type = 'error' THEN 'DELETE'
+              ELSE 'UPDATE' END AS op_type,
+         'user/' || CAST(user_id AS VARCHAR) AS id,
+         event_id, user_id, event_type AS raw_event_type, value, props,
+         epoch_ms(ts) AS ts_ms, epoch_us(ts) AS ts_us
+  FROM events
+)
+"""
+
+# documents -> whitespace tokens of lowered text
+SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+# normalized text (functions.text.normalize_text)
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# normalized tokens (single-space separated after normalization)
+SQL_NTOKS = f"string_split({SQL_NORM}, ' ')"
+
+
+def _sql_shingles(toks: str, k: int = 3) -> str:
+    """Distinct word k-shingles — mirror of functions.text.shingles."""
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))) "
+        f"ELSE list_distinct([array_to_string({toks}, ' ')]) END"
+    )
+
+
+SQL_H15 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+SQL_H8 = "CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT)"
+
+DEBOUNCE_GAP_MS = 2 * 60 * 60 * 1000  # 2h quiet period suits the events data
+SESSION_GAP_MS = 30 * 60 * 1000
+
+# Session assignment over the change stream (operators.debounce.assign_sessions)
+SQL_SESSIONS = f"""
+marks AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > {DEBOUNCE_GAP_MS}
+            THEN 1 ELSE 0 END AS ns
+  FROM ch
+  WINDOW w AS (PARTITION BY id ORDER BY ts_us, event_id)
+),
+sessioned AS (
+  SELECT *, CAST(SUM(ns) OVER (PARTITION BY id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+  FROM marks
+)
+"""
+
+# Delete-cancels-upsert resolution per (id, session)
+SQL_RESOLVED = f"""
+{SQL_SESSIONS},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY id, session_id
+      ORDER BY ts_us DESC,
+               CASE WHEN op_type = 'DELETE' THEN 1 ELSE 0 END DESC,
+               event_id DESC) AS rn
+  FROM sessioned
+),
+resolved AS (
+  SELECT id, session_id, event_id, value, ts_ms, raw_event_type,
+         CASE WHEN op_type = 'DELETE' THEN 'delete' ELSE 'upsert' END AS op
+  FROM ranked WHERE rn = 1
+)
+"""
+
+
+def _ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_change_stream(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.2 — CDC surface: projection, filters, catalog, suppression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_projection",
+    f"WITH {SQL_CH} SELECT id, op_type, ts_ms, event_id, user_id, raw_event_type, value, props FROM ch",
+)
+def cdc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream projection (Extract() analog, extract.go:31-52): key
+    synthesis + op mapping, pure narrow projection pushed into the scan."""
+    ch = _ch(spark, sf_dir)
+    return ch.select(
+        "id",
+        "op_type",
+        F.unix_millis("event_ts").alias("ts_ms"),
+        "event_id",
+        "user_id",
+        "raw_event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "cdc_filter_blocklist",
+    "SELECT event_id, event_type AS raw_event_type FROM events "
+    "WHERE lower(trim(event_type)) NOT IN ('view', 'click')",
+)
+def cdc_filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-type blocklist filter (filter.go:11-57): case-insensitive,
+    trimmed, pushed to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        should_watch(F.col("event_type"), blocklist=("view", "click"))
+    ).select("event_id", F.col("event_type").alias("raw_event_type"))
+
+
+SQL_CATALOG = """
+catalog AS (
+  SELECT DISTINCT
+    CASE WHEN p_partkey % 10 = 0 THEN lower(p_brand) || '/status'
+         ELSE lower(p_brand) END AS resource_name,
+    CASE WHEN p_size % 3 = 0 THEN ['list'] ELSE ['list', 'watch'] END AS verbs
+  FROM part
+)
+"""
+
+
+@register(
+    "cdc_catalog_discovery",
+    f"WITH {SQL_CATALOG} SELECT DISTINCT resource_name FROM catalog "
+    "WHERE NOT contains(resource_name, '/') "
+    "AND list_contains(verbs, 'list') AND list_contains(verbs, 'watch')",
+)
+def cdc_catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog discovery scan (watcher.go:159-206): enumerate candidate
+    sources (synthesized from `part`), skip subresources, require list+watch.
+    """
+    part = load_table(spark, sf_dir, "part")
+    catalog = part.select(
+        F.when(
+            F.col("p_partkey") % 10 == 0,
+            F.concat(F.lower("p_brand"), F.lit("/status")),
+        )
+        .otherwise(F.lower("p_brand"))
+        .alias("resource_name"),
+        F.when(F.col("p_size") % 3 == 0, F.array(F.lit("list")))
+        .otherwise(F.array(F.lit("list"), F.lit("watch")))
+        .alias("verbs"),
+    ).distinct()
+    return discover_sources(catalog, blocklist=()).select("resource_name").distinct()
+
+
+@register(
+    "cdc_change_suppression",
+    f"""WITH {SQL_CH},
+    lagged AS (
+      SELECT event_id, op_type, value,
+             lag(value) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS prev_value
+      FROM ch)
+    SELECT event_id FROM lagged
+    WHERE op_type <> 'UPDATE' OR prev_value IS NULL OR prev_value <> value""",
+)
+def cdc_change_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change suppression (watcher.go:244-247,315-331): drop UPDATE events
+    whose tracked state is unchanged vs the previous event for the key."""
+    ch = _ch(spark, sf_dir).withColumnRenamed("op_type", "event_type")
+    out = suppress_unchanged_updates(
+        ch, state_cols=["value"], tiebreak_cols=["event_id"]
+    )
+    return out.select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — debounce / dedup / batching core
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_last_state_wins",
+    f"""WITH {SQL_CH},
+    r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, event_id DESC) rn FROM ch)
+    SELECT id, event_id AS last_event_id, value AS last_value,
+           ts_ms AS last_ts_ms, op_type AS last_op
+    FROM r WHERE rn = 1""",
+)
+def cdc_last_state_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key last-state-wins (debounce.go:127-149): one max_by hash agg,
+    partial map-side — the shuffle carries one row per key per task."""
+    ch = _ch(spark, sf_dir)
+    latest = dbn.last_state_wins(ch, key_cols=["id"], tiebreak_cols=["event_id"])
+    return latest.select(
+        "id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.unix_millis("event_ts").alias("last_ts_ms"),
+        F.col("op_type").alias("last_op"),
+    )
+
+
+@register(
+    "cdc_debounce_sessions",
+    f"""WITH {SQL_CH}, {SQL_SESSIONS.strip().lstrip()},
+    r AS (SELECT *, row_number() OVER (PARTITION BY id, session_id ORDER BY ts_us DESC, event_id DESC) rn
+          FROM sessioned)
+    SELECT id, session_id, event_id AS last_event_id, value AS last_value
+    FROM r WHERE rn = 1""",
+)
+def cdc_debounce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quiet-period debounce (the reference's core semantic, debounce.go:32-149):
+    per key, sessions split on >gap quiet; last state per session survives."""
+    ch = _ch(spark, sf_dir)
+    out = dbn.debounce(
+        ch, key_cols=["id"], gap_ms=DEBOUNCE_GAP_MS, tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "id",
+        "session_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "cdc_delete_cancels_upsert",
+    f"WITH {SQL_CH}, {SQL_RESOLVED.strip().lstrip()} "
+    "SELECT id, session_id, op, event_id, value FROM resolved",
+)
+def cdc_delete_cancels_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-cancels-pending-upsert (debounce.go:107-113): per (key, session)
+    the latest event decides the op; DELETE wins timestamp ties."""
+    ch = _ch(spark, sf_dir)
+    sessioned = dbn.assign_sessions(
+        ch, key_cols=["id"], gap_ms=DEBOUNCE_GAP_MS, tiebreak_cols=["event_id"]
+    ).withColumnRenamed("op_type", "event_type")
+    resolved = dbn.delete_cancels_pending(
+        sessioned,
+        key_cols=["id", "session_id"],
+        event_type_col="event_type",
+        tiebreak_cols=["event_id"],
+    )
+    return resolved.select("id", "session_id", "op", "event_id", "value")
+
+
+@register(
+    "cdc_payload_batches",
+    f"""WITH {SQL_CH}, {SQL_RESOLVED.strip().lstrip()},
+    ups AS (SELECT * FROM resolved WHERE op = 'upsert'),
+    numbered AS (
+      SELECT id, session_id, event_id,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn
+      FROM ups)
+    SELECT id, session_id, event_id, CAST(rn // 50 AS BIGINT) AS batch_id FROM numbered""",
+)
+def cdc_payload_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch assembly (debounce.go:153-207): upserts chunked into payloads of
+    <= 50 rows over a deterministic order (deletes flush separately/alone)."""
+    resolved = cdc_delete_cancels_upsert(spark, sf_dir)
+    upserts = resolved.filter(F.col("op") == "upsert")
+    batched = dbn.assign_batches(upserts, batch_max_size=50, order_cols=["event_id"])
+    return batched.select("id", "session_id", "event_id", "batch_id")
+
+
+@register(
+    "cdc_crd_dedup",
+    f"""WITH {SQL_CH},
+    r AS (SELECT *, row_number() OVER (PARTITION BY raw_event_type ORDER BY ts_us, event_id) rn FROM ch)
+    SELECT raw_event_type AS crd_name, event_id AS first_event_id, ts_ms AS first_ts_ms
+    FROM r WHERE rn = 1""",
+)
+def cdc_crd_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRD name dedup (crd_debounce.go:125-148): N adds of one name -> 1,
+    keeping the first occurrence (min_by)."""
+    ch = _ch(spark, sf_dir)
+    out = dbn.dedup_names(
+        ch, name_col="raw_event_type", tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        F.col("raw_event_type").alias("crd_name"),
+        F.col("event_id").alias("first_event_id"),
+        F.unix_millis("event_ts").alias("first_ts_ms"),
+    )
+
+
+@register(
+    "cdc_resync_merge",
+    f"""WITH {SQL_CH},
+    tgt AS (SELECT id, event_id, value FROM (
+        SELECT id, event_id, value,
+               row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, event_id DESC) rn
+        FROM ch WHERE event_id % 2 = 0) WHERE rn = 1),
+    snap AS (SELECT id, event_id, value FROM (
+        SELECT id, event_id, value,
+               row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, event_id DESC) rn
+        FROM ch WHERE event_id % 2 = 1) WHERE rn = 1)
+    SELECT id, event_id, value, 'upsert' AS action FROM snap
+    UNION ALL
+    SELECT t.id, t.event_id, t.value, 'stale_delete' AS action
+    FROM tgt t LEFT JOIN snap s ON t.id = s.id WHERE s.id IS NULL""",
+)
+def cdc_resync_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-snapshot reconciliation (watcher.go:349-383 + SURVEY §2.4's
+    full-outer improvement): snapshot rows replay as upserts; target keys
+    missing from the snapshot surface as stale deletes (left-anti join)."""
+    ch = _ch(spark, sf_dir)
+    tgt = dbn.last_state_wins(
+        ch.filter(F.col("event_id") % 2 == 0), key_cols=["id"], tiebreak_cols=["event_id"]
+    ).select("id", "event_id", "value")
+    snap = dbn.last_state_wins(
+        ch.filter(F.col("event_id") % 2 == 1), key_cols=["id"], tiebreak_cols=["event_id"]
+    ).select("id", "event_id", "value")
+    return snap.withColumn("action", F.lit("upsert")).unionByName(
+        tgt.join(snap.select("id"), "id", "left_anti").withColumn(
+            "action", F.lit("stale_delete")
+        )
+    )
+
+
+@register(
+    "pipeline_sync_resolved",
+    f"""WITH {SQL_CH},
+    lagged AS (
+      SELECT *, lag(value) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS prev_value
+      FROM ch),
+    kept AS (
+      SELECT * FROM lagged
+      WHERE op_type <> 'UPDATE' OR prev_value IS NULL OR prev_value <> value),
+    marks AS (
+      SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w > {DEBOUNCE_GAP_MS}
+                THEN 1 ELSE 0 END AS ns
+      FROM kept
+      WINDOW w AS (PARTITION BY id ORDER BY ts_us, event_id)),
+    sessioned AS (
+      SELECT *, CAST(SUM(ns) OVER (PARTITION BY id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+      FROM marks),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY id, session_id
+          ORDER BY ts_us DESC,
+                   CASE WHEN op_type = 'DELETE' THEN 1 ELSE 0 END DESC,
+                   event_id DESC) AS rn
+      FROM sessioned)
+    SELECT id, session_id, event_id, value, ts_ms,
+           CASE WHEN op_type = 'DELETE' THEN 'delete' ELSE 'upsert' END AS op
+    FROM ranked WHERE rn = 1""",
+)
+def pipeline_sync_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the full instance-sync pipeline, batch form (SURVEY §3.1) —
+    projection -> change suppression -> quiet-period debounce ->
+    delete-cancels-upsert resolution. One shuffle by key end-to-end."""
+    from .config import EngineConfig
+    from .plans.sync import resolve_changes
+
+    ch = _ch(spark, sf_dir)
+    resolved = resolve_changes(
+        ch, config=EngineConfig(debounce_window_ms=DEBOUNCE_GAP_MS)
+    )
+    return resolved.select(
+        "id",
+        "session_id",
+        "event_id",
+        "value",
+        F.unix_millis("event_ts").alias("ts_ms"),
+        "op",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface over the star schema (free from Spark SQL; exercised for
+# bench + scale-plan validation)
+# ---------------------------------------------------------------------------
+
+_DP = "CAST({x} AS DECIMAL(12,2))"  # prices/quantities (< 1e10)
+_DF = "CAST({x} AS DECIMAL(4,2))"   # discount/tax factors (< 100)
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+        CAST(SUM({_DP.format(x='l_quantity')}) AS DOUBLE) AS sum_qty,
+        CAST(SUM({_DP.format(x='l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')} * {_DF.format(x='1 + l_tax')}) AS DOUBLE) AS sum_charge,
+        CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. DECIMAL sums (exact,
+    order-independent) cast to double — bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    decp = lambda c: c.cast("decimal(12,2)")
+    decf = lambda c: c.cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(decp(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(decp(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(
+                decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                decp(F.col("l_extendedprice"))
+                * decf(F.lit(1) - F.col("l_discount"))
+                * decf(F.lit(1) + F.col("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""SELECT l_orderkey,
+        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue,
+        epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> top-k.
+    customer is the small side: broadcast join, no shuffle of lineitem."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1998-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            # parquet NTZ timestamp -> session-UTC timestamp, same instant
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    f"""SELECT n_name,
+        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. Dims (region/nation/supplier/customer)
+    broadcast; the only shuffle joins are on the fact keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    f"""SELECT CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='l_discount')}) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-filter scan + global agg (no shuffle at all
+    beyond the final single-row reduce)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(decp(F.col("l_extendedprice")) * decf(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""SELECT c_custkey, c_name, n_name,
+        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "events_windowed_agg",
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2""",
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming window analog, batch form)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    f"""WITH marks AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    sessioned AS (
+      SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+      FROM marks)
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+    FROM sessioned GROUP BY user_id, session_id""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic user sessionization (30 min gap): session sizes + durations."""
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "event_ts")
+    sessioned = dbn.assign_sessions(
+        ev, key_cols=["user_id"], gap_ms=SESSION_GAP_MS, tiebreak_cols=["event_id"]
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_millis("event_ts")) - F.min(F.unix_millis("event_ts"))).alias(
+            "duration_ms"
+        ),
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """SELECT n_name, c_custkey, c_acctbal, CAST(rnk AS BIGINT) AS rnk FROM (
+         SELECT n_name, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+         FROM customer JOIN nation ON c_nationkey = n_nationkey)
+       WHERE rnk <= 3""",
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k per group (rank within partition)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY §7 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_counts",
+    f"""SELECT doc_id,
+        CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens_ws,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+    FROM documents""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens_ws"),
+        T.token_count_bpe(F.col("text")).cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+_SQL_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""WITH base AS (
+      SELECT doc_id, text, {SQL_TOKS} AS toks,
+             regexp_replace(text, '\\s+', '', 'g') AS nospace
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
+             ELSE 0.0 END AS stop_ratio,
+        CASE WHEN length(nospace) > 0
+             THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
+             ELSE 0.0 END AS punct_ratio,
+        CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS mean_word_len,
+        length(text) AS n_chars_text
+      FROM base)
+    SELECT doc_id, round(stop_ratio, 4) AS stop_ratio, round(punct_ratio, 4) AS punct_ratio,
+           round(mean_word_len, 4) AS mean_word_len,
+           round((least(n_chars_text / 500.0, 1.0)
+                  + (1.0 - least(punct_ratio * 4.0, 1.0))
+                  + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
+    FROM m""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/punctuation ratios, mean word length, and the
+    composite quality score — all codegen'd column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(T.mean_word_length(F.col("text")), 4).alias("mean_word_len"),
+        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+def _sql_langid() -> str:
+    score_exprs = []
+    for lang in sorted(T.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"len(list_filter(toks, t -> t IN ({markers}))) AS s_{lang}"
+        )
+    langs = sorted(T.LANG_MARKERS)
+    # alphabetically-first language wins ties; 'und' when all scores are 0
+    best = "CASE "
+    for lang in langs:
+        others_strict = [f"s_{lang} > s_{o}" for o in langs if o < lang]
+        others_ge = [f"s_{lang} >= s_{o}" for o in langs if o > lang]
+        conds = [f"s_{lang} > 0"] + others_strict + others_ge
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return f"""WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM base)
+    SELECT doc_id, {best} AS detected_lang FROM scored"""
+
+
+@register("text_langid", _sql_langid())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word argmax with deterministic ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.detect_language(F.col("text")).alias("detected_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, {SQL_H15.format(x=SQL_NORM)} AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 60-bit hash of normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (SURVEY §7 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""SELECT {SQL_H15.format(x=SQL_NORM)} AS fp,
+        MIN(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+def _sql_minhash_pairs(threshold: float = 0.5) -> str:
+    sh = _sql_shingles(SQL_NTOKS)
+    sig_entries = ", ".join(
+        f"list_min(list_transform(hx, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS
+    )
+    n_bands = NUM_MINHASHES // BAND_SIZE
+    return f"""WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+    hx AS (SELECT doc_id, s, list_transform(s, e -> {SQL_H8.format(x='e')}) AS hx FROM sh),
+    sigs AS (SELECT doc_id, s, [{sig_entries}] AS sig FROM hx),
+    buckets AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(list_transform(
+                 list_slice(sig, b.band * {BAND_SIZE} + 1, b.band * {BAND_SIZE} + {BAND_SIZE}),
+                 v -> CAST(v AS VARCHAR)), '-')) AS bucket
+      FROM sigs, (SELECT unnest(range(0, {n_bands})) AS band) b),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+                                    AND l.doc_id < r.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
+    SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+    FROM verified WHERE jaccard >= {threshold}"""
+
+
+@register("dedup_minhash_lsh", _sql_minhash_pairs())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _sql_simhash() -> str:
+    return f"""WITH toks AS (
+      SELECT doc_id, source, list_distinct({SQL_TOKS}) AS tk FROM documents),
+    hx AS (SELECT doc_id, source, list_transform(tk, t -> {SQL_H8.format(x='t')}) AS hx FROM toks),
+    votes AS (
+      SELECT doc_id, source,
+             list_transform(range(0, {SIMHASH_BITS}),
+               b -> list_sum(list_transform(hx,
+                 x -> CASE WHEN CAST(floor(x / 2 ** b) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)))
+             AS v
+      FROM hx),
+    sigs AS (
+      SELECT doc_id, source,
+             CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
+               b -> CASE WHEN list_extract(v, b + 1) > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END))
+             AS BIGINT) AS simhash
+      FROM votes)"""
+
+
+@register(
+    "dedup_simhash",
+    _sql_simhash() + " SELECT doc_id, simhash FROM sigs",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs)
+
+
+@register(
+    "dedup_simhash_pairs",
+    _sql_simhash()
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.simhash_pairs(docs, max_hamming=8)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _sql_ngram_jaccard(threshold: float = 0.5) -> str:
+    sh = _sql_shingles(SQL_NTOKS)
+    return f"""WITH base AS (
+      SELECT doc_id, source AS blk, CAST(strlen(text) // 100 AS BIGINT) AS lbkt,
+             {sh} AS s
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM base a JOIN base b
+      ON a.blk = b.blk AND a.lbkt = b.lbkt AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}"""
+
+
+@register("dedup_ngram_jaccard", _sql_ngram_jaccard())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+SQL_COS = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+    "ELSE 0.0 END"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({SQL_COS.format(a='a.v', b='b.v')}, 4) AS cosine
+    FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {SQL_COS.format(a='a.v', b='b.v')} >= 0.3""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (SURVEY §7 extension surface)
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_MAX_ID = 8
+ANN_K = 5
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    base AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {SQL_COS.format(a='qv', b='v')} AS score
+      FROM q CROSS JOIN base),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(emb, _queries_df(spark, sf_dir), k=ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _sql_planes_values() -> str:
+    rows = []
+    for p, plane in enumerate(HYPERPLANES):
+        lits = ", ".join(repr(v) for v in plane)
+        rows.append(f"({p}, [{lits}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH planes(p, w) AS (VALUES {_sql_planes_values()}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (
+      SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(v, w) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM base CROSS JOIN planes GROUP BY vec_id),
+    b2 AS (SELECT b.vec_id, b.v, k.bucket FROM base b JOIN bk k ON b.vec_id = k.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b2 WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    scored AS (
+      SELECT q.query_id, b2.vec_id AS neighbor_id, {SQL_COS.format(a='q.qv', b='b2.v')} AS score
+      FROM q JOIN b2 ON q.bucket = b2.bucket),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.lsh_topk(emb, _queries_df(spark, sf_dir), k=ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("ann_ivf_topk")  # iterative k-means: no closed-form SQL oracle
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(emb, _queries_df(spark, sf_dir), k=ANN_K, n_clusters=8, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (SURVEY §7 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    """WITH media AS (
+      SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             strlen(text) AS byte_len
+      FROM documents)
+    SELECT doc_id, media_type, CAST(byte_len AS BIGINT) AS byte_len,
+      CAST(CASE WHEN media_type IN ('image','video') THEN byte_len % 640 + 16 ELSE 0 END AS INT) AS width,
+      CAST(CASE WHEN media_type IN ('image','video') THEN byte_len % 480 + 16 ELSE 0 END AS INT) AS height,
+      CAST(CASE WHEN media_type = 'image' THEN 1
+                WHEN media_type = 'video' THEN byte_len % 300 + 1 ELSE 0 END AS INT) AS n_frames,
+      CAST(CASE WHEN media_type = 'audio' THEN 8000 + (byte_len % 4) * 8000 ELSE 0 END AS INT) AS sample_rate
+    FROM media""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow-batched decode (deterministic fake probe;
+    real Spark plumbing: binary column, mapInPandas, explicit schema)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.to_media_table(docs)
+    return mm.decode_media_meta(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    """WITH media AS (
+      SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             strlen(text) AS byte_len
+      FROM documents),
+    vids AS (SELECT doc_id, byte_len % 300 + 1 AS n_frames FROM media WHERE media_type = 'video')
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 30)) AS BIGINT) AS frame_idx FROM vids""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = multimodal_decode(spark, sf_dir)
+    return mm.frame_sample_plan(decoded, every_n=30).select(
+        "doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )

@@ -55,4 +55,9 @@ def read_change_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(table_path(sf_dir, "events"))
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) parquet read as long (see sources.tables.load_table)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return events_as_change_stream(raw)

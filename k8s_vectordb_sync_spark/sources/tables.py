@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -34,8 +35,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain `spark.read.parquet`: schema comes from the
-    footer, filters/pruning push down automatically."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    footer, filters/pruning push down automatically.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's timestamp type
+    (microseconds) cannot represent; with spark.sql.legacy.parquet.nanosAsLong
+    it arrives as a long that we floor-divide to micros — the same truncation
+    DuckDB's epoch_ms applies, so both engines see identical instants.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,80 @@
+"""Mini-t2: run every registered query against its DuckDB oracle at sf0.001,
+replicating the driver's comparison (row count + column names + sorted-column,
+order-insensitive value comparison). Catches parity bugs before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} (spark) vs {len(drows)} (duckdb)"
+    )
+    sn = _normalize(srows, scols)
+    dn = _normalize(drows, dcols)
+    mismatches = [
+        (a, b) for a, b in zip(sn, dn) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_all_queries_have_entries():
+    # every query either has an oracle or is explicitly rows-only
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only <= {"ann_ivf_topk"}, rows_only
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
