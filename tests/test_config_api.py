@@ -1,0 +1,66 @@
+"""Config + ops API tests — translations of internal/config/config_test.go and
+internal/api/server_test.go (SURVEY §5 tier 1)."""
+
+from __future__ import annotations
+
+from k8s_vectordb_sync_spark.api import pipeline_counts, trigger_resync
+from k8s_vectordb_sync_spark.config import EngineConfig
+from k8s_vectordb_sync_spark.schemas import DEFAULT_EXCLUDED_RESOURCE_TYPES
+
+
+def test_config_defaults():
+    # config_test.go: defaults (config.go:44-57)
+    cfg = EngineConfig.from_env({})
+    assert cfg.debounce_window_ms == 10_000
+    assert cfg.batch_flush_interval_ms == 5_000
+    assert cfg.batch_max_size == 50
+    assert cfg.resync_interval_min == 1_440
+    assert cfg.watch_resource_types == ()
+    assert cfg.exclude_resource_types == tuple(DEFAULT_EXCLUDED_RESOURCE_TYPES)
+    assert not cfg.crd_pipeline_enabled
+
+
+def test_config_env_overrides():
+    cfg = EngineConfig.from_env(
+        {
+            "INSTANCES_ENDPOINT": "http://x/instances",
+            "CAPABILITIES_ENDPOINT": "http://x/capabilities",
+            "DEBOUNCE_WINDOW_MS": "250",
+            "BATCH_MAX_SIZE": "7",
+            "WATCH_RESOURCE_TYPES": " Pods , DEPLOYMENTS ,",
+        }
+    )
+    assert cfg.debounce_window_ms == 250
+    assert cfg.batch_max_size == 7
+    # CSV parsing: trim + lowercase + drop empties (config.go:75-99)
+    assert cfg.watch_resource_types == ("pods", "deployments")
+    assert cfg.crd_pipeline_enabled
+
+
+def test_config_invalid_int_falls_back():
+    # config.go:59-73: unparseable -> default
+    cfg = EngineConfig.from_env({"DEBOUNCE_WINDOW_MS": "not-a-number"})
+    assert cfg.debounce_window_ms == 10_000
+
+
+def test_trigger_resync_counts_and_merge(spark):
+    # server_test.go:24-122 response contract + merge semantics
+    target = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("stale", 1)], "id string, v int"
+    )
+    snapshot = spark.createDataFrame(
+        [("a", 2), ("c", 2)], "id string, v int"
+    )
+    merged, result = trigger_resync(snapshot, target)
+    assert result.status == "completed"
+    assert result.resources == 2
+    assert "2 resources" in result.message and "2 stale removed" in result.message
+    state = {r["id"]: r["v"] for r in merged.collect()}
+    assert state == {"a": 2, "c": 2}  # updated, inserted; stale+b removed
+
+
+def test_pipeline_counts(spark):
+    df = spark.createDataFrame(
+        [("upsert",), ("upsert",), ("delete",)], "op string"
+    )
+    assert pipeline_counts(df) == {"upserts": 2, "deletes": 1, "total": 3}

@@ -1,0 +1,206 @@
+"""Unit tests for the dedup family, similarity search, text analysis, and
+multimodal operators (SURVEY §7 extension surface) on small crafted inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from k8s_vectordb_sync_spark.functions.text import (
+    detect_language,
+    fingerprint,
+    shingles,
+    token_count_bpe,
+    token_count_ws,
+)
+from k8s_vectordb_sync_spark.functions.vectors import cosine, dot, l2_distance
+from k8s_vectordb_sync_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from k8s_vectordb_sync_spark.operators.multimodal import (
+    decode_media_meta,
+    frame_sample_plan,
+    to_media_table,
+)
+from k8s_vectordb_sync_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, source string"
+
+
+def test_exact_dedup_groups_whitespace_case_variants(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World", "s"),
+            (2, "hello world", "s"),  # same after normalization
+            (3, "different doc", "s"),
+        ],
+        DOCS_SCHEMA,
+    )
+    out = {r["keep_doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated text about spark query engines and shuffles here"
+    docs = spark.createDataFrame(
+        [(1, base, "s"), (2, near, "s"), (3, far, "s")], DOCS_SCHEMA
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal_hamming_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "s"), (2, "alpha beta gamma", "s"), (3, "x y z", "s")],
+        DOCS_SCHEMA,
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_ngram_jaccard_blocked_pairs(spark):
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine eleven"
+    docs = spark.createDataFrame(
+        [(1, a, "s"), (2, b, "s"), (3, a, "OTHER-SOURCE")], DOCS_SCHEMA
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)  # blocking: other source never joined
+
+
+def test_embedding_cosine_pairs_threshold(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.01], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.0], 1),  # other block: never paired with 1
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_cosine_pairs(emb, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [3.0, 4.0])], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+        l2_distance(F.col("a"), F.col("b")).alias("l2"),
+    ).first()
+    assert row["d"] == pytest.approx(25.0)
+    assert row["c"] == pytest.approx(1.0)
+    assert row["l2"] == pytest.approx(0.0)
+
+
+def test_brute_force_topk_exact_order(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    out = brute_force_topk(emb, queries, k=3).orderBy("rank").collect()
+    # cosine with [1,0] increases with i/sqrt(i^2+1): neighbor 5 is best
+    assert [r["neighbor_id"] for r in out] == [5, 4, 3]
+    assert out[0]["rank"] == 1
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = lsh_topk(emb, q, k=3).collect()
+    # every query finds at least itself (same bucket, cosine 1.0)
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert any(r["neighbor_id"] == qid and r["score"] == 1.0 for r in rows)
+
+
+def test_ivf_topk_self_hit(spark, sf_dir):
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, q, k=3, n_clusters=4, n_probe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # the probed partition always contains the query's own cluster -> self-hit
+    for qid, rows in by_q.items():
+        assert any(r["neighbor_id"] == qid for r in rows)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("The quick brown fox, 42 times!",)], "text string")
+    row = df.select(
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+        detect_language(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert row["ws"] == 6
+    # the, quick, brown, fox, ',', 42, times, '!' -> 8
+    assert row["bpe"] == 8
+    assert row["lang"] == "en"
+    # fingerprint invariant under case/whitespace
+    row2 = (
+        spark.createDataFrame([("  the QUICK   brown fox, 42 times!  ",)], "text string")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .first()
+    )
+    assert row["fp"] == row2["fp"]
+
+
+def test_shingles_short_text_fallback(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    row = df.select(shingles(F.col("text"), 3).alias("sh")).first()
+    assert row["sh"] == ["one two"]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(0, "x" * 100, "s"), (1, "y" * 50, "s"), (2, "z" * 70, "s")],
+        DOCS_SCHEMA,
+    )
+    media = to_media_table(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    decoded = decode_media_meta(media)
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert rows[0]["media_type"] == "image"
+    assert rows[0]["width"] == 100 % 640 + 16 and rows[0]["n_frames"] == 1
+    assert rows[1]["media_type"] == "audio"
+    assert rows[1]["sample_rate"] == 8000 + (50 % 4) * 8000
+    assert rows[2]["media_type"] == "video"
+    assert rows[2]["n_frames"] == 70 % 300 + 1
+    frames = frame_sample_plan(decoded, every_n=30).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 30, 60]

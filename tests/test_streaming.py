@@ -1,0 +1,160 @@
+"""Structured Streaming pipeline tests — translations of the reference's
+integration tier (internal/integration_test.go: event-in -> payload-out
+assertions against a collector sink)."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from k8s_vectordb_sync_spark.config import EngineConfig
+from k8s_vectordb_sync_spark.sources.cdc import events_as_change_stream
+from k8s_vectordb_sync_spark.streaming.pipeline import start_crd_sync, start_instance_sync
+from k8s_vectordb_sync_spark.streaming.sink import CollectingSink
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(ms: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(milliseconds=ms)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="kvs-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_events(spark, path: str, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, workdir, rows, config=None):
+    """Write events, run the full streaming pipeline with availableNow
+    (one-shot over all available input), return the collected payloads."""
+    src = f"{workdir}/events"
+    _write_events(spark, src, rows)
+    raw = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    stream = events_as_change_stream(raw)
+    config = config or EngineConfig(checkpoint_dir=f"{workdir}/ckpt")
+    sink = CollectingSink(batch_max_size=config.batch_max_size)
+    q = start_instance_sync(
+        stream,
+        config,
+        sink.write_batch,
+        checkpoint_dir=f"{workdir}/ckpt",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    return sink
+
+
+def test_full_pipeline_last_state_wins(spark, workdir):
+    # integration_test.go:257 RapidUpdates_LastStateWinsEndToEnd: 5 rapid
+    # updates to one entity -> exactly 1 upsert carrying the final value
+    rows = [(i, _t(i * 10), 1, "purchase", float(i), "{}") for i in range(1, 6)]
+    sink = _run_stream(spark, workdir, rows)
+    upserts = [u for p in sink.payloads for u in p.get("upserts", [])]
+    assert len(upserts) == 1
+    assert upserts[0]["id"] == "user/1"
+    assert upserts[0]["value"] == 5.0
+
+
+def test_delete_cancels_pending_upsert_stream(spark, workdir):
+    # integration_test.go:211 DeleteEventsArriveImmediately + debounce_test.go:161:
+    # update then delete ('error' event) in one batch -> delete only
+    rows = [
+        (1, _t(0), 7, "purchase", 1.0, "{}"),
+        (2, _t(100), 7, "error", 0.0, "{}"),  # maps to DELETE
+    ]
+    sink = _run_stream(spark, workdir, rows)
+    deletes = [d for p in sink.payloads for d in p.get("deletes", [])]
+    upserts = [u for p in sink.payloads for u in p.get("upserts", [])]
+    assert deletes == ["user/7"]
+    assert upserts == []
+
+
+def test_multiple_entities_batched(spark, workdir):
+    # debounce_test.go:228 BatchMultipleResources
+    rows = [(i, _t(i), i, "view", 1.0, "{}") for i in range(10)]
+    sink = _run_stream(spark, workdir, rows)
+    upserts = [u for p in sink.payloads for u in p.get("upserts", [])]
+    assert sorted(u["id"] for u in upserts) == sorted(f"user/{i}" for i in range(10))
+
+
+def test_exactly_once_replay_is_idempotent(spark, workdir):
+    # checkpoint replay: restarting over the same input produces no new
+    # payloads (offsets committed) — the Spark upgrade of drain-on-shutdown
+    rows = [(1, _t(0), 1, "purchase", 1.0, "{}")]
+    sink = _run_stream(spark, workdir, rows)
+    n1 = len(sink.payloads)
+    assert n1 == 1
+    # rerun with the SAME checkpoint dir and no new input
+    src = f"{workdir}/events"
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream = events_as_change_stream(raw)
+    sink2 = CollectingSink()
+    q = start_instance_sync(
+        stream,
+        EngineConfig(),
+        sink2.write_batch,
+        checkpoint_dir=f"{workdir}/ckpt",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert sink2.payloads == []
+
+
+def test_crd_pipeline_gated_by_endpoint(spark, workdir):
+    # cmd/main.go:147-171: CRD pipeline disabled when endpoint empty
+    src = f"{workdir}/events"
+    _write_events(spark, src, [(1, _t(0), 1, "signup", 1.0, "{}")])
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    crd_stream = raw.select(
+        F.lit("ADD").alias("event_type"),
+        F.col("ts").alias("event_ts"),
+        F.col("event_type").alias("crd_name"),
+    )
+    q = start_crd_sync(
+        crd_stream, EngineConfig(capabilities_endpoint=""), lambda df, bid: None
+    )
+    assert q is None
+
+
+def test_crd_dedup_stream(spark, workdir):
+    # integration_test.go:609-645: 5 rapid adds of one CRD name -> 1 upsert
+    src = f"{workdir}/events"
+    _write_events(
+        spark, src, [(i, _t(i * 10), 1, "widgets.example.com", 1.0, "{}") for i in range(5)]
+    )
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    crd_stream = raw.select(
+        F.lit("ADD").alias("event_type"),
+        F.col("ts").alias("event_ts"),
+        F.col("event_type").alias("crd_name"),
+    )
+    seen: list = []
+
+    def collect(batch_df, batch_id):
+        seen.extend(r["crd_name"] for r in batch_df.collect())
+
+    q = start_crd_sync(
+        crd_stream,
+        EngineConfig(capabilities_endpoint="http://collector"),
+        collect,
+        checkpoint_dir=f"{workdir}/ckpt-crd",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert seen == ["widgets.example.com"]
