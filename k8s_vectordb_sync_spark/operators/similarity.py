@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, norm  # noqa: F401 (cosine kept for API)
 
 # ---------------------------------------------------------------------------
 # Deterministic pseudo-random hyperplanes for LSH.
@@ -66,11 +66,28 @@ def brute_force_topk(
     row is scored map-side; row_number over (query_id, score desc) keeps k.
     Ties broken by neighbor id for determinism.
     """
-    scorer = cosine if metric == "cosine" else dot
-    scored = embeddings.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id_col).alias("query_id"),
+    # Precompute norms per side: the naive cosine expression folds the dot
+    # product three times per pair (dot + both norms); precomputing turns the
+    # per-pair work into one fold + one divide. Same arithmetic, same values.
+    base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        scorer(F.col(query_vec_col), F.col(vec_col)).alias("score"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__nv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        norm(F.col(query_vec_col)).alias("__nq"),
+    )
+    if metric == "cosine":
+        denom = F.col("__nq") * F.col("__nv")
+        score = F.when(denom > 0, dot(F.col("__qv"), F.col("__v")) / denom).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        score = dot(F.col("__qv"), F.col("__v"))
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", score.alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -116,17 +133,22 @@ def lsh_topk(
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("__nv"),
         hyperplane_bucket(vec_col).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("query_vec"),
+        norm(F.col(query_vec_col)).alias("__nq"),
         hyperplane_bucket(query_vec_col).alias("bucket"),
     )
+    denom = F.col("__nq") * F.col("__nv")
     scored = base.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("vec")).alias("score"),
+        F.when(denom > 0, dot(F.col("query_vec"), F.col("vec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -219,7 +241,10 @@ def ivf_topk(
     """
     centroids = kmeans_centroids(embeddings, n_clusters, vec_col=vec_col, id_col=id_col)
     base = assign_clusters(embeddings, [c for _, c in centroids], vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("__nv"),
+        "cluster",
     )
 
     # Driver-side probe selection for each query is a tiny cross join:
@@ -247,10 +272,15 @@ def ivf_topk(
     probes = (
         qc.withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "query_vec", "cluster")
+        .select("query_id", "query_vec", norm(F.col("query_vec")).alias("__nq"), "cluster")
     )
+    denom = F.col("__nq") * F.col("__nv")
     scored = base.join(F.broadcast(probes), "cluster").select(
-        "query_id", "neighbor_id", cosine(F.col("query_vec"), F.col("vec")).alias("score")
+        "query_id",
+        "neighbor_id",
+        F.when(denom > 0, dot(F.col("query_vec"), F.col("vec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
