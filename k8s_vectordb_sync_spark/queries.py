@@ -1081,3 +1081,84 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(decoded, every_n=30).select(
         "doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional §2 parity: map-state suppression, set ops, rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_change_suppression_props",
+    f"""WITH {SQL_CH},
+    lagged AS (
+      SELECT event_id, op_type, props,
+             lag(props) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS prev_props
+      FROM ch)
+    SELECT event_id FROM lagged
+    WHERE op_type <> 'UPDATE' OR prev_props IS NULL OR prev_props <> props""",
+)
+def cdc_change_suppression_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-state change suppression (watcher.go:315-331: labels+annotations
+    compared via mapsEqual): the props JSON is parsed to a real MAP column and
+    compared with the null-safe map-equality operator — Spark cannot compare
+    MapType with =, so this exercises functions.extract.maps_equal. (The
+    oracle compares the canonical JSON strings, equivalent on this data.)"""
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    from .functions.extract import maps_equal
+
+    ch = _ch(spark, sf_dir).withColumn(
+        "props_map", F.from_json("props", MapType(StringType(), LongType()))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("event_ts").asc(), F.col("event_id").asc())
+    lagged = ch.withColumn("prev_map", F.lag("props_map").over(w))
+    kept = lagged.filter(
+        (F.col("op_type") != "UPDATE")
+        | F.col("prev_map").isNull()
+        | ~maps_equal(F.col("prev_map"), F.col("props_map"))
+    )
+    return kept.select("event_id")
+
+
+@register(
+    "events_set_ops",
+    """SELECT user_id, 'both' AS grp FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+       UNION ALL
+       SELECT user_id, 'purchase_only' AS grp FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""",
+)
+def events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT / UNION ALL) over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purchasers.intersect(erroring).withColumn("grp", F.lit("both"))
+    only = purchasers.exceptAll(erroring).withColumn("grp", F.lit("purchase_only"))
+    return both.unionByName(only)
+
+
+@register(
+    "events_rollup",
+    """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+       CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))""",
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (ROLLUP grouping sets): per (type, day),
+    per type, and grand total."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("__day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.unix_millis("__day").alias("day_ms"),
+            "n",
+        )
+    )

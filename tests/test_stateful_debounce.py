@@ -1,0 +1,115 @@
+"""Exact-timer debounce tests (applyInPandasWithState) — the reference's
+timer semantics across micro-batches (debounce_test.go:33-469 integration
+behaviors that trigger-interval resolution cannot express)."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+
+from k8s_vectordb_sync_spark.sources.cdc import events_as_change_stream
+from k8s_vectordb_sync_spark.streaming.stateful import stateful_debounce
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(ms: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(milliseconds=ms)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="kvs-stateful-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, workdir, collected):
+    src = f"{workdir}/events"
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream = events_as_change_stream(raw)
+    debounced = stateful_debounce(stream, gap_ms=10_000, watermark_delay="5 seconds")
+
+    def collect(batch_df, batch_id):
+        collected.extend(
+            (r["id"], r["op"], r["event_id"], r["value"]) for r in batch_df.collect()
+        )
+
+    q = (
+        debounced.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_delete_skips_debounce_and_upsert_waits(spark, workdir):
+    # DeleteSkipsDebounce (debounce_test.go:33) + UpsertIsDebounced (:66):
+    # in the first batch the delete is emitted immediately while the upsert
+    # stays buffered (its 10s quiet period has not elapsed).
+    collected: list = []
+    _write(
+        spark,
+        f"{workdir}/events",
+        [
+            (1, _t(0), 1, "purchase", 1.0, "{}"),   # upsert, buffered
+            (2, _t(100), 2, "error", 0.0, "{}"),    # DELETE: immediate
+        ],
+    )
+    _run(spark, workdir, collected)
+    assert ("user/2", "delete", 2, 0.0) in collected
+    assert not any(c[0] == "user/1" for c in collected)
+
+    # batch 2: a much later event advances the watermark past user/1's timer
+    _write(spark, f"{workdir}/events", [(3, _t(3_600_000), 9, "view", 2.0, "{}")])
+    _run(spark, workdir, collected)
+    assert ("user/1", "upsert", 1, 1.0) in collected
+
+
+def test_last_state_wins_across_rapid_updates(spark, workdir):
+    # LastStateWins (debounce_test.go:109): 5 rapid updates -> one flush
+    # carrying the final value once the quiet period elapses.
+    collected: list = []
+    _write(
+        spark,
+        f"{workdir}/events",
+        [(i, _t(i * 100), 1, "purchase", float(i), "{}") for i in range(1, 6)],
+    )
+    _run(spark, workdir, collected)
+    assert collected == []  # still within the quiet period
+    _write(spark, f"{workdir}/events", [(99, _t(7_200_000), 9, "view", 0.0, "{}")])
+    _run(spark, workdir, collected)
+    flushed = [c for c in collected if c[0] == "user/1"]
+    assert flushed == [("user/1", "upsert", 5, 5.0)]
+
+
+def test_delete_cancels_pending_then_readd_survives(spark, workdir):
+    # DeleteCancelsPendingUpsert (debounce_test.go:161) +
+    # DeleteThenReaddUsesNewGeneration (crd_debounce_test.go:267)
+    collected: list = []
+    _write(
+        spark,
+        f"{workdir}/events",
+        [
+            (1, _t(0), 1, "purchase", 1.0, "{}"),
+            (2, _t(50), 1, "error", 0.0, "{}"),      # cancels the pending upsert
+            (3, _t(100), 1, "signup", 7.0, "{}"),    # re-add after delete
+        ],
+    )
+    _run(spark, workdir, collected)
+    assert [c for c in collected if c[1] == "delete"] == [("user/1", "delete", 2, 0.0)]
+    _write(spark, f"{workdir}/events", [(99, _t(7_200_000), 9, "view", 0.0, "{}")])
+    _run(spark, workdir, collected)
+    upserts = [c for c in collected if c[1] == "upsert" and c[0] == "user/1"]
+    assert upserts == [("user/1", "upsert", 3, 7.0)]  # the re-add survived
