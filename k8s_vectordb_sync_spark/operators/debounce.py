@@ -195,3 +195,35 @@ def split_payloads(resolved: DataFrame) -> tuple[DataFrame, DataFrame]:
     upserts = resolved.filter(F.col("op") == "upsert").drop("op")
     deletes = resolved.filter(F.col("op") == "delete").select(F.col("id"))
     return upserts, deletes
+
+
+def salted_last_state_wins(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    ts_col: str = "event_ts",
+    tiebreak_cols: Sequence[str] = (),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant last-state-wins: two-phase max_by.
+
+    A single hot key (one resource updated millions of times — the realistic
+    skew at 100 TB) funnels every row to one reducer under plain groupBy.
+    Phase 1 aggregates per (key, random-salt) bucket, spreading the hot key
+    across salt_buckets reducers; phase 2 reduces the <= salt_buckets
+    survivors per key. max_by over a total order is associative, so the
+    result is IDENTICAL to last_state_wins — only the shuffle shape changes.
+    (AQE's skew-join handling covers joins; aggregation skew needs salting.)
+    """
+    ordering = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    payload = F.struct(*[F.col(c) for c in events.columns])
+    keys = [F.col(k) for k in key_cols]
+    salted = events.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, F.col("__salt")).agg(
+        F.max_by(F.struct(payload.alias("p"), ordering.alias("o")), ordering).alias("__po")
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        F.max_by(F.col("__po.p"), F.col("__po.o")).alias("__latest")
+    )
+    return phase2.select("__latest.*")

@@ -1162,3 +1162,148 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    f"""SELECT
+      CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN {_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE)
+      AS DOUBLE) AS promo_revenue_pct,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim join + conditional aggregation. `part` is
+    broadcast (dim side); the promo share is a ratio of two exact DECIMAL
+    sums converted to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    decp = lambda c: c.cast("decimal(12,2)")
+    decf = lambda c: c.cast("decimal(4,2)")
+    disc = decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q4_priority_semijoin",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join, then grouped count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .join(heavy, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""WITH totals AS (
+      SELECT l_orderkey, CAST(SUM({_DP.format(x='l_quantity')}) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({_DP.format(x='l_quantity')}) > CAST(300 AS DECIMAL(12,2)))
+    SELECT c_custkey, c_name, o_orderkey, total_qty
+    FROM totals JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING filter feeding joins + top-k. The
+    aggregation runs FIRST (shrinks lineitem to qualifying orderkeys) so the
+    joins see only the heavy hitters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    decp = lambda col: col.cast("decimal(12,2)")
+    totals = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(decp(F.col("l_quantity"))).alias("__tq"))
+        .filter(F.col("__tq") > F.lit(300).cast("decimal(12,2)"))
+        .select("l_orderkey", F.col("__tq").cast("double").alias("total_qty"))
+    )
+    return (
+        totals.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "events_user_zscore",
+    """WITH stats AS (
+      SELECT user_id,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           round((e.value - s.mu) / s.sigma, 3) AS zscore
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND s.sigma > 0""",
+)
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped normalization via Arrow-batched applyInPandas (the grouped-UDF
+    surface): per-user z-score of purchase values. Numpy computes within each
+    group; output rounded to 3 decimals to absorb summation-order differences
+    vs the SQL oracle (float reduction order is engine-specific)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)
+        if not sigma > 0:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=0.0)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((pdf["value"] - mu) / sigma).round(3),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id bigint, user_id bigint, zscore double"
+    )

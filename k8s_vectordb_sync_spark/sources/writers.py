@@ -1,0 +1,49 @@
+"""Write-side layout strategies for scale.
+
+At 100 TB the dominant cost of the sync/resync MERGE and of any key-key join
+is the shuffle. Bucketing fixes the layout once at write time so every later
+join/aggregation on the key is exchange-free:
+
+  - `write_bucketed`: hash-bucket + sort by key (Spark native bucketing).
+    Two tables bucketed by the same key into the same bucket count sort-merge
+    join with NO Exchange on either side (verified by test_writers).
+  - `write_partitioned`: directory partitioning for pruning on low-cardinality
+    columns (date, source, cluster id) — the IVF/LSH probe path reads only
+    matching partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    key_col: str = "id",
+    buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed, per-bucket-sorted external table. Joins and
+    aggregations on ``key_col`` between tables sharing the bucket spec run
+    without a shuffle (the write pre-pays the exchange once)."""
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, key_col)
+        .sortBy(key_col)
+        .saveAsTable(table_name)
+    )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Directory-partitioned parquet: filters on partition_cols become
+    partition pruning (the scan lists only matching directories)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -204,3 +204,43 @@ def test_multimodal_plumbing(spark):
     assert rows[2]["n_frames"] == 70 % 300 + 1
     frames = frame_sample_plan(decoded, every_n=30).collect()
     assert [r["frame_idx"] for r in frames] == [0, 30, 60]
+
+
+def test_vectorized_topk_matches_expression_topk(spark, sf_dir):
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in brute_force_topk_vectorized(emb, q, k=5).collect()
+    }
+    assert exact == fast
+
+
+def test_salted_last_state_wins_identical_to_plain(spark, sf_dir):
+    from k8s_vectordb_sync_spark.operators.debounce import (
+        last_state_wins,
+        salted_last_state_wins,
+    )
+    from k8s_vectordb_sync_spark.sources.cdc import events_as_change_stream
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    ch = events_as_change_stream(load_table(spark, sf_dir, "events"))
+    plain = sorted(
+        tuple(r) for r in last_state_wins(ch, tiebreak_cols=["event_id"]).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_last_state_wins(ch, tiebreak_cols=["event_id"]).collect()
+    )
+    assert plain == salted
