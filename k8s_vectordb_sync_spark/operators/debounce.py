@@ -227,3 +227,88 @@ def salted_last_state_wins(
         F.max_by(F.col("__po.p"), F.col("__po.o")).alias("__latest")
     )
     return phase2.select("__latest.*")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the latest right row with
+    right_ts <= left_ts for the same key (backward-looking, ties included).
+
+    Spark has no native ASOF JOIN; the scalable expression is the union-merge:
+    tag both sides, union, sort per key by (ts, side), and carry the last seen
+    right payload forward with last(..., ignorenulls) over the ordered window.
+    One shuffle on the key, no range join explosion — the same plan a
+    merge-based asof implementation would hand-write, expressed declaratively.
+    tolerance_ms drops matches older than left_ts - tolerance.
+    """
+    lcols = left.columns
+    side_right = right.select(
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # right sorts before left at equal ts
+        F.struct(*[F.col(c) for c in right_payload]).alias("__payload"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in key_cols],
+    )
+    side_left = left.select(
+        *[F.col(k) for k in key_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(side_right.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in lcols if c not in key_cols],
+    )
+    unioned = side_right.unionByName(side_left)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last(F.col("__payload"), ignorenulls=True).over(w)
+    ).withColumn(
+        "__match_ts",
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_ms is not None:
+        in_tol = (
+            F.unix_millis(F.col("__ts")) - F.unix_millis(F.col("__match_ts"))
+        ) <= F.lit(tolerance_ms)
+        out = out.withColumn(
+            "__match", F.when(in_tol, F.col("__match"))
+        ).withColumn("__match_ts", F.when(in_tol, F.col("__match_ts")))
+    return out.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c) for c in lcols if c not in key_cols],
+        F.col("__match").alias("asof_match"),
+        F.col("__match_ts").alias("asof_ts"),
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    ts_col: str = "event_ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 assembly from the change stream: each
+    event opens a version valid [its ts, next event's ts); the last version
+    per key is current. The CDC-history materialization of the sync target —
+    one window over the same id partitioning the rest of the pipeline uses.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    nxt = F.lead(F.unix_millis(F.col(ts_col))).over(w)
+    return (
+        events.withColumn("valid_from_ms", F.unix_millis(F.col(ts_col)))
+        .withColumn("valid_to_ms", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

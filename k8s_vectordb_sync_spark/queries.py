@@ -1307,3 +1307,91 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         zscore, schema="event_id bigint, user_id bigint, zscore double"
     )
+
+
+@register(
+    "events_asof_attribution",
+    """WITH tagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, epoch_ms(ts) AS ts_ms, event_id,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'view' THEN event_id END AS view_event_id
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    carried AS (
+      SELECT *,
+             last_value(view_event_id IGNORE NULLS) OVER w AS matched_view,
+             last_value(CASE WHEN side = 0 THEN ts_ms END IGNORE NULLS) OVER w AS matched_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id AS purchase_event_id, ts_ms AS purchase_ts_ms,
+           matched_view, matched_ts
+    FROM carried WHERE side = 1""",
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last-touch attribution): each purchase matched to the
+    user's latest preceding view. Union-merge formulation — one shuffle on
+    the key, no range-join explosion (operators.debounce.asof_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_event_id")
+    )
+    joined = dbn.asof_join(
+        purchases,
+        views,
+        key_cols=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        right_payload=["view_event_id"],
+    )
+    return joined.select(
+        "user_id",
+        "purchase_event_id",
+        F.unix_millis("purchase_ts").alias("purchase_ts_ms"),
+        F.col("asof_match.view_event_id").alias("matched_view"),
+        F.unix_millis("asof_ts").alias("matched_ts"),
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    f"""WITH {SQL_CH}
+    SELECT id, event_id, value, ts_ms AS valid_from_ms,
+           lead(ts_ms) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS valid_to_ms,
+           lead(ts_ms) OVER (PARTITION BY id ORDER BY ts_us, event_id) IS NULL AS is_current
+    FROM ch""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of the sync target: each change opens a version
+    valid until the next change; the open version is current."""
+    ch = _ch(spark, sf_dir)
+    out = dbn.scd2_history(ch, tiebreak_cols=["event_id"])
+    return out.select(
+        "id", "event_id", "value", "valid_from_ms", "valid_to_ms", "is_current"
+    )
+
+
+@register(
+    "cdc_payload_json",
+    f"""WITH {SQL_CH}, {SQL_RESOLVED.strip().lstrip()}
+    SELECT id, to_json(struct_pack(id := id, event_id := event_id,
+                                   value := value, ts_ms := ts_ms))::VARCHAR AS payload_json
+    FROM resolved WHERE op = 'upsert'""",
+)
+def cdc_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload serialization (rest.go:87-90 contract via to_json):
+    upsert rows rendered to the wire format. Spark's to_json omits null
+    fields — the engine-level match for the reference's `omitempty` — so the
+    query covers the (all-non-null) upsert payload."""
+    resolved = cdc_delete_cancels_upsert(spark, sf_dir)
+    ups = resolved.filter(F.col("op") == "upsert")
+    ch = _ch(spark, sf_dir).select(
+        "event_id", F.unix_millis("event_ts").alias("ts_ms")
+    )
+    ups = ups.join(ch, "event_id")
+    return ups.select(
+        "id",
+        F.to_json(F.struct("id", "event_id", "value", "ts_ms")).alias("payload_json"),
+    )

@@ -159,3 +159,49 @@ def test_assign_sessions_zero_based_per_key(spark):
     out = assign_sessions(df, gap_ms=10_000, tiebreak_cols=["event_id"]).collect()
     by_event = {r["event_id"]: r["session_id"] for r in out}
     assert by_event == {1: 0, 2: 1, 3: 0}
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    from k8s_vectordb_sync_spark.operators.debounce import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", _t(10_000), 100), ("k1", _t(50_000), 101), ("k2", _t(10_000), 102)],
+        "k string, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("k1", _t(5_000), 1), ("k1", _t(9_000), 2), ("k1", _t(40_000), 3)],
+        "k string, rts timestamp, rid long",
+    )
+    out = {
+        r["lid"]: (
+            r["asof_match"]["rid"] if r["asof_match"] else None,
+        )
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["rid"]
+        ).collect()
+    }
+    # lid 100 matches rid 2 (latest <= 10s); 101 matches rid 3; k2 has none
+    assert out == {100: (2,), 101: (3,), 102: (None,)}
+
+    with_tol = {
+        r["lid"]: (r["asof_match"]["rid"] if r["asof_match"] else None)
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["rid"], tolerance_ms=2_000
+        ).collect()
+    }
+    # tolerance 2s: rid 2 is 1s before lid 100 (kept); rid 3 is 10s before
+    # lid 101 (dropped)
+    assert with_tol == {100: 2, 101: None, 102: None}
+
+
+def test_scd2_history_versions(spark):
+    from k8s_vectordb_sync_spark.operators.debounce import scd2_history
+
+    rows = [
+        ("UPDATE", _t(0), "k1", 1, "a"),
+        ("UPDATE", _t(1_000), "k1", 2, "b"),
+        ("UPDATE", _t(0), "k2", 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = {r["event_id"]: (r["valid_to_ms"] is None, r["is_current"]) for r in scd2_history(df, tiebreak_cols=["event_id"]).collect()}
+    assert out == {1: (False, False), 2: (True, True), 3: (True, True)}
