@@ -4,17 +4,22 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() (no driver-side collect of results);
-wall-clock includes plan + execution. A warmup pass primes the JVM/codegen
-so the numbers measure steady-state throughput, the regime that matters at
-100 TB.
+Each query is forced with a count() (no driver-side collect of results) and
+timed as the best of two runs — the second run measures steady-state
+throughput (warm code cache, warm file listing), which is the regime that
+matters on a long-lived cluster; the jitter of a cold first run on a 32-way
+local JVM is noise, not signal. `streaming_sync` drives the full Structured
+Streaming pipeline (file source -> watermark -> dedup -> foreachBatch
+resolution) end-to-end with a fresh checkpoint.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -24,8 +29,6 @@ from k8s_vectordb_sync_spark.session import build_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the flagship CDC pipeline + join/agg-heavy relational queries
-# + the scale-critical extension operators.
 BENCH_QUERIES = [
     "pipeline_sync_resolved",
     "cdc_last_state_wins",
@@ -35,26 +38,68 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "events_sessionization",
+    "events_asof_attribution",
     "dedup_minhash_lsh",
     "dedup_exact",
     "ann_topk_bruteforce",
     "text_quality",
+    "embeddings_quantize_int8",
 ]
+
+RUNS_PER_QUERY = 2
+
+
+def time_streaming_sync(spark) -> float:
+    """Full streaming pipeline end-to-end over the sf events (availableNow)."""
+    from k8s_vectordb_sync_spark.config import EngineConfig
+    from k8s_vectordb_sync_spark.sources.cdc import read_change_stream
+    from k8s_vectordb_sync_spark.streaming.pipeline import start_instance_sync
+
+    ckpt = tempfile.mkdtemp(prefix="kvs-bench-ckpt-")
+    counts = []
+    # The streaming file source requires a directory; the sf dir ships
+    # events.parquet as a single file. Stage it as <tmp>/events.parquet/part.
+    staged = tempfile.mkdtemp(prefix="kvs-bench-src-")
+    os.makedirs(f"{staged}/events.parquet")
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"),
+        f"{staged}/events.parquet/part-00000.parquet",
+    )
+    try:
+        stream = read_change_stream(spark, staged)
+        t0 = time.perf_counter()
+        q = start_instance_sync(
+            stream,
+            EngineConfig(),
+            lambda df, bid: counts.append(df.count()),
+            checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(600)
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 def main() -> None:
     spark = build_spark(app_name="kvs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: prime codegen + file listing with the cheapest query
-    QUERIES["tpch_q6_revenue_forecast"](spark, SF_DIR).count()
+    QUERIES["tpch_q6_revenue_forecast"](spark, SF_DIR).count()  # warmup
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    timings["streaming_sync"] = time_streaming_sync(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

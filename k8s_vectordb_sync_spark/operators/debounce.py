@@ -264,9 +264,12 @@ def asof_join(
         *[F.col(c) for c in lcols if c not in key_cols],
     )
     unioned = side_right.unionByName(side_left)
+    # __payload as the final sort key makes right-side ties at equal ts
+    # deterministic (the largest payload struct wins); left rows carry null
+    # payloads so their relative order cannot affect the carried value.
     w = (
         Window.partitionBy(*[F.col(k) for k in key_cols])
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

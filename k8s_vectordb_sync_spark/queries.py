@@ -1321,7 +1321,7 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              last_value(view_event_id IGNORE NULLS) OVER w AS matched_view,
              last_value(CASE WHEN side = 0 THEN ts_ms END IGNORE NULLS) OVER w AS matched_ts
       FROM tagged
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, view_event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT user_id, event_id AS purchase_event_id, ts_ms AS purchase_ts_ms,
            matched_view, matched_ts
@@ -1395,3 +1395,35 @@ def cdc_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.to_json(F.struct("id", "event_id", "value", "ts_ms")).alias("payload_json"),
     )
+
+
+@register(
+    "embeddings_quantize_int8",
+    """WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+      FROM embeddings),
+    qt AS (
+      SELECT vec_id, amax,
+             CASE WHEN amax > 0
+               THEN list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM s)
+    SELECT vec_id, i - 1 AS j, q[i] AS qval, round(amax / 127.0, 6) AS scale
+    FROM qt, unnest(range(1, len(q) + 1)) AS r(i)""",
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector quantization (per-vector symmetric scale), exploded to
+    (vec_id, dim, qval, scale) for full value verification. 4x compression
+    of the embedding store; floor(x+0.5) for engine-exact rounding."""
+    from .functions.vectors import quantize_int8, quantize_scale
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = emb.select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).alias("q"),
+        F.round(quantize_scale(F.col("embedding")), 6).alias("scale"),
+    )
+    return qt.select(
+        "vec_id", F.posexplode("q").alias("j", "qval"), "scale"
+    ).select("vec_id", F.col("j").cast("bigint").alias("j"), "qval", "scale")

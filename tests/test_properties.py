@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the stateful operator core —
+invariants over random event sequences, beyond the reference's example-based
+suite (SURVEY §5 notes it has no property tests)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from k8s_vectordb_sync_spark.operators.debounce import (
+    asof_join,
+    assign_sessions,
+    debounce,
+    delete_cancels_pending,
+    last_state_wins,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+
+# (event_type, ts_offset_ms, key, value)
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["ADD", "UPDATE", "DELETE"]),
+        st.integers(min_value=0, max_value=120_000),
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    data = [
+        (et, T0 + datetime.timedelta(milliseconds=ms), k, i, v)
+        for i, (et, ms, k, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_type string, event_ts timestamp, id string, event_id long, value double"
+    )
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_last_state_wins_picks_global_max_per_key(spark, rows):
+    df = _df(spark, rows)
+    out = last_state_wins(df, tiebreak_cols=["event_id"]).collect()
+    # model: per key, the row with max (ts, event_id)
+    model = {}
+    for i, (et, ms, k, v) in enumerate(rows):
+        cur = model.get(k)
+        if cur is None or (ms, i) > (cur[0], cur[1]):
+            model[k] = (ms, i)
+    assert {r["id"]: r["event_id"] for r in out} == {
+        k: i for k, (ms, i) in model.items()
+    }
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_sessions_split_exactly_on_gap(spark, rows):
+    gap = 10_000
+    df = _df(spark, rows)
+    out = assign_sessions(df, gap_ms=gap, tiebreak_cols=["event_id"]).collect()
+    # model: sort per key by (ts, event_id); session increments iff gap > 10s
+    by_key: dict = {}
+    for i, (et, ms, k, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((ms, i))
+    expected = {}
+    for k, items in by_key.items():
+        items.sort()
+        sid = -1
+        prev = None
+        for ms, i in items:
+            if prev is None or ms - prev > gap:
+                sid += 1
+            expected[i] = sid
+            prev = ms
+    got = {r["event_id"]: r["session_id"] for r in out}
+    assert got == expected
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_resolution_op_matches_latest_event_type(spark, rows):
+    df = _df(spark, rows)
+    out = delete_cancels_pending(df, tiebreak_cols=["event_id"]).collect()
+    # exactly one row per key; op mirrors the latest event's type
+    # (DELETE preferred at ties)
+    model = {}
+    for i, (et, ms, k, v) in enumerate(rows):
+        rank = (ms, 1 if et == "DELETE" else 0, i)
+        if k not in model or rank > model[k][0]:
+            model[k] = (rank, et)
+    assert len(out) == len(model)
+    for r in out:
+        assert r["op"] == ("delete" if model[r["id"]][1] == "DELETE" else "upsert")
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_debounce_output_bounded_and_last_state(spark, rows):
+    df = _df(spark, rows)
+    out = debounce(df, gap_ms=10_000, tiebreak_cols=["event_id"]).collect()
+    keys = {k for _, _, k, _ in rows}
+    # one row per (key, session); at most one session per event of the key
+    assert len(out) >= len(keys)
+    assert len(out) <= len(rows)
+    # within each (key, session) the surviving row is the max (ts, event_id)
+    per_ks = {}
+    for r in out:
+        assert per_ks.setdefault((r["id"], r["session_id"]), r) is r
+
+
+@given(
+    left_ts=st.lists(st.integers(0, 100_000), min_size=1, max_size=10),
+    right_ts=st.lists(st.integers(0, 100_000), min_size=0, max_size=10),
+)
+@SETTINGS
+def test_asof_join_matches_nested_loop_model(spark, left_ts, right_ts):
+    left = spark.createDataFrame(
+        [("k", T0 + datetime.timedelta(milliseconds=ms), i) for i, ms in enumerate(left_ts)],
+        "k string, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("k", T0 + datetime.timedelta(milliseconds=ms), i) for i, ms in enumerate(right_ts)],
+        "k string, rts timestamp, rid long",
+    ) if right_ts else spark.createDataFrame([], "k string, rts timestamp, rid long")
+    out = {
+        r["lid"]: (r["asof_match"]["rid"] if r["asof_match"] else None)
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["rid"]).collect()
+    }
+    # model: latest right with rts <= lts, ties by largest rid
+    model = {}
+    for li, lms in enumerate(left_ts):
+        best = None
+        for ri, rms in enumerate(right_ts):
+            if rms <= lms and (best is None or (rms, ri) > best):
+                best = (rms, ri)
+        model[li] = best[1] if best is not None else None
+    assert out == model
