@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
+    "tpch_q9_profit",
     "tpch_q18_large_orders",
     "events_sessionization",
     "events_asof_attribution",

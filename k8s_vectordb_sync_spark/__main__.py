@@ -1,0 +1,108 @@
+"""Engine entry point — the analog of the reference's cmd/main.go wiring
+(config -> watcher -> debouncer -> sender, cmd/main.go:106-182).
+
+Usage:
+  python -m k8s_vectordb_sync_spark sync   --events-dir DIR [--once] [--target PATH]
+  python -m k8s_vectordb_sync_spark resync --events-dir DIR --target PATH
+  python -m k8s_vectordb_sync_spark bench-queries --sf-dir DIR
+
+`sync` starts the standing instance-sync query (plus the CRD/capabilities
+query when CAPABILITIES_ENDPOINT is set, cmd/main.go:147-171); `--once`
+processes all available input and exits (Trigger.AvailableNow). `resync`
+runs the full-snapshot reconciliation batch (SURVEY §3.2). All knobs come
+from the same environment variables the reference reads (config.go:44-57).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import EngineConfig
+from .session import build_spark
+
+
+def cmd_sync(args: argparse.Namespace) -> int:
+    from .sources.cdc import read_change_stream
+    from .streaming.pipeline import start_instance_sync
+    from .streaming.sink import CollectingSink, parquet_upsert_sink
+
+    config = EngineConfig.from_env()
+    spark = build_spark(app_name="kvs-sync")
+    stream = read_change_stream(spark, args.events_dir)
+    if args.target:
+        write_batch = parquet_upsert_sink(args.target)
+        sink = None
+    else:
+        sink = CollectingSink(batch_max_size=config.batch_max_size)
+        write_batch = sink.write_batch
+    trigger = (
+        {"availableNow": True}
+        if args.once
+        else {"processingTime": f"{config.batch_flush_interval_ms} milliseconds"}
+    )
+    query = start_instance_sync(
+        stream, config, write_batch, checkpoint_dir=args.checkpoint, trigger=trigger
+    )
+    query.awaitTermination()
+    if sink is not None:
+        print(sink.to_json_lines())
+    spark.stop()
+    return 0
+
+
+def cmd_resync(args: argparse.Namespace) -> int:
+    from .api import trigger_resync
+    from .operators.debounce import last_state_wins
+    from .sources.cdc import events_as_change_stream
+    from .sources.tables import load_table
+
+    spark = build_spark(app_name="kvs-resync")
+    ch = events_as_change_stream(load_table(spark, args.events_dir, "events"))
+    snapshot = last_state_wins(ch, tiebreak_cols=["event_id"]).select(
+        "id", "event_id", "value"
+    )
+    try:
+        target = spark.read.parquet(args.target)
+    except Exception:
+        target = snapshot.limit(0)
+    merged, result = trigger_resync(snapshot, target)
+    merged.write.mode("overwrite").parquet(args.target + ".resynced")
+    print(json.dumps({"status": result.status, "resources": result.resources, "message": result.message}))
+    spark.stop()
+    return 0
+
+
+def cmd_bench_queries(args: argparse.Namespace) -> int:
+    from .queries import ORACLES, QUERIES
+
+    print(json.dumps({"queries": sorted(QUERIES), "with_oracle": sorted(ORACLES)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="k8s_vectordb_sync_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_sync = sub.add_parser("sync", help="run the standing instance-sync pipeline")
+    p_sync.add_argument("--events-dir", required=True)
+    p_sync.add_argument("--target", default="", help="parquet MERGE target (default: print payloads)")
+    p_sync.add_argument("--checkpoint", default="/tmp/kvs-sync-ckpt")
+    p_sync.add_argument("--once", action="store_true", help="Trigger.AvailableNow and exit")
+    p_sync.set_defaults(fn=cmd_sync)
+
+    p_res = sub.add_parser("resync", help="full-snapshot reconciliation batch")
+    p_res.add_argument("--events-dir", required=True)
+    p_res.add_argument("--target", required=True)
+    p_res.set_defaults(fn=cmd_resync)
+
+    p_bq = sub.add_parser("bench-queries", help="list registered queries")
+    p_bq.set_defaults(fn=cmd_bench_queries)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1427,3 +1427,175 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qt.select(
         "vec_id", F.posexplode("q").alias("j", "qval"), "scale"
     ).select("vec_id", F.col("j").cast("bigint").alias("j"), "qval", "scale")
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue
+    FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation lookups broadcast; the OR-pair predicate evaluates after the
+    joins (Catalyst can't split it, but the dims are tiny)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    f"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}
+                 - {_DP.format(x='p_retailprice')} * {_DF.format(x='0.8')} * {_DP.format(x='l_quantity')}) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE contains(p_name, 'widget')
+    GROUP BY n_name, year(o_orderdate)""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year (retail price as
+    the cost proxy — the schema has no partsupp). Exact decimal arithmetic
+    throughout including the subtraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    profit = decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount")) - decp(
+        F.col("p_retailprice")
+    ) * decf(F.lit(0.8)) * decp(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").contains("widget"))), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year(F.col("o_orderdate")).cast("bigint").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "tpch_q12_quantity_bands",
+    """SELECT o_orderpriority,
+        CASE WHEN l_quantity < 10 THEN 'low'
+             WHEN l_quantity < 30 THEN 'mid'
+             ELSE 'high' END AS qty_band,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority, 2""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: shipment counts bucketed by priority x quantity band."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", band.alias("qty_band"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    f"""SELECT CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-branch predicate across the join.
+    Catalyst extracts the common p_size/l_quantity bounds where it can; the
+    OR stays a post-join filter over the broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -64,3 +64,21 @@ def test_pipeline_counts(spark):
         [("upsert",), ("upsert",), ("delete",)], "op string"
     )
     assert pipeline_counts(df) == {"upserts": 2, "deletes": 1, "total": 3}
+
+
+def test_cli_bench_queries_lists_registry():
+    # __main__.py contract: machine-readable registry listing (no Spark session)
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "k8s_vectordb_sync_spark", "bench-queries"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(data["queries"]) >= 49
+    assert set(data["with_oracle"]) <= set(data["queries"])
