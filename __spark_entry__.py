@@ -21,20 +21,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from k8s_vectordb_sync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
+def _configure(spark: SparkSession) -> None:
+    """Session settings the engine depends on, applied defensively because
+    the driver builds its own SparkSession:
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS), rejected by default
+    - UTC session timezone: date_trunc / NTZ casts must agree with the
+      (timezone-naive) DuckDB oracle
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full instance-sync pipeline (projection -> change
     suppression -> quiet-period debounce -> delete-cancels-upsert) on
     sf0.001."""
-    # The driver may pass a session built without our nanos config; the events
-    # loader needs it to read TIMESTAMP(NANOS) parquet.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _configure(spark)
     return QUERIES["pipeline_sync_resolved"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _configure(spark)
             return fn(spark, sf_dir)
 
         return runner

@@ -158,3 +158,52 @@ def test_crd_dedup_stream(spark, workdir):
     )
     q.awaitTermination(120)
     assert seen == ["widgets.example.com"]
+
+
+def test_parquet_sink_merges_and_resync_heals(spark, workdir):
+    # durable-sink tier: stream into a parquet MERGE target, then heal an
+    # induced drift with the resync batch (SURVEY §3.2 end-to-end)
+    from k8s_vectordb_sync_spark.api import trigger_resync
+    from k8s_vectordb_sync_spark.operators.debounce import last_state_wins
+    from k8s_vectordb_sync_spark.streaming.sink import parquet_upsert_sink
+
+    target = f"{workdir}/target"
+    rows = [
+        (1, _t(0), 1, "purchase", 1.0, "{}"),
+        (2, _t(10), 1, "purchase", 2.0, "{}"),   # last state for user/1
+        (3, _t(0), 2, "signup", 5.0, "{}"),
+        (4, _t(0), 3, "error", 0.0, "{}"),       # DELETE for user/3
+    ]
+    src = f"{workdir}/events"
+    _write_events(spark, src, rows)
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream = events_as_change_stream(raw)
+    q = start_instance_sync(
+        stream,
+        EngineConfig(),
+        parquet_upsert_sink(target),
+        checkpoint_dir=f"{workdir}/ckpt",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    state = {r["id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert state == {"user/1": 2.0, "user/2": 5.0}  # user/3 deleted
+
+    # induce drift: stale row that live events never saw (target projected to
+    # the snapshot schema — the sync-state key+payload columns)
+    tgt_state = spark.read.parquet(target).select("id", "event_id", "value")
+    drifted = tgt_state.unionByName(
+        tgt_state.limit(1).withColumn("id", F.lit("user/ghost"))
+    )
+    drifted.write.mode("overwrite").parquet(f"{workdir}/drifted")
+
+    snapshot = last_state_wins(
+        events_as_change_stream(spark.read.parquet(src)).filter(
+            F.col("op_type") != "DELETE"
+        ),
+        tiebreak_cols=["event_id"],
+    ).select("id", "event_id", "value")
+    merged, result = trigger_resync(snapshot, spark.read.parquet(f"{workdir}/drifted"))
+    healed = {r["id"] for r in merged.select("id").collect()}
+    assert "user/ghost" not in healed  # stale-delete healed the drift
+    assert result.status == "completed"
