@@ -137,3 +137,42 @@ def start_crd_sync(
     trigger = trigger or {"processingTime": f"{config.batch_flush_interval_ms} milliseconds"}
     writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def start_delete_fast_path(
+    change_stream: DataFrame,
+    config: EngineConfig,
+    write_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+    event_type_col: str = "op_type",
+) -> StreamingQuery:
+    """The delete priority path as its own standing query (SURVEY §4: the
+    reference short-circuits deletes past all buffering, debounce.go:105-121;
+    in Spark that is a topology decision, not an operator).
+
+    Filters the DELETE partition of the stream and forwards it with a short
+    trigger (default 1s), independent of the main query's debounce/flush
+    cadence — reproducing the reference's <1s delete latency bound
+    (integration_test.go:211-255) regardless of the 10s window. Stateless:
+    no watermark, no dedup — deletes are idempotent at the MERGE sink, so
+    replays are harmless.
+    """
+    deletes = change_stream.filter(F.col(event_type_col) == "DELETE")
+
+    def forward(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_batch(batch_df.withColumn("op", F.lit("delete")), batch_id)
+
+    writer = (
+        deletes.writeStream.outputMode("append")
+        .foreachBatch(forward)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or config.checkpoint_dir + "/deletes",
+        )
+    )
+    trigger = trigger or {"processingTime": "1 second"}
+    writer = writer.trigger(**trigger)
+    return writer.start()

@@ -207,3 +207,55 @@ def test_parquet_sink_merges_and_resync_heals(spark, workdir):
     healed = {r["id"] for r in merged.select("id").collect()}
     assert "user/ghost" not in healed  # stale-delete healed the drift
     assert result.status == "completed"
+
+
+def test_delete_fast_path_forwards_only_deletes(spark, workdir):
+    # SURVEY §4 delete priority path: a dedicated short-trigger query on the
+    # DELETE partition; upserts never appear on it
+    from k8s_vectordb_sync_spark.streaming.pipeline import start_delete_fast_path
+
+    src = f"{workdir}/events"
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _t(0), 1, "purchase", 1.0, "{}"),
+            (2, _t(10), 2, "error", 0.0, "{}"),
+            (3, _t(20), 3, "error", 0.0, "{}"),
+        ],
+    )
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream = events_as_change_stream(raw)
+    seen: list = []
+    q = start_delete_fast_path(
+        stream,
+        EngineConfig(),
+        lambda df, bid: seen.extend(r["id"] for r in df.collect()),
+        checkpoint_dir=f"{workdir}/ckpt-del",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == ["user/2", "user/3"]
+
+
+def test_rate_limited_source_multiple_microbatches(spark, workdir):
+    # backpressure upgrade of the reference's drop-on-full channels
+    # (watcher.go:278-287): maxFilesPerTrigger=1 forces one micro-batch per
+    # input file; every event survives (nothing is ever dropped)
+    from k8s_vectordb_sync_spark.sources.cdc import read_change_stream
+
+    src = f"{workdir}/events.parquet"
+    for i in range(3):
+        _write_events(spark, src, [(i, _t(i * 1000), i, "view", 1.0, "{}")])
+    stream = read_change_stream(spark, workdir, max_files_per_trigger=1)
+    batches: list = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: batches.append(sorted(r["id"] for r in df.collect())))
+        .option("checkpointLocation", f"{workdir}/ckpt-rate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batches) == 3  # one micro-batch per file
+    assert sorted(x for b in batches for x in b) == ["user/0", "user/1", "user/2"]
