@@ -78,7 +78,13 @@ def time_streaming_sync(spark) -> float:
             checkpoint_dir=ckpt,
             trigger={"availableNow": True},
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                "streaming_sync did not finish within 600s — refusing to "
+                "report a truncated timing"
+            )
         return round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

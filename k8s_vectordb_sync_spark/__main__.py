@@ -58,10 +58,17 @@ def cmd_resync(args: argparse.Namespace) -> int:
     from .sources.cdc import events_as_change_stream
     from .sources.tables import load_table
 
+    from pyspark.sql import functions as F
+
     spark = build_spark(app_name="kvs-resync")
     ch = events_as_change_stream(load_table(spark, args.events_dir, "events"))
-    snapshot = last_state_wins(ch, tiebreak_cols=["event_id"]).select(
-        "id", "event_id", "value"
+    # The snapshot is the set of LIVE entities: keys whose latest event is a
+    # DELETE must not re-enter the target (resync heals drift, it must not
+    # resurrect deletions). Resolve latest-per-key first, then drop deletes.
+    snapshot = (
+        last_state_wins(ch, tiebreak_cols=["event_id"])
+        .filter(F.col("op_type") != "DELETE")
+        .select("id", "event_id", "value")
     )
     try:
         target = spark.read.parquet(args.target)

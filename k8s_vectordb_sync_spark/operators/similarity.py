@@ -313,6 +313,11 @@ def brute_force_topk_vectorized(
     import pandas as pd
 
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    empty = queries.sparkSession.createDataFrame(
+        [], "query_id bigint, neighbor_id bigint, score double, rank bigint"
+    )
+    if not q_rows:
+        return empty
     q_ids = [r[query_id_col] for r in q_rows]
     q_mat = np.asarray([r[query_vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -327,16 +332,20 @@ def brute_force_topk_vectorized(
             norms[norms == 0] = np.inf
             sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
             n_local = min(k, sims.shape[0])
+            ids = pdf[id_col].values
             out = []
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
-                top = np.argpartition(-col, n_local - 1)[:n_local]
+                # lexsort: primary score desc, ties neighbor_id asc — the
+                # same total order the exact path's window uses, so score
+                # ties at the local-k boundary keep the same survivors
+                order = np.lexsort((ids, -col))[:n_local]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            "neighbor_id": pdf[id_col].values[top],
-                            "score": col[top],
+                            "neighbor_id": ids[order],
+                            "score": col[order],
                         }
                     )
                 )

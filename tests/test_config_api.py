@@ -82,3 +82,49 @@ def test_cli_bench_queries_lists_registry():
     data = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(data["queries"]) >= 49
     assert set(data["with_oracle"]) <= set(data["queries"])
+
+
+def test_cli_resync_does_not_resurrect_deleted_keys(tmp_path):
+    # regression: the resync snapshot must exclude keys whose LATEST event is
+    # a DELETE — resync heals drift, it must not undo deletions
+    import subprocess
+    import sys
+
+    import duckdb
+
+    events_dir = tmp_path / "sf"
+    events_dir.mkdir()
+    duckdb.sql(
+        """COPY (SELECT * FROM (VALUES
+             (1, TIMESTAMP '2024-01-01 00:00:00', 3, 'signup', 1.0, '{}'),
+             (2, TIMESTAMP '2024-01-01 00:01:00', 3, 'error', 0.0, '{}'),
+             (3, TIMESTAMP '2024-01-01 00:00:00', 4, 'signup', 2.0, '{}')
+           ) t(event_id, ts, user_id, event_type, value, props))
+           TO '%s' (FORMAT PARQUET)"""
+        % (events_dir / "events.parquet")
+    )
+    target = tmp_path / "target"
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "k8s_vectordb_sync_spark",
+            "resync",
+            "--events-dir",
+            str(events_dir),
+            "--target",
+            str(target),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT id FROM '{target}.resynced/*.parquet'"
+        ).fetchall()
+    }
+    assert ids == {"user/4"}  # user/3's latest event is a DELETE

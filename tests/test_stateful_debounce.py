@@ -113,3 +113,35 @@ def test_delete_cancels_pending_then_readd_survives(spark, workdir):
     _run(spark, workdir, collected)
     upserts = [c for c in collected if c[1] == "upsert" and c[0] == "user/1"]
     assert upserts == [("user/1", "upsert", 3, 7.0)]  # the re-add survived
+
+
+def test_out_of_order_straggler_across_batches_loses(spark, workdir):
+    # An out-of-order event in a LATER micro-batch with an OLDER timestamp
+    # must not overwrite the buffered state (event-time consistency: result
+    # must match the batch resolution regardless of batch boundaries).
+    collected: list = []
+    _write(spark, f"{workdir}/events", [(10, _t(100_000), 1, "purchase", 9.0, "{}")])
+    _run(spark, workdir, collected)
+    # batch 2: straggler at ts=95s (above the watermark of ~90s, so not
+    # dropped as late) — older than the stored ts=100s state
+    _write(spark, f"{workdir}/events", [(11, _t(95_000), 1, "purchase", 1.0, "{}")])
+    _run(spark, workdir, collected)
+    # batch 3: advance watermark far past the timer -> flush
+    _write(spark, f"{workdir}/events", [(99, _t(7_200_000), 8, "view", 0.0, "{}")])
+    _run(spark, workdir, collected)
+    flushed = [c for c in collected if c[0] == "user/1"]
+    assert flushed == [("user/1", "upsert", 10, 9.0)]  # ts=100s state won
+
+
+def test_old_delete_after_newer_upsert_is_ignored(spark, workdir):
+    # a DELETE straggler older than the buffered upsert must neither emit nor
+    # cancel (the batch resolution keeps the newer upsert)
+    collected: list = []
+    _write(spark, f"{workdir}/events", [(10, _t(100_000), 1, "purchase", 9.0, "{}")])
+    _run(spark, workdir, collected)
+    _write(spark, f"{workdir}/events", [(11, _t(95_000), 1, "error", 0.0, "{}")])
+    _run(spark, workdir, collected)
+    assert [c for c in collected if c[1] == "delete"] == []
+    _write(spark, f"{workdir}/events", [(99, _t(7_200_000), 8, "view", 0.0, "{}")])
+    _run(spark, workdir, collected)
+    assert [c for c in collected if c[0] == "user/1"] == [("user/1", "upsert", 10, 9.0)]

@@ -68,6 +68,9 @@ def test_partitioned_write_prunes(spark, workdir):
     write_partitioned(df, f"{workdir}/parts", ["part"])
     back = spark.read.parquet(f"{workdir}/parts").filter(F.col("part") == 2)
     plan = back._jdf.queryExecution().executedPlan().toString()
-    # partition filter applied at scan: only one directory read
     assert back.count() == 25
-    assert "PartitionFilters: [isnotnull(part" in plan or "part#" in plan
+    # the predicate must land in the scan's PartitionFilters segment (pruning
+    # at listing time), not survive as a post-scan Filter
+    assert "PartitionFilters" in plan
+    pf_segment = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "= 2" in pf_segment
