@@ -1599,3 +1599,72 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    """WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT user_id, first_view, first_click, first_purchase,
+           (first_view IS NOT NULL AND first_click IS NOT NULL
+            AND first_purchase IS NOT NULL
+            AND first_view <= first_click AND first_click <= first_purchase)
+           AS completed_funnel
+    FROM stages""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per-user first view -> click -> purchase ordering.
+    One conditional aggregation — no joins, no self-union; the classic
+    event-analytics shape at warehouse scale."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(
+        F.when(F.col("event_type") == t, F.unix_millis("ts"))
+    )
+    stages = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    completed = (
+        F.col("first_view").isNotNull()
+        & F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_view") <= F.col("first_click"))
+        & (F.col("first_click") <= F.col("first_purchase"))
+    )
+    return stages.withColumn("completed_funnel", completed)
+
+
+@register(
+    "documents_topk_terms",
+    """WITH toks AS (
+      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS term
+      FROM documents),
+    counts AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY lang, term),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      FROM counts)
+    SELECT lang, term, n, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5""",
+)
+def documents_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode -> two-level aggregation -> windowed
+    top-k. The (lang, term) count is map-side partial, so the shuffle carries
+    distinct terms, not token instances."""
+    from .functions.text import tokens as tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens_expr(F.col("text"))).alias("term"))
+    counts = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )

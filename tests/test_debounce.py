@@ -205,3 +205,28 @@ def test_scd2_history_versions(spark):
     df = spark.createDataFrame(rows, EVENT_SCHEMA)
     out = {r["event_id"]: (r["valid_to_ms"] is None, r["is_current"]) for r in scd2_history(df, tiebreak_cols=["event_id"]).collect()}
     assert out == {1: (False, False), 2: (True, True), 3: (True, True)}
+
+
+def test_lag_cumsum_debounce_equals_native_session_window(spark):
+    # the lag+cumsum session assignment must group events exactly like
+    # Spark's native session_window(gap) operator (same quiet-period model)
+    import datetime as _dt
+
+    rows = []
+    base = _dt.datetime(2024, 1, 1)
+    # irregular gaps around the 10s boundary across two keys
+    offsets = [0, 3, 9, 25, 26, 50, 80, 89, 101]
+    for i, off in enumerate(offsets):
+        rows.append(("UPDATE", base + _dt.timedelta(seconds=off), "k1", i, "v"))
+        rows.append(("UPDATE", base + _dt.timedelta(seconds=off * 2), "k2", 100 + i, "v"))
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    ours = debounce(df, gap_ms=10_000, tiebreak_cols=["event_id"])
+    native = (
+        df.groupBy(F.session_window("event_ts", "10 seconds").alias("w"), F.col("id"))
+        .agg(F.max_by(F.col("event_id"), F.struct("event_ts", "event_id")).alias("last_event_id"))
+    )
+    # same number of sessions per key, same surviving last event ids
+    assert sorted(r["event_id"] for r in ours.collect()) == sorted(
+        r["last_event_id"] for r in native.collect()
+    )
