@@ -1668,3 +1668,13 @@ def documents_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register("dedup_minhash_clusters")  # iterative label propagation: rows-only
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the MinHash near-dup pairs
+    (connected components via min-label propagation — iterative, so the
+    driver records the weaker rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    return dd.dup_clusters(pairs)

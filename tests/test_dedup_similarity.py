@@ -244,3 +244,31 @@ def test_salted_last_state_wins_identical_to_plain(spark, sf_dir):
         for r in salted_last_state_wins(ch, tiebreak_cols=["event_id"]).collect()
     )
     assert plain == salted
+
+
+def test_dup_clusters_transitive_components(spark):
+    from k8s_vectordb_sync_spark.operators.dedup import dup_clusters
+
+    # chain 1-2-3 is one component even though (1,3) was never a pair;
+    # (10,11) is a separate component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_on_minhash_pairs(spark, sf_dir):
+    from k8s_vectordb_sync_spark.operators.dedup import dup_clusters
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = dup_clusters(pairs)
+    n_pairs = pairs.count()
+    if n_pairs:
+        # every doc in a pair got a cluster; representatives are minima
+        assert clusters.count() > 0
+        reps = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        assert reps.count() <= clusters.count()
+        assert clusters.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0

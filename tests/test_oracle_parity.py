@@ -72,7 +72,7 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_all_queries_have_entries():
     # every query either has an oracle or is explicitly rows-only
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only <= {"ann_ivf_topk"}, rows_only
+    assert rows_only <= {"ann_ivf_topk", "dedup_minhash_clusters"}, rows_only
 
 
 def test_entry_runs(spark):
