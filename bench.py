@@ -43,9 +43,17 @@ BENCH_QUERIES = [
     "events_sessionization",
     "events_asof_attribution",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
     "dedup_exact",
     "ann_topk_bruteforce",
+    "ann_lsh_topk",
     "text_quality",
+    "text_langid",
+    "events_funnel",
+    "documents_topk_terms",
+    "multimodal_decode",
+    "cdc_scd2_history",
     "embeddings_quantize_int8",
 ]
 

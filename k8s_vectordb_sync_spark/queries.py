@@ -1678,3 +1678,46 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
     return dd.dup_clusters(pairs)
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    """WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avg_bal
+      WHERE c_acctbal > ab)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM eligible e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+    GROUP BY c_nationkey""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join.
+
+    The average is a 1-row broadcast (cross join of a scalar); the NOT EXISTS
+    becomes a left-anti hash join on the customer key. Note the threshold
+    itself is a float average — safe here because it only GATES rows and the
+    closest balance sits far from the cutoff relative to 1e-15 noise, while
+    every OUTPUT aggregate stays exact decimal.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    eligible = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    return (
+        eligible.join(
+            o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
+        )
+    )
