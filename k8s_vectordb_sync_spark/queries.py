@@ -1721,3 +1721,50 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "cdc_crd_routing",
+    """WITH typed AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN 'CustomResourceDefinition'
+                  ELSE 'Deployment' END AS kind,
+             CASE WHEN event_type = 'signup' THEN 'apiextensions.k8s.io/v1'
+                  ELSE 'apps/v1' END AS api_version,
+             CASE WHEN event_type = 'error' THEN 'UPDATE' ELSE 'ADD' END AS op
+      FROM events),
+    routed AS (
+      SELECT *, (kind = 'CustomResourceDefinition'
+                 AND starts_with(api_version, 'apiextensions.k8s.io/')) AS is_crd
+      FROM typed)
+    SELECT 'instance' AS route, CAST(COUNT(*) AS BIGINT) AS n
+    FROM routed WHERE NOT is_crd
+    UNION ALL
+    SELECT 'crd' AS route, CAST(COUNT(*) AS BIGINT) AS n
+    FROM routed WHERE is_crd AND op <> 'UPDATE'""",
+)
+def cdc_crd_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRD routing predicate + stream split (watcher.go:209-228; CRD UPDATEs
+    dropped, watcher.go:241-243) over synthesized kind/apiVersion columns —
+    exercises operators.filters.split_crd_stream with an oracle."""
+    from .operators.filters import split_crd_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "signup", "CustomResourceDefinition")
+        .otherwise("Deployment")
+        .alias("kind"),
+        F.when(F.col("event_type") == "signup", "apiextensions.k8s.io/v1")
+        .otherwise("apps/v1")
+        .alias("api_version"),
+        F.when(F.col("event_type") == "error", "UPDATE")
+        .otherwise("ADD")
+        .alias("event_type"),
+    )
+    instances, crds = split_crd_stream(typed)
+    return instances.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("instance").alias("route"), "n"
+    ).unionByName(
+        crds.agg(F.count(F.lit(1)).alias("n")).select(F.lit("crd").alias("route"), "n")
+    )
