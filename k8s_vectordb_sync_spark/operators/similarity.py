@@ -174,8 +174,6 @@ def kmeans_centroids(
     groupBy(cluster).avg (one shuffle of dim-sized partial sums). Only the
     centroid list (n_clusters x dim floats) ever reaches the driver.
     """
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
     seed_rows = (
         embeddings.orderBy(F.col(id_col).asc())
         .limit(n_clusters)
@@ -185,19 +183,30 @@ def kmeans_centroids(
     centroids = [list(map(float, r[vec_col])) for r in seed_rows]
     for _ in range(iterations):
         assigned = assign_clusters(embeddings, centroids, vec_col)
-        sums = assigned.groupBy("cluster").agg(
-            *[
-                F.sum(F.col(vec_col).getItem(j).cast("double")).alias(f"s{j}")
-                for j in range(dim)
-            ],
-            F.count(F.lit(1)).alias("n"),
+        # Per-dimension mean via posexplode -> groupBy(cluster, idx) -> avg:
+        # one aggregate regardless of dim (a per-dimension F.sum column list
+        # would be a 1000-column aggregate at dim 1024). collect_list order is
+        # non-deterministic, so the vector is reassembled by array_sort over
+        # (idx, mean) structs — struct ordering sorts on idx first.
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "val")
+            )
+            .groupBy("cluster", "idx")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
         )
-        rows = sums.collect()
+        # clusters that lost all members keep their previous centroid
         new_centroids = list(centroids)
-        for r in rows:
-            c = r["cluster"]
-            n = r["n"]
-            new_centroids[c] = [r[f"s{j}"] / n for j in range(dim)]
+        for r in means:
+            new_centroids[r["cluster"]] = [float(v) for v in r["c"]]
         centroids = new_centroids
     return list(enumerate(centroids))
 

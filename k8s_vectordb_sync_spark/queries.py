@@ -1032,7 +1032,73 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@register("ann_ivf_topk")  # iterative k-means: no closed-form SQL oracle
+def _sql_ivf(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -> str:
+    """Unrolled k-means oracle for IVF: the Spark path is fully deterministic
+    (min-id seeds, fixed Lloyd iterations, ties to the lowest cluster index),
+    so each assign/update iteration becomes a chained CTE pair. Squared
+    euclidean is written as the same elementwise sum both engines fold;
+    empty clusters keep their previous centroid (COALESCE over LEFT JOIN),
+    mirroring kmeans_centroids."""
+    d2 = (
+        "list_sum(list_transform(range(1, len(b.v) + 1),"
+        " i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
+    )
+    parts = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+          FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {n_clusters}))""",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT b.vec_id, b.v, c.cluster,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {d2} ASC, c.cluster ASC) AS rn
+            FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+        parts.append(f"""u{it} AS (
+          SELECT cluster, list(m ORDER BY idx) AS c FROM (
+            SELECT cluster, idx, AVG(val) AS m FROM (
+              SELECT cluster, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS idx
+              FROM a{it}) z
+            GROUP BY cluster, idx) g GROUP BY cluster)""")
+        parts.append(f"""c{it} AS (
+          SELECT p.cluster, COALESCE(u.c, p.c) AS c
+          FROM {prev} p LEFT JOIN u{it} u ON p.cluster = u.cluster)""")
+    fin = f"c{iterations}"
+    parts.append(f"""af AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT b.vec_id, b.v, c.cluster,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d2} ASC, c.cluster ASC) AS rn
+        FROM base b CROSS JOIN {fin} c) t WHERE rn = 1)""")
+    qd2 = d2.replace("b.v", "q.qv")
+    parts.append(f"""probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT q.query_id, q.qv, c.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {qd2} ASC, c.cluster ASC) AS pr
+        FROM (SELECT vec_id AS query_id, v AS qv FROM base
+              WHERE vec_id < {ANN_QUERY_MAX_ID}) q
+        CROSS JOIN {fin} c) t WHERE pr <= {n_probe})""")
+    parts.append(f"""scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {SQL_COS.format(a='p.qv', b='a.v')} AS score
+      FROM probes p JOIN af a ON p.cluster = a.cluster)""")
+    parts.append("""ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT query_id, neighbor_id, round(score, 4) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}"""
+
+
+@register("ann_ivf_topk", _sql_ivf())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.ivf_topk(emb, _queries_df(spark, sf_dir), k=ANN_K, n_clusters=8, n_probe=2)
