@@ -846,14 +846,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(docs)
 
 
-def _sql_minhash_pairs(threshold: float = 0.5) -> str:
+def _sql_minhash_ctes(threshold: float = 0.5) -> str:
+    """Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — reused by
+    the pair query and the recursive clusters oracle."""
     sh = _sql_shingles(SQL_NTOKS)
     sig_entries = ", ".join(
         f"list_min(list_transform(hx, x -> ({a} * x + {b}) % {MINHASH_P}))"
         for a, b in MINHASH_COEFFS
     )
     n_bands = NUM_MINHASHES // BAND_SIZE
-    return f"""WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+    return f"""sh AS (SELECT doc_id, {sh} AS s FROM documents),
     hx AS (SELECT doc_id, s, list_transform(s, e -> {SQL_H8.format(x='e')}) AS hx FROM sh),
     sigs AS (SELECT doc_id, s, [{sig_entries}] AS sig FROM hx),
     buckets AS (
@@ -870,9 +872,32 @@ def _sql_minhash_pairs(threshold: float = 0.5) -> str:
       SELECT c.doc_a, c.doc_b,
              len(list_intersect(a.s, b.s))::DOUBLE
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-      FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
-    SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
-    FROM verified WHERE jaccard >= {threshold}"""
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+      FROM verified WHERE jaccard >= {threshold})"""
+
+
+def _sql_minhash_pairs(threshold: float = 0.5) -> str:
+    return f"""WITH {_sql_minhash_ctes(threshold)}
+    SELECT doc_a, doc_b, jaccard FROM pairs"""
+
+
+def _sql_minhash_clusters(threshold: float = 0.5) -> str:
+    """Connected components over the near-dup pair graph: min reachable id per
+    node via a recursive reachability closure — the closed form of the Spark
+    side's min-label propagation (operators.dedup.dup_clusters), which loops
+    until converged, i.e. until every node carries its component minimum."""
+    return f"""WITH RECURSIVE {_sql_minhash_ctes(threshold)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id)
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id"""
 
 
 @register("dedup_minhash_lsh", _sql_minhash_pairs())
@@ -1736,11 +1761,12 @@ def documents_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_clusters")  # iterative label propagation: rows-only
+@register("dedup_minhash_clusters", _sql_minhash_clusters())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive duplicate clusters over the MinHash near-dup pairs
-    (connected components via min-label propagation — iterative, so the
-    driver records the weaker rows-only check)."""
+    """Transitive duplicate clusters over the MinHash near-dup pairs:
+    connected components via min-label propagation, run to convergence, so the
+    labels equal the component minima — which the oracle computes in closed
+    form as MIN over a recursive reachability closure."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
     return dd.dup_clusters(pairs)

@@ -272,3 +272,27 @@ def test_dup_clusters_on_minhash_pairs(spark, sf_dir):
         reps = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
         assert reps.count() <= clusters.count()
         assert clusters.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    from k8s_vectordb_sync_spark.operators.dedup import dup_clusters
+
+    # a 20-node chain has diameter 19 > the old 10-iteration budget; the loop
+    # must run to convergence, never return partially-propagated labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {i: 0 for i in range(21)}
+
+
+def test_dup_clusters_raises_when_budget_exhausted(spark):
+    import pytest
+
+    from k8s_vectordb_sync_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=2)

@@ -70,9 +70,9 @@ def test_oracle_parity(spark, sf_dir, name):
 
 
 def test_all_queries_have_entries():
-    # every query either has an oracle or is explicitly rows-only
+    # every registered query has a full DuckDB oracle (no rows-only residue)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only <= {"ann_ivf_topk", "dedup_minhash_clusters"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_entry_runs(spark):
