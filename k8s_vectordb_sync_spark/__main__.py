@@ -26,7 +26,7 @@ from .session import build_spark
 def cmd_sync(args: argparse.Namespace) -> int:
     from .sources.cdc import read_change_stream
     from .streaming.pipeline import start_instance_sync
-    from .streaming.sink import CollectingSink, parquet_upsert_sink
+    from .streaming.sink import CollectingSink, http_poster, parquet_upsert_sink
 
     config = EngineConfig.from_env()
     spark = build_spark(app_name="kvs-sync")
@@ -35,7 +35,10 @@ def cmd_sync(args: argparse.Namespace) -> int:
         write_batch = parquet_upsert_sink(args.target)
         sink = None
     else:
-        sink = CollectingSink(batch_max_size=config.batch_max_size)
+        # INSTANCES_ENDPOINT set -> real HTTP POSTs (rest.go:82-123);
+        # unset -> collect locally and print payloads on exit.
+        post = http_poster(config.instances_endpoint) if config.instances_endpoint else None
+        sink = CollectingSink(batch_max_size=config.batch_max_size, post=post)
         write_batch = sink.write_batch
     trigger = (
         {"availableNow": True}

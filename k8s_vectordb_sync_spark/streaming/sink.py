@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 import random
 import time
+import urllib.error
+import urllib.request
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -31,6 +33,36 @@ class SinkClientError(Exception):
 
 class SinkServerError(Exception):
     """5xx/network-equivalent: retryable (rest.go:126-147)."""
+
+
+def http_poster(
+    endpoint: str, timeout_s: float = 30.0, headers: dict | None = None
+) -> Callable[[dict], None]:
+    """A concrete stdlib POST callable for CollectingSink / send_with_retry —
+    the analog of rest.go:126-147 (doPost): JSON body, Content-Type header,
+    30 s timeout, and the reference's exact status classification:
+    4xx -> clientError (terminal), 5xx -> serverError (retryable),
+    network failure -> retryable (rest.go Send only short-circuits 4xx).
+    """
+
+    def post(payload: dict) -> None:
+        req = urllib.request.Request(
+            endpoint,
+            data=json.dumps(payload, default=str).encode("utf-8"),
+            headers={"Content-Type": "application/json", **(headers or {})},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s):
+                pass  # 2xx/3xx: success (rest.go treats <400 as OK)
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500:
+                raise SinkClientError(f"client error: HTTP {e.code}") from e
+            raise SinkServerError(f"server error: HTTP {e.code}") from e
+        except urllib.error.URLError as e:
+            raise SinkServerError(f"sending request: {e.reason}") from e
+
+    return post
 
 
 @dataclass
@@ -120,32 +152,68 @@ class CollectingSink:
         return "\n".join(json.dumps(p, default=str) for p in self.payloads)
 
 
-def parquet_upsert_sink(target_path: str, key_col: str = "id"):
+def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int = 64):
     """foreachBatch writer that MERGEs each micro-batch into a parquet target
     (idempotent upsert-by-key; delete rows remove keys). The durable-sink
-    variant of CollectingSink."""
+    variant of CollectingSink.
+
+    Scale posture: the target is laid out as ``_bucket=pmod(xxhash64(key), N)``
+    directory partitions, and each micro-batch touches ONLY the buckets its
+    keys hash into — a batch with 1 key reads 1/N of the target (partition
+    pruning on the scan) and rewrites 1 partition directory via dynamic
+    partition overwrite. Untouched buckets are never read, never deleted,
+    never rewritten; per-batch work is O(|touched buckets|), not O(|target|).
+    A crash mid-commit can leave a touched bucket stale, but checkpoint
+    replay re-merges that batch idempotently — there is no window where the
+    whole target is deleted (the failure mode of a plain full overwrite).
+    On Delta/Iceberg this entire function is `MERGE INTO`; plain parquet is
+    what this container has.
+    """
     from ..plans.resync import merge_deletes, merge_upserts
+
+    bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
     def write_batch(resolved: DataFrame, batch_id: int) -> None:
         if resolved.isEmpty():
             return
         spark = resolved.sparkSession
+        batch = resolved.withColumn("_bucket", bucket_expr)
+        # bucket ids only — bounded by num_buckets, never data rows
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
+        upserts = batch.filter(F.col("op") == "upsert").drop("op")
+        deletes = batch.filter(F.col("op") == "delete").select(key_col)
         try:
             target = spark.read.parquet(target_path)
             exists = True
         except Exception:
             exists = False
-        upserts = resolved.filter(F.col("op") == "upsert").drop("op")
-        deletes = resolved.filter(F.col("op") == "delete").select(key_col)
         if exists:
-            merged = merge_upserts(target, upserts, key_col)
+            sub = target.filter(F.col("_bucket").isin(touched))
+            merged = merge_upserts(sub, upserts, key_col)
             merged = merge_deletes(merged, deletes, key_col)
         else:
             merged = upserts
-        # overwrite via temp path for atomicity on plain parquet
-        tmp = target_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(target_path)
+        # Materialize before writing: Spark refuses to overwrite a path it is
+        # reading in the same plan. Only the touched buckets are checkpointed,
+        # so the footprint is the batch's working set, not the target.
+        merged = merged.localCheckpoint()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(target_path)
+        )
+        if exists:
+            # dynamic overwrite only replaces partitions PRESENT in the output;
+            # a touched bucket whose keys were all deleted produces no rows, so
+            # clear it explicitly with an empty static overwrite of that dir.
+            remaining = {
+                r["_bucket"] for r in merged.select("_bucket").distinct().collect()
+            }
+            empty = spark.createDataFrame([], merged.drop("_bucket").schema)
+            for b in set(touched) - remaining:
+                empty.write.mode("overwrite").parquet(f"{target_path}/_bucket={b}")
 
     return write_batch

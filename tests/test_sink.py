@@ -101,6 +101,86 @@ def test_collecting_sink_skips_empty(spark):
     assert sink.payloads == []
 
 
+class _HttpDouble:
+    """Local http.server double of the reference mock collector
+    (rest_test.go:73/166/215): scripted status codes, records request bodies."""
+
+    def __init__(self, statuses: list[int]):
+        import http.server
+        import json as _json
+        import threading
+
+        double = self
+        double.bodies: list[dict] = []
+        double.statuses = list(statuses)
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                double.bodies.append(_json.loads(body))
+                status = double.statuses.pop(0) if double.statuses else 200
+                self.send_response(status)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_port}/"
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_http_poster_success_and_body():
+    from k8s_vectordb_sync_spark.streaming.sink import http_poster
+
+    srv = _HttpDouble([200])
+    try:
+        http_poster(srv.url)({"upserts": [{"id": "k1"}], "batch_id": 3})
+        assert srv.bodies == [{"upserts": [{"id": "k1"}], "batch_id": 3}]
+    finally:
+        srv.close()
+
+
+def test_http_poster_classifies_4xx_terminal():
+    # rest_test.go:166 DoesNotRetryOn4xx — through the real retry loop
+    from k8s_vectordb_sync_spark.streaming.sink import http_poster
+
+    srv = _HttpDouble([400, 200])
+    try:
+        with pytest.raises(SinkClientError):
+            send_with_retry(http_poster(srv.url), {"x": 1}, _policy([]))
+        assert len(srv.bodies) == 1  # no retry after 4xx
+    finally:
+        srv.close()
+
+
+def test_http_poster_retries_5xx_then_succeeds():
+    # rest_test.go:73 RetriesOnServerError: 2x 503 then 200
+    from k8s_vectordb_sync_spark.streaming.sink import http_poster
+
+    srv = _HttpDouble([503, 503, 200])
+    try:
+        attempts = send_with_retry(http_poster(srv.url), {"x": 1}, _policy([]))
+        assert attempts == 3
+        assert len(srv.bodies) == 3
+    finally:
+        srv.close()
+
+
+def test_http_poster_network_error_is_retryable():
+    from k8s_vectordb_sync_spark.streaming.sink import http_poster
+
+    # nothing listens here: connection refused -> SinkServerError (retryable)
+    post = http_poster("http://127.0.0.1:1/")
+    with pytest.raises(SinkServerError):
+        send_with_retry(post, {"x": 1}, _policy([]))
+
+
 def test_collecting_sink_retry_integration(spark):
     # integration tier: transient 5xx absorbed, payload still recorded
     df = spark.createDataFrame(

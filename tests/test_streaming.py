@@ -209,6 +209,73 @@ def test_parquet_sink_merges_and_resync_heals(spark, workdir):
     assert result.status == "completed"
 
 
+def _bucket_files(target: str) -> dict:
+    """{bucket_dir: sorted parquet file names} — rewritten partitions get fresh
+    task-UUID part files, so identical listings mean the dir was untouched."""
+    import os
+
+    out = {}
+    for d in sorted(os.listdir(target)):
+        if d.startswith("_bucket="):
+            out[d] = sorted(
+                f for f in os.listdir(f"{target}/{d}") if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_parquet_sink_rewrites_only_touched_buckets(spark, workdir):
+    # VERDICT r1 wrong#1: the MERGE must be O(touched buckets), not O(target).
+    # A micro-batch touching 1 key must rewrite exactly 1 bucket directory.
+    from k8s_vectordb_sync_spark.streaming.sink import parquet_upsert_sink
+
+    target = f"{workdir}/target"
+    write_batch = parquet_upsert_sink(target, num_buckets=8)
+    batch1 = spark.createDataFrame(
+        [("upsert", _t(0), f"user/{i}", float(i)) for i in range(40)],
+        "op string, event_ts timestamp, id string, value double",
+    )
+    write_batch(batch1, 0)
+    before = _bucket_files(target)
+    assert len(before) > 1  # keys spread over several buckets
+
+    batch2 = spark.createDataFrame(
+        [("upsert", _t(10), "user/7", 99.0)],
+        "op string, event_ts timestamp, id string, value double",
+    )
+    write_batch(batch2, 1)
+    after = _bucket_files(target)
+    changed = [d for d in before if before[d] != after[d]]
+    assert len(changed) == 1  # exactly the bucket user/7 hashes into
+    state = {r["id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert state["user/7"] == 99.0
+    assert len(state) == 40  # merge, not replace
+
+
+def test_parquet_sink_delete_empties_bucket(spark, workdir):
+    # a touched bucket whose keys were ALL deleted must come back empty
+    # (dynamic overwrite alone would silently keep the stale partition)
+    from k8s_vectordb_sync_spark.streaming.sink import parquet_upsert_sink
+
+    target = f"{workdir}/target"
+    write_batch = parquet_upsert_sink(target, num_buckets=4)
+    write_batch(
+        spark.createDataFrame(
+            [("upsert", _t(0), "only", 1.0)],
+            "op string, event_ts timestamp, id string, value double",
+        ),
+        0,
+    )
+    assert spark.read.parquet(target).count() == 1
+    write_batch(
+        spark.createDataFrame(
+            [("delete", _t(10), "only", 0.0)],
+            "op string, event_ts timestamp, id string, value double",
+        ),
+        1,
+    )
+    assert spark.read.parquet(target).count() == 0
+
+
 def test_delete_fast_path_forwards_only_deletes(spark, workdir):
     # SURVEY §4 delete priority path: a dedicated short-trigger query on the
     # DELETE partition; upserts never appear on it
