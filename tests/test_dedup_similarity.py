@@ -75,6 +75,58 @@ def test_simhash_identical_docs_equal_hamming_zero(spark):
     assert pairs == {(1, 2): 0}
 
 
+def test_simhash_pairs_banded_equals_naive_blocked_join(spark):
+    # the chunk-banded candidate generation must have EXACT recall vs the
+    # naive within-block all-pairs join (pigeonhole: hamming<=m => one of the
+    # m+1 signature chunks matches exactly)
+    import random
+
+    from k8s_vectordb_sync_spark.operators.dedup import hamming32
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.sample(words, 12)), "s" if i % 4 else "t")
+            for i in range(60)
+        ],
+        DOCS_SCHEMA,
+    )
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    sigs = simhash(docs).join(docs.select("doc_id", F.col("source").alias("blk")), "doc_id")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    naive = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", hamming32(F.col("a.simhash"), F.col("b.simhash")))
+        .filter(F.col("hamming") <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "hamming"
+        )
+        .collect()
+    }
+    assert banded == naive
+    assert len(naive) > 0  # the equivalence is not vacuous
+
+
+def test_minhash_bucket_cap_keeps_pathological_corpus_linear(spark):
+    # 1000 near-identical docs put every signature in one LSH bucket: the
+    # uncapped pair expansion is ~500k candidates; with the cap the bucket is
+    # dropped and the stage stays linear (zero candidates to verify)
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(i, base, "s") for i in range(1000)], DOCS_SCHEMA
+    )
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+    assert capped.count() == 0
+
+
 def test_ngram_jaccard_blocked_pairs(spark):
     a = "one two three four five six seven eight nine ten"
     b = "one two three four five six seven eight nine eleven"
