@@ -35,7 +35,7 @@ from ..functions.vectors import cosine, dot, norm  # noqa: F401 (cosine kept for
 # and the oracle SQL.
 # ---------------------------------------------------------------------------
 LSH_NUM_PLANES = 8
-LSH_DIM = 64
+LSH_DIM = 64  # default/testdata dimensionality; lsh_topk probes the real one
 
 
 def _det_unit(tag: str) -> float:
@@ -44,10 +44,26 @@ def _det_unit(tag: str) -> float:
     return (h / float(1 << 31)) - 1.0
 
 
-HYPERPLANES: list[list[float]] = [
-    [round(_det_unit(f"plane{p}:dim{d}"), 6) for d in range(LSH_DIM)]
-    for p in range(LSH_NUM_PLANES)
-]
+def lsh_planes(dim: int, n_planes: int = LSH_NUM_PLANES) -> list[list[float]]:
+    """Deterministic hyperplanes for any embedding dimensionality. The first
+    ``dim`` components of plane p are md5("plane{p}:dim{d}") units, so
+    lsh_planes(64) reproduces the historical HYPERPLANES literals exactly
+    (oracle SQL embeds those literals)."""
+    return [
+        [round(_det_unit(f"plane{p}:dim{d}"), 6) for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+HYPERPLANES: list[list[float]] = lsh_planes(LSH_DIM)
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Read one row's vector length — a LIMIT-1 job, cheap at any scale."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
 
 
 def brute_force_topk(
@@ -124,23 +140,37 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only base vectors in the query's hyperplane
     bucket. The cross join becomes an equi-join on bucket — at scale, with the
     base table written bucketed/partitioned by `bucket`, this is partition
     pruning: only 1/2^planes of the data is read per query.
+
+    ``dim`` defaults to probing one base row. Hyperplanes are generated for
+    that dimensionality (zip_with against a too-short plane would NULL-pad the
+    dot product and silently collapse every vector into bucket 0); a query
+    vector of a different length is a loud ValueError, not a degraded search.
     """
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col)
+    q_dim = _probe_dim(queries, query_vec_col)
+    if q_dim != dim:
+        raise ValueError(
+            f"query vectors are dim {q_dim} but base embeddings are dim {dim}"
+        )
+    planes = lsh_planes(dim)
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("__nv"),
-        hyperplane_bucket(vec_col).alias("bucket"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("query_vec"),
         norm(F.col(query_vec_col)).alias("__nq"),
-        hyperplane_bucket(query_vec_col).alias("bucket"),
+        hyperplane_bucket(query_vec_col, planes).alias("bucket"),
     )
     denom = F.col("__nq") * F.col("__nv")
     scored = base.join(F.broadcast(q), "bucket").select(
@@ -321,9 +351,14 @@ def brute_force_topk_vectorized(
     import numpy as np
     import pandas as pd
 
+    # id types follow the inputs instead of assuming bigint (string doc ids
+    # and int32 keys round-trip unchanged through the Arrow batches)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    nid_t = embeddings.schema[id_col].dataType.simpleString()
+    partial_schema = f"query_id {qid_t}, neighbor_id {nid_t}, score double"
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     empty = queries.sparkSession.createDataFrame(
-        [], "query_id bigint, neighbor_id bigint, score double, rank bigint"
+        [], partial_schema + ", rank bigint"
     )
     if not q_rows:
         return empty
@@ -361,7 +396,7 @@ def brute_force_topk_vectorized(
             yield pd.concat(out, ignore_index=True)
 
     partial = embeddings.select(id_col, vec_col).mapInPandas(
-        score_partition, schema="query_id bigint, neighbor_id bigint, score double"
+        score_partition, schema=partial_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -212,10 +212,11 @@ def cdc_catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {SQL_CH},
     lagged AS (
       SELECT event_id, op_type, value,
+             row_number() OVER (PARTITION BY id ORDER BY ts_us, event_id) AS rn,
              lag(value) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS prev_value
       FROM ch)
     SELECT event_id FROM lagged
-    WHERE op_type <> 'UPDATE' OR prev_value IS NULL OR prev_value <> value""",
+    WHERE op_type <> 'UPDATE' OR rn = 1 OR prev_value IS DISTINCT FROM value""",
 )
 def cdc_change_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change suppression (watcher.go:244-247,315-331): drop UPDATE events
@@ -376,11 +377,12 @@ def cdc_resync_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_sync_resolved",
     f"""WITH {SQL_CH},
     lagged AS (
-      SELECT *, lag(value) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS prev_value
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts_us, event_id) AS first_rn,
+             lag(value) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS prev_value
       FROM ch),
     kept AS (
       SELECT * FROM lagged
-      WHERE op_type <> 'UPDATE' OR prev_value IS NULL OR prev_value <> value),
+      WHERE op_type <> 'UPDATE' OR first_rn = 1 OR prev_value IS DISTINCT FROM value),
     marks AS (
       SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
                        OR ts_ms - lag(ts_ms) OVER w > {DEBOUNCE_GAP_MS}
@@ -1184,10 +1186,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {SQL_CH},
     lagged AS (
       SELECT event_id, op_type, props,
+             row_number() OVER (PARTITION BY id ORDER BY ts_us, event_id) AS rn,
              lag(props) OVER (PARTITION BY id ORDER BY ts_us, event_id) AS prev_props
       FROM ch)
     SELECT event_id FROM lagged
-    WHERE op_type <> 'UPDATE' OR prev_props IS NULL OR prev_props <> props""",
+    WHERE op_type <> 'UPDATE' OR rn = 1 OR prev_props IS DISTINCT FROM props""",
 )
 def cdc_change_suppression_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-state change suppression (watcher.go:315-331: labels+annotations

@@ -326,6 +326,87 @@ def test_dup_clusters_on_minhash_pairs(spark, sf_dir):
         assert clusters.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
 
 
+@pytest.mark.parametrize("dim", [32, 128])
+def test_lsh_topk_non64_dims_match_numpy_reference(spark, dim):
+    # ADVICE r1: hardcoded 64-dim planes silently collapsed other dims into
+    # bucket 0. lsh_topk must now reproduce the full bucketed search at any
+    # dim — checked exactly against a numpy implementation of the same
+    # deterministic planes.
+    import numpy as np
+
+    from k8s_vectordb_sync_spark.operators.similarity import lsh_planes
+
+    rng = np.random.default_rng(dim)
+    base = rng.standard_normal((60, dim)).round(3)
+    qs = rng.standard_normal((3, dim)).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in qs[i]]) for i in range(3)],
+        "query_id long, query_vec array<float>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in lsh_topk(emb, queries, k=3).collect()
+    }
+
+    planes = np.asarray(lsh_planes(dim))
+    # float32 storage: compare against the float32-rounded vectors
+    b32 = base.astype(np.float32).astype(np.float64)
+    q32 = qs.astype(np.float32).astype(np.float64)
+    bucket = lambda m: ((m @ planes.T) > 0).astype(int) @ (1 << np.arange(8))
+    b_buckets, q_buckets = bucket(b32), bucket(q32)
+    assert len(set(b_buckets)) > 1  # planes actually split the space
+    expected = {}
+    for qi in range(3):
+        cand = [i for i in range(60) if b_buckets[i] == q_buckets[qi]]
+        scores = sorted(
+            (
+                (
+                    -(b32[i] @ q32[qi])
+                    / (np.linalg.norm(b32[i]) * np.linalg.norm(q32[qi])),
+                    i,
+                )
+                for i in cand
+            ),
+        )[:3]
+        for rank, (neg, i) in enumerate(scores, 1):
+            expected[(qi, rank)] = (i, round(-neg, 4))
+    assert set(got) == set(expected)
+    for key in expected:
+        assert got[key][0] == expected[key][0]
+        assert got[key][1] == pytest.approx(expected[key][1], abs=1e-4)
+
+
+def test_lsh_topk_dim_mismatch_raises(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0] * 64)], "query_id long, query_vec array<float>"
+    )
+    with pytest.raises(ValueError, match="dim 64"):
+        lsh_topk(emb, queries)
+
+
+def test_vectorized_topk_string_ids(spark):
+    # id schema follows the input (was hardcoded bigint)
+    from k8s_vectordb_sync_spark.operators.similarity import brute_force_topk_vectorized
+
+    emb = spark.createDataFrame(
+        [(f"doc{i}", [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id string, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, query_vec array<float>"
+    )
+    out = brute_force_topk_vectorized(emb, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == ["doc5", "doc4"]
+    assert all(r["query_id"] == "q1" for r in out)
+
+
 def test_dup_clusters_long_chain_converges(spark):
     from k8s_vectordb_sync_spark.operators.dedup import dup_clusters
 

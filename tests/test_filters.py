@@ -119,3 +119,49 @@ def test_change_suppression(spark):
     )
     kept = sorted(r["event_id"] for r in out.collect())
     assert kept == [1, 3, 5, 6]
+
+
+def test_change_suppression_null_state_matches_oracle_predicate(spark):
+    # ADVICE r1: the Spark filter and the DuckDB oracle must agree when the
+    # tracked state is NULL: NULL->NULL repeat suppressed, x->NULL change
+    # kept, first event per key kept even with NULL state.
+    import duckdb
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        ("UPDATE", t(0), "k1", 1, None),    # first event, NULL state -> kept
+        ("UPDATE", t(1), "k1", 2, None),    # NULL -> NULL repeat -> suppressed
+        ("UPDATE", t(2), "k1", 3, "rv1"),   # NULL -> rv1 -> kept
+        ("UPDATE", t(3), "k1", 4, None),    # rv1 -> NULL -> kept
+        ("UPDATE", t(4), "k1", 5, None),    # NULL -> NULL -> suppressed
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_ts timestamp, id string, event_id long, resource_version string"
+    )
+    out = suppress_unchanged_updates(
+        df, state_cols=["resource_version"], tiebreak_cols=["event_id"]
+    )
+    kept = sorted(r["event_id"] for r in out.collect())
+    assert kept == [1, 3, 4]
+
+    # the registered oracles' predicate shape (rn = 1 OR prev IS DISTINCT FROM cur)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (event_type VARCHAR, id VARCHAR, event_id BIGINT, rv VARCHAR)")
+    con.executemany(
+        "INSERT INTO ev VALUES (?, ?, ?, ?)",
+        [(r[0], r[2], r[3], r[4]) for r in rows],
+    )
+    oracle_kept = [
+        r[0]
+        for r in con.execute(
+            """WITH lagged AS (
+                 SELECT event_id, event_type,
+                        row_number() OVER (PARTITION BY id ORDER BY event_id) AS rn,
+                        lag(rv) OVER (PARTITION BY id ORDER BY event_id) AS prev_rv, rv
+                 FROM ev)
+               SELECT event_id FROM lagged
+               WHERE event_type <> 'UPDATE' OR rn = 1 OR prev_rv IS DISTINCT FROM rv
+               ORDER BY event_id"""
+        ).fetchall()
+    ]
+    assert oracle_kept == kept
