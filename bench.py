@@ -40,6 +40,12 @@ BENCH_QUERIES = [
     "tpch_q10_returned_items",
     "tpch_q9_profit",
     "tpch_q18_large_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    "dedup_minhash_clusters",
     "events_sessionization",
     "events_asof_attribution",
     "dedup_minhash_lsh",

@@ -1863,3 +1863,403 @@ def cdc_crd_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         crds.agg(F.count(F.lit(1)).alias("n")).select(F.lit("crd").alias("route"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape completion (round 2): the remaining 9 of the 22 classic shapes,
+# adapted to this star schema (no partsupp/comment/commitdate columns — the
+# same adaptation discipline as q4/q9/q22 above). All output aggregates are
+# exact DECIMAL (order-independent) cast to double at the edge.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN({_DP.format(x='l_extendedprice')}) AS cost
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT c.l_partkey AS p_partkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           n_name, CAST(cost AS DOUBLE) AS supply_cost
+    FROM costs c
+      JOIN supplier ON c.l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    QUALIFY cost = MIN(cost) OVER (PARTITION BY c.l_partkey)""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min supplier selection. The classic
+    correlated subquery (cheapest supplier per part) becomes a window MIN over
+    the per-(part, supplier) cost aggregate — one shuffle on the group key,
+    window reuses the same partitioning. MIN over decimals is exact, so the
+    equality join against the minimum is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p_f = p.filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey")
+    eu_sup = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    costs = (
+        li.join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("best", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("best")
+    )
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "n_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                    THEN {_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE)
+         AS DOUBLE) AS mkt_share
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    GROUP BY year(o_orderdate)""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share by year. The nested volume/total
+    division is a single conditional aggregation — no second pass over
+    lineitem. Both sums are exact decimals; the final division of two exact
+    doubles is IEEE-deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    vol = decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount"))
+    asia_cust = (
+        c.join(F.broadcast(n.withColumnRenamed("n_name", "c_nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "s_nation")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("s_nation") == "NATION_7", vol).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    f"""WITH vals AS (
+      SELECT l_partkey, SUM({_DP.format(x='l_extendedprice')}) AS value
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(value) AS total FROM vals)
+    SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM vals, tot
+    WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.0007""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a fraction of the global total. The
+    global total is a second aggregation over the (already tiny) per-part
+    frame, broadcast back as a 1-row cross join — lineitem is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("value")
+    )
+    total = vals.agg(F.sum("value").alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value").cast("double") > F.col("total").cast("double") * F.lit(0.0007)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. Left outer join
+    keeps zero-order customers (COUNT of a null column is 0 in both engines);
+    the priority filter stands in for the original comment NOT LIKE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""WITH rev AS (
+      SELECT l_suppkey, SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    QUALIFY total_rev = MAX(total_rev) OVER ()""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue — the view
+    + scalar-max subquery becomes a global window MAX over the 100-row
+    per-supplier aggregate (empty partitionBy is safe: the frame is tiny by
+    construction after the group-by). Decimal equality against the max is
+    exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    decp = lambda col: col.cast("decimal(12,2)")
+    decf = lambda col: col.cast("decimal(4,2)")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(decp(F.col("l_extendedprice")) * decf(F.lit(1) - F.col("l_discount"))).alias("total_rev")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("mx", F.max("total_rev").over(w))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) AND s_acctbal >= 0
+    GROUP BY p_brand, p_type, p_size""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group;
+    the negative-balance supplier exclusion stands in for the complaints
+    NOT IN subquery (a broadcast semi-join either way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    p_f = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    good_sup = s.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(good_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    f"""WITH th AS (
+      SELECT l_partkey AS pk,
+             0.2 * (CAST(SUM({_DP.format(x='l_quantity')}) AS DOUBLE) / COUNT(*)) AS threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM({_DP.format(x='l_extendedprice')}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN th ON l_partkey = pk
+    WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM' AND l_quantity < threshold""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20%% of their group's mean quantity. The
+    correlated AVG subquery becomes a per-part aggregate joined back to
+    lineitem (shuffle on the part key both sides). The threshold is computed
+    as exact-decimal-sum / count in double — identical operand values and
+    operation order in both engines, so the float gate is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    th = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("threshold")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                p.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(th, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q20_heavy_supply",
+    f"""WITH qty AS (
+      SELECT l_suppkey, l_partkey, SUM({_DP.format(x='l_quantity')}) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'SMALL' GROUP BY l_suppkey, l_partkey)
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM qty
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE CAST(q AS DOUBLE) > 100.0""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped quantity of a part class
+    exceeds a threshold — the nested IN subqueries become an aggregate +
+    semi-join (distinct) against broadcast dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    qty = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_type") == "SMALL").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .filter(F.col("q").cast("double") > 100.0)
+    )
+    return (
+        qty.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS ns,
+             COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R') AS nr,
+             MIN(l_suppkey) FILTER (WHERE l_returnflag = 'R') AS r_supp
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON r_supp = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND ns >= 2 AND nr = 1
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    GROUP BY s_name""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS (another supplier in the order) + NOT
+    EXISTS (no OTHER supplier failed) pair collapses into one per-order
+    aggregate — distinct-supplier count >= 2 and exactly one distinct
+    'failed' (returnflag R) supplier — instead of two correlated self-joins
+    over lineitem. One shuffle on the order key, then broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    is_r = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("ns"),
+        F.count_distinct(F.when(is_r, F.col("l_suppkey"))).alias("nr"),
+        F.min(F.when(is_r, F.col("l_suppkey"))).alias("r_supp"),
+    )
+    return (
+        per_order.filter((F.col("ns") >= 2) & (F.col("nr") == 1))
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(s), F.col("r_supp") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
