@@ -943,11 +943,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    out = dd.simhash_pairs(docs, max_hamming=8)
+    out = dd.simhash_pairs(docs, max_hamming=3)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 

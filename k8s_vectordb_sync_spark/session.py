@@ -44,6 +44,13 @@ def build_spark(
         # The driver test data stores TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Split even small files into >= one scan partition per core: a
+        # single-file local corpus otherwise arrives as ONE split and every
+        # CPU-bound per-row stage (shingle/minhash/simhash hashing) serializes
+        # on one core. On a real cluster the input is already many splits and
+        # this floor is a no-op; it subsumes ad-hoc repartition() calls, which
+        # cost a full shuffle of the payload to fix the same problem.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
