@@ -55,7 +55,10 @@ def cmd_sync(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_resync(args: argparse.Namespace) -> int:
+def _run_resync(spark, events_dir: str, target_path: str):
+    """Shared full-snapshot reconciliation core (cmd_resync + the ops server's
+    POST /api/v1/resync both call this — the Resyncer role, server.go:16-18).
+    """
     from .api import trigger_resync
     from .operators.debounce import last_state_wins
     from .sources.cdc import events_as_change_stream
@@ -63,8 +66,7 @@ def cmd_resync(args: argparse.Namespace) -> int:
 
     from pyspark.sql import functions as F
 
-    spark = build_spark(app_name="kvs-resync")
-    ch = events_as_change_stream(load_table(spark, args.events_dir, "events"))
+    ch = events_as_change_stream(load_table(spark, events_dir, "events"))
     # The snapshot is the set of LIVE entities: keys whose latest event is a
     # DELETE must not re-enter the target (resync heals drift, it must not
     # resurrect deletions). Resolve latest-per-key first, then drop deletes.
@@ -74,13 +76,44 @@ def cmd_resync(args: argparse.Namespace) -> int:
         .select("id", "event_id", "value")
     )
     try:
-        target = spark.read.parquet(args.target)
+        target = spark.read.parquet(target_path)
     except Exception:
         target = snapshot.limit(0)
     merged, result = trigger_resync(snapshot, target)
-    merged.write.mode("overwrite").parquet(args.target + ".resynced")
+    merged.write.mode("overwrite").parquet(target_path + ".resynced")
+    return result
+
+
+def cmd_resync(args: argparse.Namespace) -> int:
+    spark = build_spark(app_name="kvs-resync")
+    result = _run_resync(spark, args.events_dir, args.target)
     print(json.dumps({"status": result.status, "resources": result.resources, "message": result.message}))
     spark.stop()
+    return 0
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Run the operational HTTP API (POST /api/v1/resync), the analog of the
+    reference's API server wired in cmd/main.go alongside the controller."""
+    from .api_server import OpsServer
+
+    config = EngineConfig.from_env()
+    spark = build_spark(app_name="kvs-ops")
+    server = OpsServer(
+        resync=lambda: _run_resync(spark, args.events_dir, args.target).resources,
+        bind_address=args.bind or config.api_bind_address,
+    )
+    host, port = server.start()
+    print(json.dumps({"listening": f"{host}:{port}"}), flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+        spark.stop()
     return 0
 
 
@@ -106,6 +139,12 @@ def main(argv: list[str] | None = None) -> int:
     p_res.add_argument("--events-dir", required=True)
     p_res.add_argument("--target", required=True)
     p_res.set_defaults(fn=cmd_resync)
+
+    p_srv = sub.add_parser("serve", help="operational HTTP API (POST /api/v1/resync)")
+    p_srv.add_argument("--events-dir", required=True)
+    p_srv.add_argument("--target", required=True)
+    p_srv.add_argument("--bind", default="", help="host:port (default $API_BIND_ADDRESS, :8082)")
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_bq = sub.add_parser("bench-queries", help="list registered queries")
     p_bq.set_defaults(fn=cmd_bench_queries)

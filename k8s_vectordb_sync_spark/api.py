@@ -4,10 +4,10 @@ The reference exposes POST /api/v1/resync (server.go:38,79-97) returning
 {status, resources, message}, plus operational counts (readyCount /
 pendingCount, debounce.go:165-173; WatchedGVRCount, watcher.go:386-390).
 
-Here the engine surface is a plain Python API (`trigger_resync`, `counts`)
-that a thin HTTP wrapper (Flask/FastAPI) would call — the HTTP layer itself
-is deliberately out of scope for the Spark engine (no web framework in this
-container), but the response contract matches.
+Here the engine surface is a plain Python API (`trigger_resync`, `counts`);
+the listening HTTP endpoint lives in ``api_server.OpsServer`` (stdlib
+``http.server``, wired via ``python -m k8s_vectordb_sync_spark serve``) and
+mirrors the reference's response contract.
 """
 
 from __future__ import annotations
