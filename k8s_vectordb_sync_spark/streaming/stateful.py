@@ -136,3 +136,149 @@ def stateful_debounce(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+# Same timer semantics as stateful_debounce, on the forward-path API SURVEY
+# §2.4 names: explicit ValueState + first-class timers instead of the single
+# implicit state/timeout slot. Differences that matter here:
+#   - registerTimer ADDS a timer (it does not replace), so the previous
+#     expiry is stored in state and deleted before the reset — the reference
+#     debouncer's timer.Reset (debounce.go:131-141).
+#   - expired timers carry their expiry; a belt-and-braces equality check
+#     against the stored expiry ignores any stale timer that escaped
+#     deleteTimer (e.g. after a checkpoint restore).
+# State layout appends timer_ms to the applyInPandasWithState schema.
+_TWS_STATE_SCHEMA = (
+    "event_id bigint, value double, ts_ms bigint, deleted boolean, timer_ms bigint"
+)
+
+
+def stateful_debounce_tws(
+    change_stream: DataFrame,
+    gap_ms: int = 10_000,
+    key_col: str = "id",
+    ts_col: str = "event_ts",
+    event_type_col: str = "op_type",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """`stateful_debounce` on transformWithStateInPandas — identical inputs,
+    outputs, and cross-batch event-time consistency guarantees.
+
+    Runtime requirement: the transformWithState Python worker speaks protobuf
+    to the JVM (pyspark.sql.streaming.proto), so ``google.protobuf`` must be
+    importable on executors — environments without it should use
+    ``stateful_debounce`` (the tests probe and skip accordingly).
+    """
+    processor_cls = _make_debounce_processor_class()
+    return (
+        change_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=processor_cls(gap_ms, ts_col, event_type_col),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
+def _make_debounce_processor_class():
+    """Build the StatefulProcessor subclass lazily: the base class import is
+    deferred so environments whose pyspark lacks the transformWithState API
+    still import this module."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class DebounceProcessor(StatefulProcessor):
+        """Per-key debounce as an explicit-timer stateful processor; logic is
+        shared verbatim with stateful_debounce's GroupState closure."""
+
+        def __init__(self, gap_ms: int, ts_col: str, event_type_col: str) -> None:
+            self.gap_ms = gap_ms
+            self.ts_col = ts_col
+            self.event_type_col = event_type_col
+
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.buf = handle.getValueState("buf", _TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (key_id,) = key
+            recs: list[dict[str, Any]] = []
+            for pdf in rows:
+                recs.extend(pdf.to_dict("records"))
+            recs.sort(key=lambda r: (r[self.ts_col], r["event_id"]))
+
+            cur: tuple | None = tuple(self.buf.get()) if self.buf.exists() else None
+            prev_timer = cur[4] if cur is not None else None
+
+            def rank(ts_ms: int, is_delete: bool, event_id: int) -> tuple:
+                return (ts_ms, 1 if is_delete else 0, event_id)
+
+            out: list[dict[str, Any]] = []
+            for r in recs:
+                ts_ms = int(pd.Timestamp(r[self.ts_col]).value // 1_000_000)
+                is_delete = r[self.event_type_col] == "DELETE"
+                event_id = int(r["event_id"])
+                if cur is not None and rank(ts_ms, is_delete, event_id) <= rank(
+                    cur[2], cur[3], cur[0]
+                ):
+                    continue  # out-of-order straggler: the stored state is newer
+                if is_delete:
+                    out.append(
+                        {
+                            "id": key_id,
+                            "event_id": event_id,
+                            "value": r.get("value"),
+                            "ts_ms": ts_ms,
+                            "op": "delete",
+                        }
+                    )
+                    cur = (event_id, r.get("value"), ts_ms, True, None)
+                else:
+                    cur = (event_id, r.get("value"), ts_ms, False, None)
+
+            if cur is not None:
+                new_timer = cur[2] + self.gap_ms
+                if prev_timer is not None and prev_timer != new_timer:
+                    self.handle.deleteTimer(prev_timer)  # timer.Reset analog
+                if prev_timer != new_timer:
+                    self.handle.registerTimer(new_timer)
+                self.buf.update((cur[0], cur[1], cur[2], cur[3], new_timer))
+            if out:
+                yield pd.DataFrame(out)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (key_id,) = key
+            expiry = expired_timer_info.getExpiryTimeInMs()
+            if self.buf.exists():
+                event_id, value, ts_ms, deleted, timer_ms = tuple(self.buf.get())
+                if timer_ms == expiry:
+                    self.buf.clear()
+                    if not deleted:  # tombstones expire silently
+                        yield pd.DataFrame(
+                            [
+                                {
+                                    "id": key_id,
+                                    "event_id": event_id,
+                                    "value": value,
+                                    "ts_ms": ts_ms,
+                                    "op": "upsert",
+                                }
+                            ]
+                        )
+
+        def close(self) -> None:
+            pass
+
+    return DebounceProcessor
+
+
+def __getattr__(name: str):
+    if name == "DebounceProcessor":
+        cls = _make_debounce_processor_class()
+        globals()["DebounceProcessor"] = cls
+        return cls
+    raise AttributeError(name)
