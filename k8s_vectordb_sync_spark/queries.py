@@ -2238,16 +2238,22 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS (no OTHER supplier failed) pair collapses into one per-order
     aggregate — distinct-supplier count >= 2 and exactly one distinct
     'failed' (returnflag R) supplier — instead of two correlated self-joins
-    over lineitem. One shuffle on the order key, then broadcast dims."""
+    over lineitem. The distinct counts are computed as a TWO-LEVEL aggregate
+    (per (order, supplier), then per order): a direct multi-count_distinct
+    would plan an Expand that triples the lineitem shuffle volume, while here
+    the first partial aggregate collapses rows map-side and the second
+    operates on the already-tiny (order, supplier) frame. Broadcast dims."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    is_r = F.col("l_returnflag") == "R"
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("ns"),
-        F.count_distinct(F.when(is_r, F.col("l_suppkey"))).alias("nr"),
-        F.min(F.when(is_r, F.col("l_suppkey"))).alias("r_supp"),
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("has_r").alias("nr"),
+        F.min(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_supp"),
     )
     return (
         per_order.filter((F.col("ns") >= 2) & (F.col("nr") == 1))
