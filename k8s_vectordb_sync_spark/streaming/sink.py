@@ -131,20 +131,24 @@ class CollectingSink:
             ]
             if deletes:
                 self._send({"deletes": deletes, "batch_id": batch_id})
-            upsert_rows = (
+            # toLocalIterator streams the sorted result one partition at a
+            # time: driver memory is bounded by a partition + one chunk, not
+            # the whole micro-batch (an unthrottled resync routed through this
+            # sink would otherwise drive an unbounded collect). Ordering and
+            # chunk contents are identical to a collect()-then-slice.
+            chunk: list = []
+            for r in (
                 ops.filter(F.col("op") == "upsert")
                 .drop("op")
                 .orderBy("event_ts", "id")
-                .collect()
-            )
-            for i in range(0, len(upsert_rows), self.batch_max_size):
-                chunk = upsert_rows[i : i + self.batch_max_size]
-                self._send(
-                    {
-                        "upserts": [r.asDict(recursive=True) for r in chunk],
-                        "batch_id": batch_id,
-                    }
-                )
+                .toLocalIterator()
+            ):
+                chunk.append(r.asDict(recursive=True))
+                if len(chunk) == self.batch_max_size:
+                    self._send({"upserts": chunk, "batch_id": batch_id})
+                    chunk = []
+            if chunk:
+                self._send({"upserts": chunk, "batch_id": batch_id})
         finally:
             ops.unpersist()
 
