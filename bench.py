@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "cdc_scd2_history",
     "embeddings_quantize_int8",
+    "documents_sample_stratified",
+    "text_pii_scrub",
+    "documents_vocab",
+    "documents_bigram_counts",
+    "pipeline_corpus_clean",
 ]
 
 RUNS_PER_QUERY = 2

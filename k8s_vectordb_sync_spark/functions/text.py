@@ -145,3 +145,47 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array_distinct(F.array(F.array_join(toks, " ")))
     )
+
+
+# PII patterns — RE2-compatible (no backreferences / lookaround), so Java
+# regex (Spark) and RE2 (the DuckDB oracle) produce identical replacements.
+PII_PATTERNS = (
+    # (pattern, replacement)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact common PII shapes (emails, NNN-NNN-NNNN phones, IPv4 addresses,
+    SSNs) with typed placeholders — chained regexp_replace, all codegen.
+
+    Order matters: emails first (an address containing digits must not be
+    half-eaten by the numeric rules), then phone before SSN-like (the SSN
+    rule would otherwise claim the middle of a phone number), IP before SSN
+    (dotted quads). The same chain order is mirrored in the SQL oracle.
+    """
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent token pairs ('w1 w2') of the lowercased whitespace tokens.
+
+    zip_with over two shifted slices: each slice is evaluated once per row.
+    (An index-based ``transform(sequence(...), i -> element_at(toks, i))``
+    formulation re-evaluates the tokenization per ELEMENT in interpreted
+    higher-order eval — 100x the regex work on a 50-token doc.)
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - F.lit(1)),
+        F.slice(toks, 2, n - F.lit(1)),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))

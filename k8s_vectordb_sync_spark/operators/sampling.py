@@ -1,0 +1,57 @@
+"""Deterministic sampling operators for training-data curation.
+
+Sampling for a 100 TB corpus must be (a) reproducible across runs/engines —
+so no ``rand()`` — and (b) a pure per-row predicate — so it pushes into the
+scan stage with zero shuffle. Both come from hashing a stable row key: a row
+is kept iff ``md5_60bit(strata ':' key) mod GRAIN < rate * GRAIN``. The md5
+prefix hash matches DuckDB bit-for-bit (functions.text.md5_prefix_long), so
+the oracle reproduces the exact sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_prefix_long
+
+# per-ten-thousand rate grain: rates are exact multiples of 0.01%
+GRAIN = 10_000
+
+
+def sample_hash(strata: Column, key: Column) -> Column:
+    """Uniform [0, GRAIN) hash of (strata, key) — the sampling coin flip."""
+    return F.pmod(
+        md5_prefix_long(F.concat(strata, F.lit(":"), key.cast("string"))),
+        F.lit(GRAIN),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum s with probability ``rates[s]`` (deterministic
+    in the row key). Up/down-weighting sources is the standard knob for
+    training-data mixes; the hash predicate makes every engine and every run
+    agree on the exact surviving row set.
+
+    Scale: a literal-map lookup + hash compare per row — no shuffle, no join,
+    and Catalyst keeps it inside the scan's WholeStageCodegen; a stratum
+    whose rate is 0 still scans (predicate, not partition pruning) — lay the
+    table out partitioned by ``strata_col`` if dropped strata must not be
+    read at all.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        mapping[F.col(strata_col)], F.lit(float(default_rate))
+    )
+    threshold = F.round(rate * GRAIN).cast("bigint")
+    return df.filter(
+        sample_hash(F.col(strata_col), F.col(key_col)) < threshold
+    )

@@ -2269,3 +2269,245 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation surface (round 2): deterministic sampling, PII
+# scrubbing, vocabulary/n-gram statistics, and composed cleaning pipelines.
+# All per-row transforms are codegen'd column expressions; the sampling
+# predicate and dedup survivors reuse the md5-prefix hash discipline so the
+# DuckDB oracles reproduce the EXACT row sets, not just counts.
+# ---------------------------------------------------------------------------
+
+# training-mix rates per source; unlisted sources fall to the default
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_SAMPLE_DEFAULT = 0.05
+
+
+def _sql_sample_threshold() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {round(r * 10000)}" for s, r in _SAMPLE_RATES.items()
+    )
+    return f"CASE source {cases} ELSE {round(_SAMPLE_DEFAULT * 10000)} END"
+
+
+@register(
+    "documents_sample_stratified",
+    f"""SELECT doc_id, source, lang FROM documents
+    WHERE CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+          < {_sql_sample_threshold()}""",
+)
+def documents_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data mix weighting): keep
+    each row of stratum s with rate rates[s], decided by a stable hash of the
+    row key — reproducible across engines and runs, zero shuffle (pure scan
+    predicate inside WholeStageCodegen)."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "source", "lang")
+
+
+def _sql_pii_chain(col: str) -> str:
+    out = col
+    for pat, repl in T.PII_PATTERNS:
+        sql_pat = pat.replace("\\", "\\\\").replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
+@register(
+    "text_pii_scrub",
+    f"SELECT doc_id, {_sql_pii_chain('text')} AS scrubbed FROM documents",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails, NNN-NNN-NNNN phones, IPv4s, SSNs replaced with
+    typed placeholders. RE2-compatible patterns evaluated in the same chain
+    order in both engines (functions.text.scrub_pii docstring has the
+    ordering argument); crafted-PII behavior is pinned by
+    tests/test_curation.py, this query pins engine parity on the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.scrub_pii(F.col("text")).alias("scrubbed"))
+
+
+@register(
+    "documents_vocab",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+    per_doc AS (
+      SELECT term, doc_id, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT term, CAST(SUM(n) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+    FROM per_doc GROUP BY term HAVING CAST(SUM(n) AS BIGINT) >= 5""",
+)
+def documents_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: term frequency + document frequency with a min-count
+    floor. Two-level aggregate — per (term, doc) first, so the distinct doc
+    count needs no count_distinct (no Expand) and both shuffles carry
+    already-combined rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("n").cast("bigint").alias("tf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@register(
+    "documents_bigram_counts",
+    f"""WITH base AS (
+      SELECT source, {SQL_TOKS} AS tk FROM documents),
+    bgs AS (
+      SELECT source, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM base),
+    counts AS (
+      SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bgs GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rnk
+      FROM counts)
+    SELECT source, bigram, n, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5""",
+)
+def documents_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per source: adjacent-pair construction stays an array
+    transform (no explode until counting), then the same two-level
+    partial-agg + window top-k shape as documents_topk_terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    bgs = docs.select(
+        "source", F.explode(T.bigrams(F.col("text"))).alias("bigram")
+    )
+    counts = bgs.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("bigram"))
+    return counts.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 5)
+
+
+@register(
+    "documents_dedup_survivors",
+    f"""WITH RECURSIVE {_sql_minhash_ctes(0.5)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""",
+)
+def documents_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL (the operation a pipeline actually runs): every doc
+    survives except non-representative members of a near-dup cluster (the
+    representative is the min doc_id — same rule as the reference's dedup
+    ratio test, integration_test.go:257-312). Anti-join against the small
+    clusters frame; the corpus itself is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.dup_clusters(dd.minhash_lsh_pairs(docs, threshold=0.5))
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@register(
+    "pipeline_corpus_clean",
+    f"""WITH base AS (
+      SELECT doc_id, source, text, {SQL_TOKS} AS toks,
+             regexp_replace(text, '\\s+', '', 'g') AS nospace
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, toks, text,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
+             ELSE 0.0 END AS stop_ratio,
+        CASE WHEN length(nospace) > 0
+             THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
+             ELSE 0.0 END AS punct_ratio,
+        length(text) AS n_chars_text,
+        len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS s_en,
+        len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+        len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'que', 'los'))) AS s_es,
+        len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS s_fr,
+        len(list_filter(toks, t -> t IN ('de', 'shi', 'le', 'bu', 'wo'))) AS s_zh
+      FROM base),
+    scored AS (
+      SELECT doc_id, source, toks, text,
+             (least(n_chars_text / 500.0, 1.0)
+              + (1.0 - least(punct_ratio * 4.0, 1.0))
+              + least(stop_ratio * 5.0, 1.0)) / 3.0 AS q,
+             (s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh) AS is_en
+      FROM m),
+    kept AS (
+      SELECT doc_id, source, len(toks) AS ntok, {SQL_H15.format(x=SQL_NORM)} AS fp
+      FROM scored WHERE q >= 0.55 AND is_en),
+    reps AS (SELECT fp, MIN(doc_id) AS keep_id FROM kept GROUP BY fp)
+    SELECT k.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.ntok) AS BIGINT) AS n_tokens
+    FROM kept k JOIN reps r ON k.doc_id = r.keep_id
+    GROUP BY k.source""",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate (composite score >= 0.55) ->
+    language filter (detected English) -> exact dedup keeping the min-doc_id
+    representative -> per-source kept-docs / kept-tokens stats.
+
+    Shape notes: the token array is MATERIALIZED once per row (a non-cheap
+    alias referenced many times survives CollapseProject), so the quality
+    ratios and the five language scores filter an in-memory array instead of
+    re-running the tokenizing regex per expression; the representative
+    selection is a min-window over the fingerprint partition rather than a
+    groupBy + self-join (one shuffle, single evaluation of the scored frame).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    base = docs.select(
+        "doc_id", "source", "text", T.tokens(F.col("text")).alias("tk")
+    )
+    ntok = F.size(tk)
+    stop_ratio = F.when(
+        ntok > 0,
+        F.size(F.filter(tk, lambda t: t.isin(*T.STOPWORDS))) / ntok,
+    ).otherwise(F.lit(0.0))
+    nospace = F.regexp_replace(F.col("text"), "\\s+", "")
+    punct_ratio = F.when(
+        F.length(nospace) > 0,
+        F.length(F.regexp_replace(nospace, "[a-zA-Z0-9]", "")) / F.length(nospace),
+    ).otherwise(F.lit(0.0))
+    q = (
+        F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+        + (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0)))
+        + F.least(stop_ratio * 5.0, F.lit(1.0))
+    ) / F.lit(3.0)
+    scores = {
+        lang: F.size(F.filter(tk, lambda t: t.isin(*markers)))
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    langs = sorted(T.LANG_MARKERS)
+    is_en = (scores["en"] > 0) & F.lit(True)
+    for o in langs:
+        if o < "en":
+            is_en = is_en & (scores["en"] > scores[o])
+        elif o > "en":
+            is_en = is_en & (scores["en"] >= scores[o])
+    kept = base.filter((q >= 0.55) & is_en).select(
+        "doc_id", "source", ntok.alias("ntok"), T.fingerprint(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    return (
+        kept.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Training-data curation operators: deterministic stratified sampling, PII
+scrubbing (crafted inputs — the synthetic corpus contains no PII), bigram
+construction edge cases, and the composed cleaning pipeline's invariants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from k8s_vectordb_sync_spark.functions.text import bigrams, scrub_pii
+from k8s_vectordb_sync_spark.operators.sampling import stratified_sample
+
+
+def test_scrub_pii_crafted(spark):
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk for details"),
+        (2, "call 555-867-5309 or 555.867.5309 today"),
+        (3, "server at 192.168.1.254 went down"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "no pii here at all"),
+        (6, "mixed: a@b.io then 10.0.0.1 then 111-22-3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()
+    }
+    assert got[1] == "contact [EMAIL] for details"
+    assert got[2] == "call [PHONE] or [PHONE] today"
+    assert got[3] == "server at [IP] went down"
+    assert got[4] == "ssn [SSN] leaked"
+    assert got[5] == "no pii here at all"
+    assert got[6] == "mixed: [EMAIL] then [IP] then [SSN]"
+
+
+def test_scrub_pii_phone_not_claimed_by_ssn(spark):
+    # a phone matched first must not leave an SSN-shaped remnant
+    df = spark.createDataFrame([(1, "dial 415-555-1234 now")], "doc_id long, text string")
+    assert (
+        df.select(scrub_pii(F.col("text")).alias("s")).first()["s"]
+        == "dial [PHONE] now"
+    )
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out1 = stratified_sample(df, rates, default_rate=0.25)
+    out2 = stratified_sample(df, rates, default_rate=0.25)
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(r["doc_id"] for r in out2.collect())
+    assert ids1 == ids2  # deterministic, not rand()
+
+    by_src = {
+        r["source"]: r["n"]
+        for r in out1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["src0"] == 1000  # rate 1.0 keeps everything
+    assert "src2" not in by_src  # rate 0.0 keeps nothing
+    assert 400 <= by_src["src1"] <= 600  # ~0.5 of 1000
+    assert 150 <= by_src.get("src3", 0) <= 350  # default 0.25 of 1000
+
+
+def test_stratified_sample_is_scan_predicate(spark):
+    df = spark.createDataFrame([(1, "src0")], "doc_id long, source string")
+    plan = (
+        stratified_sample(df, {"src0": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure per-row predicate, no shuffle
+
+
+def test_bigrams_edges(spark):
+    rows = [(1, "a b c"), (2, "solo"), (3, ""), (4, "x  y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", bigrams(F.col("text")).alias("b")).collect()
+    }
+    assert got[1] == ["a b", "b c"]
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == ["x y"]  # empty tokens removed before pairing
+
+
+def test_corpus_clean_pipeline_invariants(spark, sf_dir):
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    out = {r["source"]: r for r in QUERIES["pipeline_corpus_clean"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert out  # gate keeps a non-trivial subset
+    for src, row in out.items():
+        assert 0 < row["n_docs"] <= per_src[src]
+        assert row["n_tokens"] >= row["n_docs"]  # every kept doc has tokens
