@@ -2511,3 +2511,66 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "ann_recall_lsh",
+    f"""WITH bf_q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    bf_base AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bf_scored AS (
+      SELECT query_id, neighbor_id, {SQL_COS.format(a='qv', b='v')} AS score
+      FROM bf_q CROSS JOIN bf_base),
+    bf AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM bf_scored QUALIFY rank <= {ANN_K}),
+    planes(p, w) AS (VALUES {_sql_planes_values()}),
+    l_base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    l_bk AS (
+      SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(v, w) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM l_base CROSS JOIN planes GROUP BY vec_id),
+    l_b2 AS (SELECT b.vec_id, b.v, k.bucket FROM l_base b JOIN l_bk k ON b.vec_id = k.vec_id),
+    l_q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM l_b2 WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    l_scored AS (
+      SELECT l_q.query_id, l_b2.vec_id AS neighbor_id, {SQL_COS.format(a='l_q.qv', b='l_b2.v')} AS score
+      FROM l_q JOIN l_b2 ON l_q.bucket = l_b2.bucket),
+    lsh AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM l_scored QUALIFY rank <= {ANN_K}),
+    hits AS (
+      SELECT bf.query_id, CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS hits
+      FROM bf LEFT JOIN lsh
+        ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT query_id, hits, round(hits / {ANN_K}.0, 4) AS recall FROM hits""",
+)
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the LSH index against the exact
+    brute-force top-k, per query. The hit count is a semi-join of two small
+    top-k frames (both already partitioned by query_id), so the evaluation
+    adds no full-corpus work beyond the two searches it measures — the query
+    a pipeline runs to decide whether an approximate index is good enough to
+    replace the exact scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    bf = sim.brute_force_topk(emb, qdf, k=ANN_K).select("query_id", "neighbor_id")
+    lsh = sim.lsh_topk(emb, qdf, k=ANN_K).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    hits = (
+        bf.join(
+            lsh,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("neighbor_id") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("l_nid").cast("bigint").alias("hits"))
+    )
+    return hits.select(
+        "query_id",
+        "hits",
+        F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall"),
+    )
