@@ -2574,3 +2574,84 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall"),
     )
+
+
+@register(
+    "documents_tfidf_topk",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.n * ln(CAST(n_docs.n AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, round(score, 6) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3""",
+)
+def documents_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf. The document-frequency side is a
+    tiny per-term aggregate joined back (broadcast at any vocabulary that
+    fits; the corpus itself shuffles once on (doc, term)); the corpus size is
+    a 1-row scalar broadcast. Scores are products of identically-computed
+    doubles, so ranking (score desc, term) is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs.select(F.col("n").alias("corpus_n"))))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("n") * F.log(F.col("corpus_n").cast("double") / F.col("df"))).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
+@register(
+    "text_langid_eval",
+    f"""WITH base AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'que', 'los'))) AS s_es,
+             len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS s_fr,
+             len(list_filter(toks, t -> t IN ('de', 'shi', 'le', 'bu', 'wo'))) AS s_zh
+      FROM base),
+    det AS (
+      SELECT doc_id, lang AS actual_lang,
+        CASE WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es > 0 AND s_es > s_de AND s_es > s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr > 0 AND s_fr > s_de AND s_fr > s_en AND s_fr > s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_zh > 0 AND s_zh > s_de AND s_zh > s_en AND s_zh > s_es AND s_zh > s_fr THEN 'zh'
+             ELSE 'und' END AS detected_lang
+      FROM scored)
+    SELECT actual_lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM det GROUP BY 1, 2""",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality evaluation: confusion counts of detected vs stored
+    language — the coverage metric a pipeline inspects before trusting the
+    heuristic as a filter. One pass + a tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            T.detect_language(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("actual_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
