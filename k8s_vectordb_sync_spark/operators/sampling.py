@@ -45,12 +45,11 @@ def stratified_sample(
     table out partitioned by ``strata_col`` if dropped strata must not be
     read at all.
     """
-    mapping = F.create_map(
-        *[F.lit(x) for kv in rates.items() for x in kv]
-    )
-    rate = F.coalesce(
-        mapping[F.col(strata_col)], F.lit(float(default_rate))
-    )
+    if rates:
+        mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+        rate = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default_rate)))
+    else:
+        rate = F.lit(float(default_rate))
     threshold = F.round(rate * GRAIN).cast("bigint")
     return df.filter(
         sample_hash(F.col(strata_col), F.col(key_col)) < threshold

@@ -147,3 +147,61 @@ def test_asof_join_matches_nested_loop_model(spark, left_ts, right_ts):
                 best = (rms, ri)
         model[li] = best[1] if best is not None else None
     assert out == model
+
+
+# ---------------------------------------------------------------------------
+# Curation-operator invariants
+# ---------------------------------------------------------------------------
+
+_sample_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.sampled_from(["sA", "sB", "sC"]),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_sample_rows, r1=st.sampled_from([0.1, 0.3, 0.5]), bump=st.sampled_from([0.2, 0.4]))
+@SETTINGS
+def test_stratified_samples_are_nested(spark, rows, r1, bump):
+    # hash sampling's defining invariant: raising the rate only ADDS rows —
+    # the sample at rate r is a subset of the sample at rate r' > r. (A
+    # rand()-based sampler has no such property; this is what makes the
+    # operator reproducible for training-data ablations.)
+    from k8s_vectordb_sync_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r2 = r1 + bump
+    small = {r["doc_id"] for r in stratified_sample(df, {}, default_rate=r1).collect()}
+    big = {r["doc_id"] for r in stratified_sample(df, {}, default_rate=r2).collect()}
+    assert small <= big
+
+
+_text_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.text(alphabet="ab c", max_size=30),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_text_rows)
+@SETTINGS
+def test_bigram_count_is_tokens_minus_one(spark, rows):
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.functions.text import bigrams, tokens
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        F.size(tokens(F.col("text"))).alias("nt"),
+        F.size(bigrams(F.col("text"))).alias("nb"),
+    ).collect()
+    for r in got:
+        assert r["nb"] == max(r["nt"] - 1, 0)
