@@ -1059,13 +1059,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-def _sql_ivf(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -> str:
+def _sql_ivf_parts(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -> list:
     """Unrolled k-means oracle for IVF: the Spark path is fully deterministic
     (min-id seeds, fixed Lloyd iterations, ties to the lowest cluster index),
     so each assign/update iteration becomes a chained CTE pair. Squared
     euclidean is written as the same elementwise sum both engines fold;
     empty clusters keep their previous centroid (COALESCE over LEFT JOIN),
-    mirroring kmeans_centroids."""
+    mirroring kmeans_centroids. Returns the CTE list ending in `ranked` so
+    both the top-k query and the recall evaluation can share it."""
     d2 = (
         "list_sum(list_transform(range(1, len(b.v) + 1),"
         " i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
@@ -1118,7 +1119,11 @@ def _sql_ivf(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -> str:
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, neighbor_id) AS rank
       FROM scored)""")
-    body = ",\n    ".join(parts)
+    return parts
+
+
+def _sql_ivf(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -> str:
+    body = ",\n    ".join(_sql_ivf_parts(n_clusters, iterations, n_probe))
     return f"""WITH {body}
     SELECT query_id, neighbor_id, round(score, 4) AS score,
            CAST(rank AS BIGINT) AS rank
@@ -2654,4 +2659,56 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("actual_lang", "detected_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _sql_ivf_recall() -> str:
+    parts = _sql_ivf_parts()
+    parts.append(
+        f"ivf AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {ANN_K})"
+    )
+    parts.append(f"""bf_scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {SQL_COS.format(a='q.v', b='b.v')} AS score
+      FROM (SELECT vec_id, v FROM base WHERE vec_id < {ANN_QUERY_MAX_ID}) q
+      CROSS JOIN base b)""")
+    parts.append(f"""bf AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM bf_scored QUALIFY rank <= {ANN_K})""")
+    parts.append("""hits AS (
+      SELECT bf.query_id, CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS hits
+      FROM bf LEFT JOIN ivf
+        ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+      GROUP BY bf.query_id)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT query_id, hits, round(hits / {ANN_K}.0, 4) AS recall FROM hits"""
+
+
+@register("ann_recall_ivf", _sql_ivf_recall())
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (8 clusters, 2 probes) against the exact
+    brute-force top-k — the companion evaluation to ann_recall_lsh, closing
+    the loop on both approximate indexes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    bf = sim.brute_force_topk(emb, qdf, k=ANN_K).select("query_id", "neighbor_id")
+    ivf = sim.ivf_topk(emb, qdf, k=ANN_K, n_clusters=8, n_probe=2).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    hits = (
+        bf.join(
+            ivf,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("neighbor_id") == F.col("i_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("i_nid").cast("bigint").alias("hits"))
+    )
+    return hits.select(
+        "query_id",
+        "hits",
+        F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall"),
     )
