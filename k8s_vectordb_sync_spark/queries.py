@@ -2712,3 +2712,112 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall"),
     )
+
+
+@register(
+    "events_value_percentiles",
+    """SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile` ==
+    DuckDB `quantile_cont`, same linear-interpolation definition, so values
+    match bit-for-bit before rounding). Exact percentiles aggregate a
+    per-value count map — memory scales with DISTINCT values per group, not
+    rows; at 100 TB with high-cardinality doubles, switch to
+    `percentile_approx` (t-digest, bounded memory) and accept ±accuracy —
+    registered exact here because the oracle gate demands engine-identical
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def _sql_training_mix() -> str:
+    """The capstone composition: the `documents` CTE SHADOWS the raw view
+    with the sampled + quality-gated + language-gated + exact-deduped subset,
+    so the shared MinHash CTE chain (and the recursive connected-components
+    closure) runs over exactly the rows the Spark pipeline feeds it."""
+    return f"""WITH RECURSIVE documents AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT d.*,
+               {SQL_H15.format(x=SQL_NORM)} AS fp,
+               MIN(doc_id) OVER (PARTITION BY {SQL_H15.format(x=SQL_NORM)}) AS keep_id
+        FROM (
+          SELECT * FROM (SELECT d0.*, {SQL_TOKS} AS toks,
+                regexp_replace(text, '\\s+', '', 'g') AS nospace
+           FROM (SELECT * FROM documents_raw) d0) d1
+          WHERE CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+                < {_sql_sample_threshold()}
+            AND (least(length(text) / 500.0, 1.0)
+                 + (1.0 - least(CASE WHEN length(nospace) > 0
+                       THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
+                       ELSE 0.0 END * 4.0, 1.0))
+                 + least(CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
+                       ELSE 0.0 END * 5.0, 1.0)) / 3.0 >= 0.55
+        ) d
+      ) dd WHERE doc_id = keep_id),
+    {_sql_minhash_ctes(0.5)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    survivors AS (
+      SELECT d.doc_id, d.source, len({SQL_TOKS}) AS ntok FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM survivors GROUP BY source"""
+
+
+@register(
+    "pipeline_training_mix",
+    # the CTE shadows the table name, so the one raw reference must be
+    # schema-qualified (DuckDB registers the parquet views in `main`)
+    _sql_training_mix().replace("documents_raw", "main.documents", 1),
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline, composed from the engine's own
+    operators: stratified sampling (training mix) -> quality gate -> exact
+    dedup (min-doc_id representative) -> MinHash near-dup removal ->
+    per-source kept-docs/kept-tokens. Every stage is the same operator the
+    standalone queries register, demonstrating the library composes: the
+    sample predicate stays in the scan, the exact dedup is one window, the
+    near-dup stage inherits the banded-LSH plan, and only per-source counts
+    leave the cluster."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(docs, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT)
+    scored = sampled.select(
+        "doc_id", "text", "lang", "source", T.quality_score(F.col("text")).alias("q")
+    ).filter(F.col("q") >= 0.55)
+    w = Window.partitionBy(T.fingerprint(F.col("text")))
+    cleaned = (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text", "lang", "source")
+    )
+    clusters = dd.dup_clusters(dd.minhash_lsh_pairs(cleaned, threshold=0.5))
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = cleaned.join(dropped, "doc_id", "left_anti")
+    return (
+        survivors.select("source", T.token_count_ws(F.col("text")).alias("ntok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
