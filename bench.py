@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "documents_vocab",
     "documents_bigram_counts",
     "pipeline_corpus_clean",
+    "pipeline_training_mix",
+    "events_value_percentiles",
 ]
 
 RUNS_PER_QUERY = 2
