@@ -74,3 +74,38 @@ def test_partitioned_write_prunes(spark, workdir):
     assert "PartitionFilters" in plan
     pf_segment = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "= 2" in pf_segment
+
+
+def test_lsh_index_partitioned_probe_prunes(spark, workdir):
+    # the ANN LSH scale path made concrete: persist the corpus partitioned by
+    # hyperplane bucket, and a probe for one query's bucket prunes to that
+    # partition at listing time — the 1/2^planes read the lsh_topk docstring
+    # promises, verified on the real layout
+    import pyspark.sql.functions as F
+
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        hyperplane_bucket,
+        lsh_planes,
+    )
+
+    dim = 8
+    planes = lsh_planes(dim, n_planes=4)
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.col("id") * i, F.lit(7)) - F.lit(3.0)).cast("double"),
+        ).alias("embedding"),
+    )
+    indexed = emb.withColumn("bucket", hyperplane_bucket("embedding", planes))
+    write_partitioned(indexed, f"{workdir}/lsh_index", ["bucket"])
+
+    back = spark.read.parquet(f"{workdir}/lsh_index")
+    some_bucket = indexed.first()["bucket"]
+    probe = back.filter(F.col("bucket") == some_bucket)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_segment = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert str(some_bucket) in pf_segment
+    # pruned read returns exactly the bucket members
+    assert probe.count() == indexed.filter(F.col("bucket") == some_bucket).count()
