@@ -429,3 +429,58 @@ def test_dup_clusters_raises_when_budget_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(pairs, max_iterations=2)
+
+
+def test_ngram_jaccard_prefix_filter_equals_naive_blocked_join(spark):
+    # prefix filtering must have EXACT recall: J(A,B) >= t implies the sets
+    # share an element among each one's first |s| - ceil(t|s|) + 1 sorted
+    # shingles — verified against the naive within-block all-pairs join
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(0, 80, 2):
+        toks = rng.sample(words, rng.randint(6, 10))
+        near = list(toks)
+        near[-1] = rng.choice(words)  # one-word edit: high but not 1.0 Jaccard
+        src = "s" if i % 3 else "t"
+        rows.append((i, " ".join(toks), src))
+        rows.append((i + 1, " ".join(near), src))
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    from k8s_vectordb_sync_spark.functions.text import shingles as sh_expr
+
+    filtered = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    base = docs.select(
+        F.col("doc_id"),
+        sh_expr(F.col("text"), 3).alias("sh"),
+        F.col("source").alias("blk"),
+        (F.length("text") / F.lit(100)).cast("bigint").alias("lbkt"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.lbkt") == F.col("b.lbkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+            / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .collect()
+    }
+    assert filtered == naive
+    assert len(naive) > 0
