@@ -45,12 +45,23 @@ def stratified_sample(
     table out partitioned by ``strata_col`` if dropped strata must not be
     read at all.
     """
+    # thresholds become integer literals at plan-build time (same Python
+    # round() the SQL-oracle generator uses — a Column-side F.round would
+    # HALF_UP where Python banker's-rounds, silently diverging on tie rates)
+    default_threshold = round(float(default_rate) * GRAIN)
     if rates:
-        mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
-        rate = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default_rate)))
+        mapping = F.create_map(
+            *[
+                F.lit(x)
+                for s, r in rates.items()
+                for x in (s, round(float(r) * GRAIN))
+            ]
+        )
+        threshold = F.coalesce(
+            mapping[F.col(strata_col)], F.lit(default_threshold)
+        ).cast("bigint")
     else:
-        rate = F.lit(float(default_rate))
-    threshold = F.round(rate * GRAIN).cast("bigint")
+        threshold = F.lit(default_threshold).cast("bigint")
     return df.filter(
         sample_hash(F.col(strata_col), F.col(key_col)) < threshold
     )
