@@ -58,10 +58,15 @@ def lsh_planes(dim: int, n_planes: int = LSH_NUM_PLANES) -> list[list[float]]:
 HYPERPLANES: list[list[float]] = lsh_planes(LSH_DIM)
 
 
-def _probe_dim(df: DataFrame, vec_col: str) -> int:
-    """Read one row's vector length — a LIMIT-1 job, cheap at any scale."""
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Read one row's vector length — a LIMIT-1 job, cheap at any scale.
+    Returns None for an EMPTY frame (a legitimate state: a filtered-out
+    partition, a pre-ingestion run); raises only on present-but-invalid
+    vectors, which is a data bug worth failing loudly on."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None or row["d"] is None or row["d"] <= 0:
+    if row is None:
+        return None
+    if row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
     return int(row["d"])
 
@@ -154,7 +159,21 @@ def lsh_topk(
     """
     if dim is None:
         dim = _probe_dim(embeddings, vec_col)
-    q_dim = _probe_dim(queries, query_vec_col)
+    q_dim = _probe_dim(queries, query_vec_col) if dim is not None else None
+    if dim is None or q_dim is None:
+        # empty corpus or empty query set: top-k over nothing is no rows,
+        # not a crash (typed like the normal output)
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("query_id", queries.schema[query_id_col].dataType),
+                StructField("neighbor_id", embeddings.schema[id_col].dataType),
+                StructField("score", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        )
+        return queries.sparkSession.createDataFrame([], schema)
     if q_dim != dim:
         raise ValueError(
             f"query vectors are dim {q_dim} but base embeddings are dim {dim}"

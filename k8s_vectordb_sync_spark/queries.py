@@ -752,6 +752,13 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
+# per-language marker IN-lists for oracle SQL, generated from the single
+# source of truth in functions.text (hand-copied literals desync silently)
+_SQL_MARK = {
+    lang: ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    for lang in T.LANG_MARKERS
+}
+
 
 @register(
     "text_quality",
@@ -2316,9 +2323,13 @@ def documents_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pii_chain(col: str) -> str:
+    # DuckDB single-quoted literals keep backslashes VERBATIM (no escape
+    # processing), so the pattern goes through untouched — doubling the
+    # backslashes here would make RE2 see literal-backslash atoms and match
+    # nothing. Only the quote needs escaping.
     out = col
     for pat, repl in T.PII_PATTERNS:
-        sql_pat = pat.replace("\\", "\\\\").replace("'", "''")
+        sql_pat = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
     return out
 
@@ -2438,11 +2449,11 @@ def documents_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
              ELSE 0.0 END AS punct_ratio,
         length(text) AS n_chars_text,
-        len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS s_en,
-        len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
-        len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'que', 'los'))) AS s_es,
-        len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS s_fr,
-        len(list_filter(toks, t -> t IN ('de', 'shi', 'le', 'bu', 'wo'))) AS s_zh
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['en']}))) AS s_en,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['de']}))) AS s_de,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['es']}))) AS s_es,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['fr']}))) AS s_fr,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['zh']}))) AS s_zh
       FROM base),
     scored AS (
       SELECT doc_id, source, toks, text,
@@ -2629,11 +2640,11 @@ def documents_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH base AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
     scored AS (
       SELECT doc_id, lang,
-             len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS s_en,
-             len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
-             len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'que', 'los'))) AS s_es,
-             len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS s_fr,
-             len(list_filter(toks, t -> t IN ('de', 'shi', 'le', 'bu', 'wo'))) AS s_zh
+             len(list_filter(toks, t -> t IN ({_SQL_MARK['en']}))) AS s_en,
+             len(list_filter(toks, t -> t IN ({_SQL_MARK['de']}))) AS s_de,
+             len(list_filter(toks, t -> t IN ({_SQL_MARK['es']}))) AS s_es,
+             len(list_filter(toks, t -> t IN ({_SQL_MARK['fr']}))) AS s_fr,
+             len(list_filter(toks, t -> t IN ({_SQL_MARK['zh']}))) AS s_zh
       FROM base),
     det AS (
       SELECT doc_id, lang AS actual_lang,

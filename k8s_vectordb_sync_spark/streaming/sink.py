@@ -106,17 +106,26 @@ def send_with_retry(post: Callable[[dict], None], payload: dict, policy: RetryPo
 class CollectingSink:
     """In-memory payload collector — the analog of the reference's e2e mock
     server (test/e2e/mockserver/main.go:18-92): records every payload for
-    assertion; an injectable `post` hook simulates failures."""
+    assertion; an injectable `post` hook simulates failures (or does real
+    HTTP delivery via http_poster).
+
+    ``record`` controls payload retention. Default: record iff there is no
+    real poster — a standing sync stream POSTing through this sink must not
+    grow driver memory by one dict per synced row forever; tests that want
+    both delivery and assertions pass record=True explicitly.
+    """
 
     batch_max_size: int = 50
     policy: RetryPolicy = field(default_factory=RetryPolicy)
     post: Callable[[dict], None] | None = None
     payloads: list[dict] = field(default_factory=list)
+    record: bool | None = None
 
     def _send(self, payload: dict) -> None:
         if self.post is not None:
             send_with_retry(self.post, payload, self.policy)
-        self.payloads.append(payload)
+        if self.record if self.record is not None else self.post is None:
+            self.payloads.append(payload)
 
     def write_batch(self, resolved: DataFrame, batch_id: int) -> None:
         """foreachBatch body: split ops, deletes first (delete priority), then
@@ -193,6 +202,17 @@ def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int 
             exists = True
         except Exception:
             exists = False
+        legacy = exists and "_bucket" not in target.columns
+        if legacy:
+            # legacy flat layout (pre-bucketing): adopt it once by computing
+            # the bucket column on read and merging ALL buckets; the write
+            # below is a one-time full static overwrite that re-lays the
+            # target out as _bucket partitions (and clears the flat files),
+            # after which every batch prunes normally
+            target = target.withColumn("_bucket", bucket_expr)
+            touched = sorted(set(touched) | {
+                r["_bucket"] for r in target.select("_bucket").distinct().collect()
+            })
         if exists:
             sub = target.filter(F.col("_bucket").isin(touched))
             merged = merge_upserts(sub, upserts, key_col)
@@ -205,7 +225,9 @@ def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int 
         merged = merged.localCheckpoint()
         (
             merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            # static for the one-shot legacy migration (truncates the path,
+            # removing the old flat part files); dynamic afterwards
+            .option("partitionOverwriteMode", "static" if legacy else "dynamic")
             .partitionBy("_bucket")
             .parquet(target_path)
         )

@@ -100,3 +100,34 @@ def test_corpus_clean_pipeline_invariants(spark, sf_dir):
     for src, row in out.items():
         assert 0 < row["n_docs"] <= per_src[src]
         assert row["n_tokens"] >= row["n_docs"]  # every kept doc has tokens
+
+
+def test_scrub_pii_oracle_chain_matches_spark_on_crafted_pii(spark):
+    # the corpus has no PII, so query parity alone can't prove the DuckDB
+    # oracle chain works — pin Spark vs DuckDB on strings that DO contain PII
+    import duckdb
+
+    from k8s_vectordb_sync_spark.queries import _sql_pii_chain
+
+    samples = [
+        "contact john.doe+spam@example.co.uk for details",
+        "call 555-867-5309 or 555.867.5309 today",
+        "server at 192.168.1.254 went down",
+        "ssn 123-45-6789 leaked",
+        "mixed: a@b.io then 10.0.0.1 then 111-22-3333",
+        "no pii here",
+    ]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, text string")
+    got_spark = [
+        r["s"]
+        for r in sdf.select("i", scrub_pii(F.col("text")).alias("s")).orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    for i, s in enumerate(samples):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    got_duck = [
+        r[0] for r in con.execute(f"SELECT {_sql_pii_chain('text')} FROM t ORDER BY i").fetchall()
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] == "contact [EMAIL] for details"  # not vacuous

@@ -484,3 +484,23 @@ def test_ngram_jaccard_prefix_filter_equals_naive_blocked_join(spark):
     }
     assert filtered == naive
     assert len(naive) > 0
+
+
+def test_lsh_topk_empty_inputs_yield_empty_result(spark):
+    # an empty corpus (pre-ingestion, filtered-out partition) must return
+    # zero rows with the normal schema, not crash on dim probing
+    from k8s_vectordb_sync_spark.operators.similarity import lsh_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    out = lsh_topk(empty, queries, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+    assert out.count() == 0
+    # and the symmetric case: no queries
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    no_q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    assert lsh_topk(base, no_q, k=3).count() == 0

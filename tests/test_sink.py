@@ -193,6 +193,6 @@ def test_collecting_sink_retry_integration(spark):
             failures["n"] += 1
             raise SinkServerError("flaky")
 
-    sink = CollectingSink(post=flaky, policy=RetryPolicy(sleep=lambda s: None))
+    sink = CollectingSink(post=flaky, policy=RetryPolicy(sleep=lambda s: None), record=True)
     sink.write_batch(df, batch_id=0)
     assert len(sink.payloads) == 1

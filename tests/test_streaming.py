@@ -326,3 +326,29 @@ def test_rate_limited_source_multiple_microbatches(spark, workdir):
     q.awaitTermination(120)
     assert len(batches) == 3  # one micro-batch per file
     assert sorted(x for b in batches for x in b) == ["user/0", "user/1", "user/2"]
+
+
+def test_parquet_sink_adopts_legacy_flat_target(spark, workdir):
+    # a target written by the old flat (un-bucketed) layout must be migrated
+    # in place on the first micro-batch, not crash on the missing _bucket
+    # column; afterwards the layout is _bucket-partitioned and merged state
+    # reflects both the legacy rows and the new batch
+    from k8s_vectordb_sync_spark.streaming.sink import parquet_upsert_sink
+
+    target = f"{workdir}/legacy_target"
+    spark.createDataFrame(
+        [("user/1", 10, 1.0), ("user/2", 11, 2.0)],
+        "id string, event_id long, value double",
+    ).write.parquet(target)
+
+    batch = spark.createDataFrame(
+        [("user/2", 20, 9.0, "upsert"), ("user/3", 21, 3.0, "upsert"),
+         ("user/1", 22, 0.0, "delete")],
+        "id string, event_id long, value double, op string",
+    )
+    parquet_upsert_sink(target)(batch, batch_id=0)
+
+    back = spark.read.parquet(target)
+    assert "_bucket" in back.columns  # migrated layout
+    state = {r["id"]: r["value"] for r in back.collect()}
+    assert state == {"user/2": 9.0, "user/3": 3.0}  # merged + delete applied
