@@ -1073,7 +1073,15 @@ def _sql_ivf_parts(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -
     euclidean is written as the same elementwise sum both engines fold;
     empty clusters keep their previous centroid (COALESCE over LEFT JOIN),
     mirroring kmeans_centroids. Returns the CTE list ending in `ranked` so
-    both the top-k query and the recall evaluation can share it."""
+    both the top-k query and the recall evaluation can share it.
+
+    Caveat on the centroid AVG: both engines average plain doubles, and FP
+    addition is order-sensitive, so a near-tie assignment could in principle
+    flip on a last-ulp centroid difference and cascade through the unrolled
+    iterations. Empirically parity holds at sf0.001/0.01/0.1 (assignments
+    are nowhere near tie-distance on this data); if a future corpus
+    flakes here, the fix is scaling vectors to exact DECIMAL before the
+    mean, per the repo's decimal-sum discipline."""
     d2 = (
         "list_sum(list_transform(range(1, len(b.v) + 1),"
         " i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
