@@ -1,0 +1,67 @@
+"""Benchmark-contamination detection: n-gram overlap between a training
+corpus and an evaluation/benchmark set.
+
+The standard decontamination step of an LLM data pipeline (SURVEY §7
+extension surface): for every training document, count how many of its word
+k-shingles also occur anywhere in the eval set, and flag documents whose
+overlap ratio crosses a threshold.
+
+Scale shape: the eval set is small BY CONSTRUCTION (benchmarks are thousands
+of documents, the corpus is billions), so its distinct hashed-gram set is
+collected into a broadcast hash join side — the corpus-side explode + join +
+per-doc count is one map-side join followed by a single groupBy(doc_id)
+shuffle of pre-combined counts. Grams travel as 60-bit md5-prefix hashes
+(functions.text.md5_prefix_long), never as strings, so the shuffle rows are
+fixed-width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+DEFAULT_NGRAM_K = 5
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = DEFAULT_NGRAM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-training-document eval-set overlap.
+
+    Returns (id, n_grams, n_hits, contamination) where ``n_grams`` is the
+    document's distinct word-k-shingle count, ``n_hits`` how many of those
+    shingles appear in the eval set, and ``contamination`` the ratio rounded
+    to 4 decimals. Every training document appears exactly once (zero-hit
+    docs included, so the output is a complete decontamination report).
+    """
+    eval_grams = (
+        eval_set.select(F.explode(T.shingles(F.col(text_col), k)).alias("g"))
+        .select(T.md5_prefix_long(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    base = train.select(
+        F.col(id_col), T.shingles(F.col(text_col), k).alias("__grams")
+    )
+    train_grams = base.select(
+        id_col, F.explode("__grams").alias("g")
+    ).select(id_col, T.md5_prefix_long(F.col("g")).alias("gh"))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    totals = base.select(id_col, F.size("__grams").cast("bigint").alias("n_grams"))
+    joined = totals.join(hits, id_col, "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return joined.select(
+        id_col,
+        "n_grams",
+        n_hits.alias("n_hits"),
+        F.round(n_hits / F.col("n_grams"), 4).alias("contamination"),
+    )

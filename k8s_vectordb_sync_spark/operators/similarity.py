@@ -430,3 +430,62 @@ def brute_force_topk_vectorized(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_clusters: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
+    embedding space, then compare vectors ONLY within their cluster and keep
+    pairs with cosine >= threshold.
+
+    This is the scale answer to all-pairs semantic dedup: the cluster id is a
+    blocking key, so the self-join is an equi-join shuffled once on
+    ``cluster`` — candidate volume drops from O(n^2) to sum over clusters of
+    O(|c|^2), and at 100 TB the cluster count is raised until each block fits
+    a task (same knob the SemDeDup paper turns). The k-means is the
+    deterministic Lloyd loop from kmeans_centroids (min-id seeds, fixed
+    iterations), so the DuckDB oracle replays it exactly via unrolled CTEs.
+
+    Returns (vec_a, vec_b, cluster, cosine) with cosine rounded to 4.
+    """
+    centroids = kmeans_centroids(
+        embeddings, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
+    assigned = assign_clusters(embeddings, [c for _, c in centroids], vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+        "cluster",
+    )
+    a = assigned.select(
+        F.col("__id").alias("vec_a"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("__id").alias("vec_b"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+        "cluster",
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.round("__cos", 4).alias("cosine"),
+        )
+    )

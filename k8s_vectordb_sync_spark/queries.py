@@ -2840,3 +2840,248 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-prep surface (round 2, cont.): chunking, sequence packing,
+# decontamination, repetition scoring, semantic dedup — the post-cleaning
+# stages of an LLM data pipeline. Same parity discipline: BIGINT counts,
+# round-4 ratios, md5-prefix hashes, epoch-ms timestamps.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _OVL, _STRIDE = 64, 16, 48
+
+
+@register(
+    "documents_chunked",
+    f"""WITH base AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    nz AS (SELECT * FROM base WHERE len(tk) > 0),
+    st AS (
+      SELECT doc_id, tk,
+             unnest(range(0, CAST(greatest(ceil((len(tk) - {_CHUNK}) / {_STRIDE}.0), 0) AS BIGINT) * {_STRIDE} + 1, {_STRIDE})) AS start
+      FROM nz)
+    SELECT doc_id, CAST(start // {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(tk, start + 1, start + {_CHUNK})) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(tk, start + 1, start + {_CHUNK}), ' ') AS chunk_text
+    FROM st""",
+)
+def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16 overlap) — the
+    unit an embedding indexer or context-window packer consumes. Map-side
+    only: tokenize once, explode a sequence of starts, slice — no shuffle,
+    no UDF (operators/chunking.py docstring has the scale argument)."""
+    from .operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVL)
+
+
+_PACK_CAP, _PACK_SHARDS = 256, 8
+
+
+@register(
+    "documents_pack_sequences",
+    f"""WITH base AS (
+      SELECT source AS stratum, CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
+             doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS ntok
+      FROM documents),
+    cum AS (
+      SELECT *, COALESCE(SUM(ntok) OVER (PARTITION BY stratum, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+      FROM base)
+    SELECT stratum, shard, CAST(ce // {_PACK_CAP} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY 1, 2, 3""",
+)
+def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous greedy packing of documents into 256-token training bins,
+    sharded by doc_id % 8 within each source so no window partition owns a
+    whole source at scale (operators/chunking.py::pack_sequences)."""
+    from .operators.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=_PACK_CAP, n_shards=_PACK_SHARDS)
+
+
+_CONTAM_K = 5
+
+
+@register(
+    "documents_contamination",
+    f"""WITH tk AS (SELECT doc_id, {SQL_NTOKS} AS toks FROM documents),
+    gr AS (SELECT doc_id, {_sql_shingles('toks', _CONTAM_K)} AS grams FROM tk),
+    ev AS (SELECT DISTINCT {SQL_H15.format(x='g')} AS gh
+           FROM (SELECT unnest(grams) AS g FROM gr WHERE doc_id % 20 = 0)),
+    tr AS (SELECT doc_id, grams FROM gr WHERE doc_id % 20 <> 0),
+    tg AS (SELECT doc_id, {SQL_H15.format(x='g')} AS gh
+           FROM (SELECT doc_id, unnest(grams) AS g FROM tr)),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM tg JOIN ev USING (gh) GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS BIGINT) / len(t.grams), 4) AS contamination
+    FROM tr t LEFT JOIN hits h USING (doc_id)""",
+)
+def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: 5-gram overlap of every training
+    document (doc_id % 20 != 0) against the eval split (doc_id % 20 == 0).
+    Eval grams broadcast; corpus grams hashed to 60 bits before the join
+    (operators/contamination.py has the scale argument)."""
+    from .operators.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(train, eval_set, k=_CONTAM_K)
+
+
+@register(
+    "documents_repetition",
+    f"""WITH base AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    stats AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CASE WHEN len(tk) > 0 THEN 1.0 - len(list_distinct(tk)) / len(tk)
+                  ELSE 0.0 END AS dup_ratio
+      FROM base),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS b
+           FROM base),
+    bc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    tops AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total FROM bc GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens, round(s.dup_ratio, 4) AS dup_token_ratio,
+           round(COALESCE(t.top_n / t.total, 0.0), 4) AS top_bigram_ratio
+    FROM stats s LEFT JOIN tops t USING (doc_id)""",
+)
+def documents_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token fraction
+    (1 - distinct/total) and most-frequent-bigram share. Token stats are one
+    array expression per row; the bigram mode is a two-level aggregate
+    (per-(doc, bigram) partial counts -> per-doc max/sum) joined back on
+    doc_id — both shuffles carry pre-combined rows, no per-doc O(n^2)
+    higher-order scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    stats = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct("tk")) / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+    bg = docs.select("doc_id", F.explode(T.bigrams(F.col("text"))).alias("b"))
+    bc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    tops = bc.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total")
+    )
+    return stats.join(tops, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round("dup_ratio", 4).alias("dup_token_ratio"),
+        F.round(
+            F.coalesce(F.col("top_n").cast("double") / F.col("total"), F.lit(0.0)), 4
+        ).alias("top_bigram_ratio"),
+    )
+
+
+_SEMANTIC_THRESHOLD = 0.4
+
+
+def _sql_semantic(threshold: float = _SEMANTIC_THRESHOLD) -> str:
+    """Within-kmeans-cluster cosine pairs — shares the unrolled Lloyd CTEs
+    with the IVF oracle up to the final assignment `af`."""
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # ... through af
+    body = ",\n    ".join(parts)
+    cos = SQL_COS.format(a="a.v", b="b.v")
+    return f"""WITH {body}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cluster AS BIGINT) AS cluster, round({cos}, 4) AS cosine
+    FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}"""
+
+
+@register("dedup_semantic", _sql_semantic())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means clusters as blocking
+    keys, cosine compared only within a cluster
+    (operators/similarity.py::semantic_dedup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs(
+        emb, threshold=_SEMANTIC_THRESHOLD, n_clusters=8, iterations=5
+    )
+
+
+_RANGE_JOIN_WINDOW_MS = 3_600_000
+
+
+@register(
+    "events_range_join",
+    f"""WITH s AS (SELECT user_id, event_id AS signup_event_id, epoch_ms(ts) AS ts_ms
+               FROM events WHERE event_type = 'signup'),
+    e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'error')
+    SELECT s.user_id, s.signup_event_id, CAST(COUNT(e.ts_ms) AS BIGINT) AS n_errors
+    FROM s LEFT JOIN e ON e.user_id = s.user_id
+      AND e.ts_ms > s.ts_ms AND e.ts_ms <= s.ts_ms + {_RANGE_JOIN_WINDOW_MS}
+    GROUP BY 1, 2""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: errors within the hour after each signup, per
+    user. The equi key (user_id) carries the shuffle; the range predicate is
+    evaluated inside the join — no cartesian. At scale both sides are
+    pre-filtered scans (pushed predicates) and the error side can be
+    bucketed by user_id for a shuffle-free sort-merge."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.unix_millis("ts").alias("s_ms"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.unix_millis("ts").alias("e_ms")
+    )
+    j = s.join(
+        e,
+        (s["user_id"] == e["e_user"])
+        & (e["e_ms"] > s["s_ms"])
+        & (e["e_ms"] <= s["s_ms"] + _RANGE_JOIN_WINDOW_MS),
+        "left",
+    )
+    return j.groupBy("user_id", "signup_event_id").agg(
+        F.count("e_ms").cast("bigint").alias("n_errors")
+    )
+
+
+@register(
+    "events_cube",
+    """WITH ev AS (SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hr, value
+               FROM events)
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           CAST(COALESCE(hr, -1) AS BIGINT) AS hr,
+           CAST(2 * GROUPING(event_type) + GROUPING(hr) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY CUBE (event_type, hr)""",
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations of event_type x
+    hour-of-day) with an explicit grouping-id bitmask. Hour comes from epoch
+    arithmetic, not calendar functions, so both engines agree regardless of
+    session timezone; value sums go through DECIMAL for order-independence."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_millis("ts") / F.lit(3_600_000)) % 24).alias("hr"),
+        "value",
+    )
+    out = ev.cube("event_type", "hr").agg(
+        (F.grouping("event_type") * 2 + F.grouping("hr")).cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("hr"), F.lit(-1)).cast("bigint").alias("hr"),
+        "gid",
+        "n",
+        "sum_value",
+    )

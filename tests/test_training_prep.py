@@ -1,0 +1,155 @@
+"""Training-prep operators (round-2 extension surface): chunking, sequence
+packing, contamination, repetition signals, semantic dedup — crafted-input
+edge cases the corpus-level parity queries can't isolate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from k8s_vectordb_sync_spark.operators.chunking import chunk_documents, pack_sequences
+from k8s_vectordb_sync_spark.operators.contamination import ngram_contamination
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "a b c")])
+    out = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chunk_id"], r["n_tokens"], r["chunk_text"]) == (0, 3, "a b c")
+
+
+def test_chunking_exact_boundary_no_extra_chunk(spark):
+    # exactly chunk_size tokens -> one chunk, not a trailing overlap-only one
+    df = _docs(spark, [(1, "a b c d")])
+    out = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    assert len(out) == 1
+
+
+def test_chunking_overlap_and_coverage(spark):
+    toks = [f"t{i}" for i in range(10)]
+    df = _docs(spark, [(1, " ".join(toks))])
+    out = sorted(
+        chunk_documents(df, chunk_size=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 2: starts 0,2,4,6 (ceil((10-4)/2)=3 strides) -> 4 chunks
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    # consecutive chunks share exactly `overlap` tokens
+    assert out[0]["chunk_text"].split()[2:] == out[1]["chunk_text"].split()[:2]
+    # every token covered
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(toks)
+
+
+def test_chunking_empty_doc_dropped(spark):
+    df = _docs(spark, [(1, "   "), (2, "x")])
+    out = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_packing_bins_follow_exclusive_prefix_sum(spark):
+    # one stratum, one shard; docs of 3 tokens each, capacity 6:
+    # cum-excl 0,3,6,9 -> bins 0,0,1,1
+    rows = [(i * 8, "w w w", "s") for i in range(4)]  # doc_id % 8 == 0 keeps one shard
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["bin_id"]: r for r in pack_sequences(df, capacity=6, n_shards=8).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 6
+    assert out[1]["first_doc"] == 16 and out[1]["last_doc"] == 24
+
+
+def test_packing_overrun_document_stays_in_current_bin(spark):
+    # doc 2 (5 tokens) starts at cum-excl 4 < capacity 6 -> bin 0 overruns;
+    # doc 3 then starts at 9 -> bin 1 (greedy, order-preserving)
+    rows = [(0, "a a a a", "s"), (8, "b b b b b", "s"), (16, "c", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["bin_id"]: r for r in pack_sequences(df, capacity=6, n_shards=8).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 9
+    assert out[1]["n_docs"] == 1 and out[1]["first_doc"] == 16
+
+
+def test_packing_shards_partition_the_cumsum(spark):
+    # same source, two shards: each shard's cumsum starts at 0
+    rows = [(0, "w w w w w", "s"), (1, "w w w w w", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pack_sequences(df, capacity=4, n_shards=2).collect()
+    assert sorted((r["shard"], r["bin_id"]) for r in out) == [(0, 0), (1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# ngram_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_exact_copy_fully_flagged(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    train = _docs(spark, [(1, text), (2, "completely different words here entirely now")])
+    eval_set = _docs(spark, [(100, text)])
+    out = {r["doc_id"]: r for r in ngram_contamination(train, eval_set, k=3).collect()}
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["n_hits"] == 0 and out[2]["contamination"] == 0.0
+    # complete report: every train doc present
+    assert set(out) == {1, 2}
+
+
+def test_contamination_partial_overlap(spark):
+    # train doc shares its first 5 tokens with eval -> 3 of 6 trigrams hit
+    train = _docs(spark, [(1, "a b c d e x y z")])
+    eval_set = _docs(spark, [(100, "a b c d e")])
+    r = ngram_contamination(train, eval_set, k=3).collect()[0]
+    assert r["n_grams"] == 6 and r["n_hits"] == 3
+    assert r["contamination"] == 0.5
+
+
+def test_contamination_empty_eval_set(spark):
+    train = _docs(spark, [(1, "a b c d")])
+    eval_set = _docs(spark, []).filter(F.lit(False))
+    r = ngram_contamination(train, eval_set, k=3).collect()[0]
+    assert r["n_hits"] == 0 and r["contamination"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_finds_within_cluster_near_dups(spark):
+    from k8s_vectordb_sync_spark.operators.similarity import semantic_dedup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_pairs(df, threshold=0.9, n_clusters=2, iterations=2)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+    # orthogonal vectors never pair
+    assert all(a < b for a, b in pairs)
+    assert (2, 3) not in pairs
