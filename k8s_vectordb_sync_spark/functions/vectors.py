@@ -61,3 +61,25 @@ def quantize_scale(a: Column) -> Column:
     """Dequantization scale for quantize_int8: x ~= q * scale."""
     amax = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
     return amax / F.lit(127.0)
+
+
+def project(a: Column, planes: list[list[float]]) -> Column:
+    """Random projection: map a dim-d vector to len(planes) dims by dotting
+    it with each (deterministic, literal) plane — the Johnson-Lindenstrauss
+    dimensionality-reduction step that makes brute-force ANN affordable on
+    long embeddings (score in the small space, re-rank survivors in the
+    original space).
+
+    Plane components are plan literals, so the whole projection is one
+    codegen expression per row: no join, no shuffle, no UDF. Each dot is a
+    sequential left-to-right fold (matching DuckDB's list_dot_product), and
+    components round to 6 places so both engines emit identical doubles.
+    """
+    return F.array(
+        *[
+            F.round(
+                dot(a, F.array(*[F.lit(float(c)) for c in plane])), 6
+            )
+            for plane in planes
+        ]
+    )

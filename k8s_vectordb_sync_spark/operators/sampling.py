@@ -65,3 +65,53 @@ def stratified_sample(
     return df.filter(
         sample_hash(F.col(strata_col), F.col(key_col)) < threshold
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    token_count: Column,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixture for a training run: weight each
+    stratum s by n_s^alpha / sum_j n_j^alpha (alpha<1 upsamples the tail —
+    the standard multi-source LM mixing rule), and report the effective
+    epochs each stratum sustains at ``token_budget`` total training tokens
+    (epochs > 1 means the source repeats).
+
+    Scale: one partial-aggregated groupBy over the corpus (map-side combine
+    carries (count, sum) pairs), then a scalar total and a broadcast of a
+    handful of stratum rows — the corpus is read once, everything after the
+    first aggregate is O(#strata).
+
+    Determinism: n_s^alpha is a per-group scalar (exact), but the total is a
+    sum of doubles whose order Spark and DuckDB need not agree on — so the
+    scaled counts are rounded to 6 places and summed as DECIMAL(28,6),
+    which is exact and order-independent; both engines then divide the same
+    decimals. alpha=0.5 uses sqrt() (IEEE-exact in both engines) rather
+    than pow().
+    """
+    if alpha == 0.5:
+        scaled = F.sqrt(F.sum(token_count).cast("double"))
+    else:
+        scaled = F.pow(F.sum(token_count).cast("double"), F.lit(float(alpha)))
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count).cast("bigint").alias("n_tokens"),
+        F.round(scaled, 6).cast("decimal(28,6)").alias("scaled"),
+    )
+    total = per.agg(F.sum("scaled").alias("total_scaled"))
+    out = per.crossJoin(F.broadcast(total))
+    # divide as doubles: the decimal inputs are already exact and identical
+    # across engines, IEEE division keeps them identical
+    weight = F.col("scaled").cast("double") / F.col("total_scaled").cast("double")
+    return out.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(
+            F.lit(float(token_budget)) * weight / F.col("n_tokens").cast("double"), 6
+        ).alias("epochs"),
+    )
