@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "pipeline_corpus_clean",
     "pipeline_training_mix",
     "events_value_percentiles",
+    "documents_mixture_weights",
+    "events_winsorized",
+    "embeddings_project_rp",
+    "text_normalize",
 ]
 
 RUNS_PER_QUERY = 2

@@ -126,6 +126,19 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
 
 
+# control characters except \t \n \r (those are whitespace, handled by the
+# collapse step); RE2-compatible so the DuckDB oracle replays it exactly
+CONTROL_CHARS_PATTERN = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def clean_text(text: Column) -> Column:
+    """Cleaning normalization for crawled text: control chars -> space,
+    collapse whitespace runs, trim. Preserves case (unlike normalize_text,
+    which canonicalizes for fingerprints)."""
+    stripped = F.regexp_replace(text, CONTROL_CHARS_PATTERN, " ")
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: 60-bit hash of the normalized text (rolling-hash
     stand-in with exact oracle parity)."""

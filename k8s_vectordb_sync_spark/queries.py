@@ -3085,3 +3085,141 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix accounting, outlier handling, dimensionality reduction, text
+# cleaning (round 2, cont.)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA, _MIX_BUDGET = 0.5, 1_000_000
+
+
+@register(
+    "documents_mixture_weights",
+    f"""WITH per AS (
+      SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens,
+             CAST(round(sqrt(CAST(SUM(len({SQL_TOKS})) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS scaled
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(scaled) AS total_scaled FROM per)
+    SELECT stratum, n_docs, n_tokens,
+           round(CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE), 6) AS weight,
+           round({_MIX_BUDGET}.0 * (CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE))
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM per CROSS JOIN tot""",
+)
+def documents_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source mixture weights and effective
+    epochs at a 1M-token budget — the knob that decides how often each source
+    repeats in a training run (operators/sampling.py::mixture_weights has the
+    scale + FP-determinism argument: scaled counts round to DECIMAL before
+    the order-sensitive total)."""
+    from .operators.sampling import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(
+        docs,
+        F.size(T.tokens(F.col("text"))),
+        alpha=_MIX_ALPHA,
+        token_budget=_MIX_BUDGET,
+    )
+
+
+@register(
+    "events_winsorized",
+    """WITH b AS (
+      SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi), 4) AS DECIMAL(14,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           round(MIN(b.lo), 6) AS p05, round(MAX(b.hi), 6) AS p95
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type""",
+)
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value stats: clip at the exact p05/p95 (Spark
+    `percentile` == DuckDB `quantile_cont`), report the clipped mean and how
+    many rows hit each bound. Two aggregates: the percentile frame is
+    O(#event_types) and broadcast back onto the fact scan, so the corpus is
+    read once and shuffled once. Clipped values round to DECIMAL(14,4)
+    before summing so the mean is order-independent across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4
+    ).cast("decimal(14,4)")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(clipped).cast("double") / F.count(F.lit(1)), 4).alias(
+            "winsorized_mean"
+        ),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(F.min("lo"), 6).alias("p05"),
+        F.round(F.max("hi"), 6).alias("p95"),
+    )
+
+
+def _sql_projection_terms() -> str:
+    terms = []
+    for plane in HYPERPLANES:
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            f"round(list_dot_product(embedding::DOUBLE[], [{lits}]::DOUBLE[]), 6)"
+        )
+    return ", ".join(terms)
+
+
+@register(
+    "embeddings_project_rp",
+    f"""SELECT vec_id, [{_sql_projection_terms()}] AS proj FROM embeddings""",
+)
+def embeddings_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection of the 64-dim embeddings onto the 8 deterministic
+    LSH hyperplanes — Johnson-Lindenstrauss reduction for cheap pre-ranking
+    (functions/vectors.py::project). Pure per-row codegen expression: the
+    planes are plan literals, no join, no shuffle, no UDF; at 100 TB this
+    runs entirely inside the scan stage."""
+    from .functions.vectors import project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", project(F.col("embedding"), HYPERPLANES).alias("proj"))
+
+
+@register(
+    "text_normalize",
+    r"""SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS clean_text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+    FROM documents""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning normalization: strip control characters (keep \\t \\n \\r as
+    collapsible whitespace), collapse whitespace runs, trim — the first
+    transform a crawled corpus goes through. Case is preserved (this is
+    cleaning, not fingerprinting — fingerprint() lowercases separately).
+    Chained regexp_replace, fully codegen; patterns are RE2-compatible so
+    Java regex (Spark) and RE2 (oracle) agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = T.clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+    )

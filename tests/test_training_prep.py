@@ -153,3 +153,72 @@ def test_semantic_dedup_finds_within_cluster_near_dups(spark):
     # orthogonal vectors never pair
     assert all(a < b for a, b in pairs)
     assert (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_weights_sum_to_one_and_upsample_tail(spark):
+    from k8s_vectordb_sync_spark.operators.sampling import mixture_weights
+
+    rows = [(i, "w " * 100, "big") for i in range(16)] + [(100, "w " * 100, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["stratum"]: r
+        for r in mixture_weights(
+            df, F.size(F.split(F.trim(F.col("text")), " ")), token_budget=1000
+        ).collect()
+    }
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    # alpha=0.5: 16x the tokens -> only 4x the weight (sqrt scaling)
+    assert abs(out["big"]["weight"] / out["small"]["weight"] - 4.0) < 1e-4
+    # the small source repeats more often per token than the big one
+    assert out["small"]["epochs"] > out["big"]["epochs"]
+    assert out["big"]["n_docs"] == 16 and out["small"]["n_docs"] == 1
+
+
+def test_mixture_weights_deterministic(spark):
+    from k8s_vectordb_sync_spark.operators.sampling import mixture_weights
+
+    rows = [(i, "x " * (i + 1), f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tok = F.size(F.split(F.trim(F.col("text")), " "))
+    a = sorted(map(tuple, mixture_weights(df, tok).collect()))
+    b = sorted(map(tuple, mixture_weights(df, tok).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# clean_text
+# ---------------------------------------------------------------------------
+
+
+def test_clean_text_strips_control_and_collapses_ws(spark):
+    from k8s_vectordb_sync_spark.functions.text import clean_text
+
+    rows = [
+        (1, "a\x00b\x07c"),          # control chars -> single spaces
+        (2, "  Mixed \t Case\n\n x "),  # ws collapse + trim, case kept
+        (3, "\x1f\x7f"),             # all-control -> empty after trim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["c"] for r in df.select("doc_id", clean_text(F.col("text")).alias("c")).collect()}
+    assert got[1] == "a b c"
+    assert got[2] == "Mixed Case x"
+    assert got[3] == ""
+
+
+# ---------------------------------------------------------------------------
+# project (random projection)
+# ---------------------------------------------------------------------------
+
+
+def test_project_matches_manual_dot(spark):
+    from k8s_vectordb_sync_spark.functions.vectors import project
+
+    planes = [[1.0, 0.0, 2.0], [0.0, -1.0, 0.5]]
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, v array<float>")
+    (row,) = df.select(project(F.col("v"), planes).alias("p")).collect()
+    assert row["p"] == [pytest.approx(7.0), pytest.approx(-0.5)]
