@@ -101,8 +101,15 @@ def mixture_weights(
         F.sum(token_count).cast("bigint").alias("n_tokens"),
         F.round(scaled, 6).cast("decimal(28,6)").alias("scaled"),
     )
-    total = per.agg(F.sum("scaled").alias("total_scaled"))
-    out = per.crossJoin(F.broadcast(total))
+    # total via an unpartitioned window over the per-stratum aggregate: the
+    # frame is O(#strata) rows at this point, so one partition is fine — and
+    # unlike a separate agg + crossJoin it does NOT fork the plan into two
+    # full corpus scans (Spark recomputes unpersisted branches)
+    from pyspark.sql.window import Window
+
+    out = per.withColumn(
+        "total_scaled", F.sum("scaled").over(Window.partitionBy())
+    )
     # divide as doubles: the decimal inputs are already exact and identical
     # across engines, IEEE division keeps them identical
     weight = F.col("scaled").cast("double") / F.col("total_scaled").cast("double")

@@ -3143,10 +3143,12 @@ def documents_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type value stats: clip at the exact p05/p95 (Spark
     `percentile` == DuckDB `quantile_cont`), report the clipped mean and how
-    many rows hit each bound. Two aggregates: the percentile frame is
-    O(#event_types) and broadcast back onto the fact scan, so the corpus is
-    read once and shuffled once. Clipped values round to DECIMAL(14,4)
-    before summing so the mean is order-independent across engines."""
+    many rows hit each bound. Two passes over the fact table — inherent to
+    exact percentiles (the bound must exist before clipping) — but the
+    percentile frame is O(#event_types) and broadcast back onto the second
+    scan, so there is no fact-side shuffle beyond the final tiny aggregate.
+    Clipped values round to DECIMAL(14,4) before summing so the mean is
+    order-independent across engines."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.05)).alias("lo"),
