@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "events_winsorized",
     "embeddings_project_rp",
     "text_normalize",
+    "events_retention_cohorts",
+    "documents_sample_fixed_n",
+    "documents_contamination",
+    "documents_chunked",
 ]
 
 RUNS_PER_QUERY = 2

@@ -44,24 +44,27 @@ def ngram_contamination(
         eval_set.select(F.explode(T.shingles(F.col(text_col), k)).alias("g"))
         .select(T.md5_prefix_long(F.col("g")).alias("gh"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    base = train.select(
-        F.col(id_col), T.shingles(F.col(text_col), k).alias("__grams")
-    )
-    train_grams = base.select(
-        id_col, F.explode("__grams").alias("g")
+    # single corpus pass: explode grams, mark eval membership via the
+    # broadcast left join, then count total and hit grams in ONE aggregate —
+    # an earlier two-branch form (hits agg + join back onto totals) scanned
+    # the training corpus twice and shuffled twice
+    ex = train.select(
+        F.col(id_col), F.explode_outer(T.shingles(F.col(text_col), k)).alias("g")
     ).select(id_col, T.md5_prefix_long(F.col("g")).alias("gh"))
-    hits = (
-        train_grams.join(F.broadcast(eval_grams), "gh")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-    )
-    totals = base.select(id_col, F.size("__grams").cast("bigint").alias("n_grams"))
-    joined = totals.join(hits, id_col, "left")
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
-    return joined.select(
-        id_col,
-        "n_grams",
-        n_hits.alias("n_hits"),
-        F.round(n_hits / F.col("n_grams"), 4).alias("contamination"),
+    flagged = ex.join(F.broadcast(eval_grams), "gh", "left")
+    n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("gh").cast("bigint").alias("n_grams"),
+            n_hits.alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("contamination"),
+        )
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import md5_prefix_long
 
@@ -67,6 +68,35 @@ def stratified_sample(
     )
 
 
+def fixed_size_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Exactly min(N, |stratum|) rows per stratum, deterministically: rank
+    rows inside each stratum by (sampling hash, key) and keep the first N.
+    The hash order is uniform and engine-reproducible, so this is a
+    reproducible uniform sample with a hard size guarantee — what
+    rate-based sampling can't give when a downstream stage needs exactly-N
+    examples per source.
+
+    Scale: one hash-partitioned window per stratum. A dominant stratum puts
+    its whole population through one task's sort; for pathological skew,
+    pre-filter with ``stratified_sample`` at a rate that overshoots N by a
+    safety factor, then rank the survivors — the window then sorts
+    O(N * factor) rows regardless of stratum size.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(strata_col), F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     token_count: Column,
@@ -105,8 +135,6 @@ def mixture_weights(
     # frame is O(#strata) rows at this point, so one partition is fine — and
     # unlike a separate agg + crossJoin it does NOT fork the plan into two
     # full corpus scans (Spark recomputes unpersisted branches)
-    from pyspark.sql.window import Window
-
     out = per.withColumn(
         "total_scaled", F.sum("scaled").over(Window.partitionBy())
     )

@@ -3225,3 +3225,58 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars_raw"),
         F.length(cleaned).cast("bigint").alias("n_chars_clean"),
     )
+
+
+_WEEK_MS = 7 * 86_400_000
+_SAMPLE_N = 20
+
+
+@register(
+    "events_retention_cohorts",
+    f"""WITH b AS (SELECT user_id, epoch_ms(ts) // {_WEEK_MS} AS wk FROM events),
+    c AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM b)
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-activity week,
+    counted in each later week they return — the standard retention triangle.
+    The cohort week comes from a min-window over the user partition (one
+    user-keyed shuffle, shared with nothing else), then a distinct-count per
+    (cohort, offset) cell. Weeks are integer epoch-ms division (`div` /
+    `//`), exact in both engines — no doubles, no calendar functions, no
+    session-timezone sensitivity."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.expr(f"unix_millis(ts) div {_WEEK_MS}").alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    c = base.withColumn("cohort_wk", F.min("wk").over(w))
+    return c.groupBy(
+        F.col("cohort_wk").cast("bigint").alias("cohort_wk"),
+        (F.col("wk") - F.col("cohort_wk")).cast("bigint").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+
+
+@register(
+    "documents_sample_fixed_n",
+    f"""WITH rk AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+                        doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source FROM rk WHERE rk <= {_SAMPLE_N}""",
+)
+def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-source deterministic sample (N=20): hash-ranked
+    row_number inside each source (operators/sampling.py::fixed_size_sample
+    has the skew note — pre-thin with stratified_sample when one stratum
+    dominates)."""
+    from .operators.sampling import fixed_size_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return fixed_size_sample(docs, _SAMPLE_N)

@@ -131,3 +131,29 @@ def test_scrub_pii_oracle_chain_matches_spark_on_crafted_pii(spark):
     ]
     assert got_spark == got_duck
     assert got_spark[0] == "contact [EMAIL] for details"  # not vacuous
+
+
+# ---------------------------------------------------------------------------
+# fixed_size_sample
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_size_sample_exact_n_and_deterministic(spark):
+    from k8s_vectordb_sync_spark.operators.sampling import fixed_size_sample
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = fixed_size_sample(df, 5, key_col="doc_id", strata_col="source")
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"big": 5, "small": 5}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in fixed_size_sample(df, 5).collect())
+    assert a == b
+
+
+def test_fixed_size_sample_small_stratum_returned_whole(spark):
+    from k8s_vectordb_sync_spark.operators.sampling import fixed_size_sample
+
+    df = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id long, source string")
+    assert fixed_size_sample(df, 10).count() == 2
