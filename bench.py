@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "documents_sample_fixed_n",
     "documents_contamination",
     "documents_chunked",
+    "embeddings_pq_codes",
 ]
 
 RUNS_PER_QUERY = 2

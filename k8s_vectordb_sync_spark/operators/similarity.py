@@ -260,23 +260,32 @@ def kmeans_centroids(
     return list(enumerate(centroids))
 
 
-def assign_clusters(
-    embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
-) -> DataFrame:
-    """Map-side nearest-centroid assignment against broadcast literal centroids
-    (no shuffle; whole-stage codegen over zip_with/aggregate expressions)."""
+def nearest_centroid_expr(vec, centroids: list[list[float]]):
+    """Argmin-over-literal-centroids as a single codegen Column expression
+    (strict < comparison: ties go to the lowest cluster index, matching the
+    oracle's ORDER BY distance, cluster)."""
     best_c = F.lit(0)
     best_d = F.lit(float("inf"))
     for ci, cvec in enumerate(centroids):
         c_col = F.array(*[F.lit(float(v)) for v in cvec])
         diffs = F.zip_with(
-            F.col(vec_col), c_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            vec, c_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
         )
         d = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
         take = d < best_d
         best_c = F.when(take, F.lit(ci)).otherwise(best_c)
         best_d = F.when(take, d).otherwise(best_d)
-    return embeddings.withColumn("cluster", best_c)
+    return best_c
+
+
+def assign_clusters(
+    embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-side nearest-centroid assignment against broadcast literal centroids
+    (no shuffle; whole-stage codegen over zip_with/aggregate expressions)."""
+    return embeddings.withColumn(
+        "cluster", nearest_centroid_expr(F.col(vec_col), centroids)
+    )
 
 
 def ivf_topk(
@@ -489,3 +498,58 @@ def semantic_dedup_pairs(
             F.round("__cos", 4).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+PQ_M = 4          # subspaces
+PQ_K = 4          # centroids per subspace codebook
+PQ_ITERATIONS = 3  # Lloyd iterations per codebook
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iterations: int = PQ_ITERATIONS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m`` contiguous
+    subvectors, learn a ``k``-centroid codebook per subspace (the same
+    deterministic min-id-seeded Lloyd loop as IVF), and emit each vector's
+    code word — the IVF-PQ storage layout that makes billion-vector ANN fit
+    in memory (m * log2(k) bits per vector instead of dim * 32).
+
+    Scale shape: codebook training is m small driver-coordinated k-means
+    loops (only k x dim/m floats ever reach the driver); ENCODING is a single
+    select over the corpus — every code column is an argmin over literal
+    centroids on a slice of the vector, all codegen, zero shuffle, zero
+    joins. Asserts dim % m == 0 (anything else silently misaligns slices).
+    """
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        return embeddings.select(
+            F.col(id_col),
+            *[F.lit(0).cast("bigint").alias(f"code{s}") for s in range(m)],
+        )
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    code_cols = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv")
+        )
+        cents = kmeans_centroids(
+            sliced, n_clusters=k, iterations=iterations, vec_col="subv", id_col=id_col
+        )
+        code_cols.append(
+            nearest_centroid_expr(
+                F.slice(F.col(vec_col), s * sub + 1, sub), [c for _, c in cents]
+            )
+            .cast("bigint")
+            .alias(f"code{s}")
+        )
+    return embeddings.select(F.col(id_col), *code_cols)

@@ -3280,3 +3280,66 @@ def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return fixed_size_sample(docs, _SAMPLE_N)
+
+
+def _sql_pq_parts(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64) -> str:
+    """Unrolled product-quantization oracle: one min-id-seeded Lloyd chain per
+    subspace (the _sql_ivf_parts pattern, prefixed s{s}_ and run on
+    list_slice of the vector), ending in per-subspace assignment CTEs that
+    the final select equi-joins on vec_id. Shares the FP caveat documented
+    on _sql_ivf_parts (centroid AVG order-sensitivity; empirically stable)."""
+    sub = dim // m
+    d2 = (
+        "list_sum(list_transform(range(1, len(b.v) + 1),"
+        " i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
+    )
+    parts = []
+    for s in range(m):
+        p = f"s{s}_"
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"{p}b AS (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings)"
+        )
+        parts.append(f"""{p}c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+          FROM (SELECT vec_id, v FROM {p}b ORDER BY vec_id LIMIT {k}))""")
+        for it in range(1, iterations + 1):
+            prev = f"{p}c{it - 1}"
+            parts.append(f"""{p}a{it} AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT b.vec_id, b.v, c.cluster,
+                       row_number() OVER (PARTITION BY b.vec_id
+                                          ORDER BY {d2} ASC, c.cluster ASC) AS rn
+                FROM {p}b b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+            parts.append(f"""{p}u{it} AS (
+              SELECT cluster, list(mn ORDER BY idx) AS c FROM (
+                SELECT cluster, idx, AVG(val) AS mn FROM (
+                  SELECT cluster, unnest(v) AS val,
+                         unnest(range(1, len(v) + 1)) AS idx
+                  FROM {p}a{it}) z
+                GROUP BY cluster, idx) g GROUP BY cluster)""")
+            parts.append(f"""{p}c{it} AS (
+              SELECT pr.cluster, COALESCE(u.c, pr.c) AS c
+              FROM {prev} pr LEFT JOIN {p}u{it} u ON pr.cluster = u.cluster)""")
+        parts.append(f"""{p}af AS (
+          SELECT vec_id, cluster AS code{s} FROM (
+            SELECT b.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {d2} ASC, c.cluster ASC) AS rn
+            FROM {p}b b CROSS JOIN {p}c{iterations} c) t WHERE rn = 1)""")
+    body = ",\n    ".join(parts)
+    joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
+    cols = ", ".join(f"CAST(code{s} AS BIGINT) AS code{s}" for s in range(m))
+    return f"""WITH {body}
+    SELECT vec_id, {cols} FROM s0_af {joins}"""
+
+
+@register("embeddings_pq_codes", _sql_pq_parts())
+def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code words (m=4 subspaces, k=4 codebook entries,
+    3 Lloyd iterations): the IVF-PQ compression layout for billion-vector
+    ANN. Codebooks train on m small driver-coordinated k-means loops;
+    encoding is one shuffle-free select of argmin-over-literal-centroid
+    expressions (operators/similarity.py::pq_codes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_codes(emb)

@@ -504,3 +504,38 @@ def test_lsh_topk_empty_inputs_yield_empty_result(spark):
     )
     no_q = spark.createDataFrame([], "query_id long, query_vec array<double>")
     assert lsh_topk(base, no_q, k=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pq_codes
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_range_and_determinism(spark):
+    from k8s_vectordb_sync_spark.operators.similarity import pq_codes
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_codes(df, m=2, k=3, iterations=2)
+    got = sorted(map(tuple, out.collect()))
+    assert len(got) == 20
+    assert all(0 <= r[1] < 3 and 0 <= r[2] < 3 for r in got)
+    assert got == sorted(map(tuple, pq_codes(df, m=2, k=3, iterations=2).collect()))
+
+
+def test_pq_codes_identical_vectors_share_codes(spark):
+    from k8s_vectordb_sync_spark.operators.similarity import pq_codes
+
+    rows = [(1, [1.0, 0.0, 5.0, 5.0]), (2, [1.0, 0.0, 5.0, 5.0]), (3, [9.0, 9.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["code0"], r["code1"]) for r in pq_codes(df, m=2, k=2, iterations=2).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_pq_codes_dim_not_divisible_raises(spark):
+    from k8s_vectordb_sync_spark.operators.similarity import pq_codes
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codes(df, m=2)
