@@ -534,10 +534,41 @@ def pq_codes(
             F.col(id_col),
             *[F.lit(0).cast("bigint").alias(f"code{s}") for s in range(m)],
         )
+    codebooks = pq_codebooks(embeddings, m, k, iterations, vec_col, id_col, dim=dim)
+    sub = dim // m
+    return embeddings.select(
+        F.col(id_col),
+        *[
+            nearest_centroid_expr(
+                F.slice(F.col(vec_col), s * sub + 1, sub), codebooks[s]
+            )
+            .cast("bigint")
+            .alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iterations: int = PQ_ITERATIONS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (k centroids each) and return them
+    as plain Python lists — small by construction (m * k * dim/m floats), the
+    only thing that ever reaches the driver."""
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        raise ValueError("cannot train PQ codebooks on an empty frame")
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
     sub = dim // m
-    code_cols = []
+    books = []
     for s in range(m):
         sliced = embeddings.select(
             F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv")
@@ -545,11 +576,70 @@ def pq_codes(
         cents = kmeans_centroids(
             sliced, n_clusters=k, iterations=iterations, vec_col="subv", id_col=id_col
         )
-        code_cols.append(
-            nearest_centroid_expr(
-                F.slice(F.col(vec_col), s * sub + 1, sub), [c for _, c in cents]
-            )
-            .cast("bigint")
-            .alias(f"code{s}")
+        books.append([c for _, c in cents])
+    return books
+
+
+def pq_reconstruct_expr(vec, codebooks: list[list[list[float]]], sub: int):
+    """Approximate (quantized) vector: per subspace, the nearest codebook
+    centroid, concatenated back to full length. Pure codegen — the codebooks
+    are nested array literals, the code is an inline argmin, element_at picks
+    the centroid. This is the decode half of asymmetric-distance scoring."""
+    pieces = []
+    for s, book in enumerate(codebooks):
+        code = nearest_centroid_expr(F.slice(vec, s * sub + 1, sub), book)
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in cent]) for cent in book]
         )
-    return embeddings.select(F.col(id_col), *code_cols)
+        pieces.append(F.element_at(book_lit, code + 1))
+    return F.concat(*pieces)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iterations: int = PQ_ITERATIONS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance: the query stays exact,
+    every base vector is scored against its quantized reconstruction. At
+    scale the base side stores only the code words (reconstruction is a
+    literal lookup), so the scan reads m small ints per row instead of the
+    full vector — the memory/IO shape that makes exhaustive scoring of
+    billions of vectors feasible. Same broadcast-queries / map-side-score /
+    per-partition-top-k plan as brute_force_topk."""
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        return brute_force_topk(embeddings, queries, k, id_col, vec_col,
+                                query_id_col, query_vec_col)
+    codebooks = pq_codebooks(
+        embeddings, m, n_codes, iterations, vec_col, id_col, dim=dim
+    )
+    sub = dim // m
+    recon = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct_expr(F.col(vec_col), codebooks, sub).alias("rv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    scored = recon.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("rv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+        )
+    )

@@ -3282,12 +3282,14 @@ def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_size_sample(docs, _SAMPLE_N)
 
 
-def _sql_pq_parts(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64) -> str:
-    """Unrolled product-quantization oracle: one min-id-seeded Lloyd chain per
-    subspace (the _sql_ivf_parts pattern, prefixed s{s}_ and run on
-    list_slice of the vector), ending in per-subspace assignment CTEs that
-    the final select equi-joins on vec_id. Shares the FP caveat documented
-    on _sql_ivf_parts (centroid AVG order-sensitivity; empirically stable)."""
+def _sql_pq_cte_parts(
+    m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64
+) -> list:
+    """Unrolled product-quantization oracle CTEs: one min-id-seeded Lloyd
+    chain per subspace (the _sql_ivf_parts pattern, prefixed s{s}_ and run on
+    list_slice of the vector), ending in per-subspace assignment CTEs
+    s{s}_af(vec_id, code{s}). Shares the FP caveat documented on
+    _sql_ivf_parts (centroid AVG order-sensitivity; empirically stable)."""
     sub = dim // m
     d2 = (
         "list_sum(list_transform(range(1, len(b.v) + 1),"
@@ -3327,11 +3329,60 @@ def _sql_pq_parts(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64) ->
                    row_number() OVER (PARTITION BY b.vec_id
                                       ORDER BY {d2} ASC, c.cluster ASC) AS rn
             FROM {p}b b CROSS JOIN {p}c{iterations} c) t WHERE rn = 1)""")
-    body = ",\n    ".join(parts)
+    return parts
+
+
+def _sql_pq_parts(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64) -> str:
+    body = ",\n    ".join(_sql_pq_cte_parts(m, k, iterations, dim))
     joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
     cols = ", ".join(f"CAST(code{s} AS BIGINT) AS code{s}" for s in range(m))
     return f"""WITH {body}
     SELECT vec_id, {cols} FROM s0_af {joins}"""
+
+
+def _sql_pq_topk(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64) -> str:
+    """Asymmetric-distance PQ search oracle: reconstruct every base vector
+    from its per-subspace codebook centroid (list concat over the final
+    codebook CTEs), score exact queries against the reconstructions, rank."""
+    parts = _sql_pq_cte_parts(m, k, iterations, dim)
+    code_joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
+    parts.append(
+        f"codes AS (SELECT * FROM s0_af {code_joins})"
+    )
+    cat = " || ".join(f"cb{s}.c" for s in range(m))
+    book_joins = " ".join(
+        f"JOIN s{s}_c{iterations} cb{s} ON cb{s}.cluster = cd.code{s}"
+        for s in range(m)
+    )
+    parts.append(f"recon AS (SELECT cd.vec_id, {cat} AS rv FROM codes cd {book_joins})")
+    parts.append(
+        f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID})"""
+    )
+    parts.append(f"""scored AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             {SQL_COS.format(a='q.qv', b='r.rv')} AS score
+      FROM q CROSS JOIN recon r)""")
+    parts.append("""ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT query_id, neighbor_id, round(score, 4) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}"""
+
+
+@register("ann_pq_topk", _sql_pq_topk())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k over PQ-compressed vectors (asymmetric distance:
+    exact query vs quantized base). At 100 TB the base side is stored as m
+    small ints per row — the scan that makes exhaustive scoring of billions
+    of vectors affordable (operators/similarity.py::pq_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.pq_topk(emb, _queries_df(spark, sf_dir), k=ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 @register("embeddings_pq_codes", _sql_pq_parts())
