@@ -65,6 +65,14 @@ def ngram_contamination(
             id_col,
             "n_grams",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("contamination"),
+            # degenerate docs (shorter than k tokens / NULL text) have zero
+            # grams; emit contamination = 0.0 explicitly instead of 0/0,
+            # which is NULL in Spark but NaN in DuckDB (IEEE division)
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hits") / F.col("n_grams"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
         )
     )

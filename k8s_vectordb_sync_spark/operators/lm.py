@@ -1,0 +1,147 @@
+"""Statistical language-model scoring for training-data curation.
+
+Two standard corpus-quality signals built on unigram statistics:
+
+  doc_logprob    mean per-token log-probability under the corpus's own
+                 unigram LM — the cheap stand-in for perplexity filtering
+                 (CCNet-style: drop documents whose tokens are collectively
+                 improbable).
+  dsir_weights   importance weight of each document for a *target* domain:
+                 sum of per-token log-likelihood ratios between a target
+                 unigram LM and the corpus unigram LM (the DSIR recipe —
+                 Data Selection via Importance Resampling — reduced to
+                 hashed-unigram features).
+
+Scale shape: the vocabulary table (one row per distinct token) is tiny
+relative to the corpus — low thousands here, low millions at 100 TB — so
+token->probability lookup is a broadcast hash join against the exploded
+corpus; the corpus is read once per LM and the only corpus-sized shuffle is
+the final pre-combined groupBy(doc_id).
+
+Cross-engine determinism: ln() may differ by 1 ulp between the JVM and
+DuckDB's libm, and the order Spark sums doubles in is plan-dependent — so
+every per-token log term is rounded to 4 decimals and summed as
+DECIMAL(28,4) (exact, order-independent); both engines then divide the same
+decimal by the same integer count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per token OCCURRENCE (not distinct): (id, tok)."""
+    return df.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    )
+
+
+def unigram_logprob(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability.
+
+    Returns (id, n_tokens, mean_logprob) for every document, including
+    zero-token documents (mean_logprob = 0.0 — explicit, engine-agnostic).
+    Probabilities are unsmoothed: every scored token is by construction in
+    the vocabulary (the LM is trained on the same corpus).
+    """
+    toks = _doc_tokens(corpus, text_col, id_col)
+    # vocab with totals: one partial-aggregated groupBy; the grand total
+    # rides along via an unpartitioned window over the O(V) vocab frame
+    # (NOT a second corpus scan)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .select(
+            "tok",
+            F.round(F.log(F.col("cnt") / F.col("total")), 4)
+            .cast("decimal(28,4)")
+            .alias("lp"),
+        )
+    )
+    scored = toks.join(F.broadcast(vocab), "tok")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("lp").alias("lp_sum"),
+    )
+    # left join back onto the full doc set so empty documents still appear
+    base = corpus.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("lp_sum").cast("double") / F.col("n_tokens").cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_logprob"),
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weight per corpus document.
+
+    weight(d) = sum over token occurrences t in d of
+                ln p_target(t) - ln p_corpus(t)
+    with add-one smoothing on BOTH models over the corpus vocabulary (so
+    target-unseen tokens are defined). Higher = more target-like; resample
+    the corpus proportionally to exp(weight) to shift its distribution
+    toward the target domain.
+
+    Returns (id, n_tokens, dsir_logratio), one row per corpus document
+    (zero-token docs get 0.0).
+    """
+    toks = _doc_tokens(corpus, text_col, id_col)
+    t_toks = target.select(F.explode(T.tokens(F.col(text_col))).alias("tok"))
+
+    c_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ccnt"))
+    t_counts = t_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tcnt"))
+    # corpus vocab is the feature space; target counts attach by left join
+    # (missing -> 0, handled by smoothing). Totals + vocab size via windows
+    # over the O(V) frame.
+    stats = (
+        c_counts.join(t_counts, "tok", "left")
+        .withColumn("tcnt", F.coalesce(F.col("tcnt"), F.lit(0)))
+        .withColumn("ctot", F.sum("ccnt").over(Window.partitionBy()))
+        .withColumn("ttot", F.sum("tcnt").over(Window.partitionBy()))
+        .withColumn("vsize", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    lr = F.round(
+        F.log((F.col("tcnt") + 1) / (F.col("ttot") + F.col("vsize")))
+        - F.log((F.col("ccnt") + 1) / (F.col("ctot") + F.col("vsize"))),
+        4,
+    ).cast("decimal(28,4)")
+    lookup = stats.select("tok", lr.alias("lr"))
+
+    scored = toks.join(F.broadcast(lookup), "tok")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("lr").alias("lr_sum"),
+    )
+    base = corpus.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("lr_sum").cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dsir_logratio"),
+    )

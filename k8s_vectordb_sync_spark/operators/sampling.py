@@ -140,13 +140,26 @@ def mixture_weights(
     )
     # divide as doubles: the decimal inputs are already exact and identical
     # across engines, IEEE division keeps them identical
-    weight = F.col("scaled").cast("double") / F.col("total_scaled").cast("double")
+    # zero-guards: a stratum with zero tokens would divide 0/0 (NULL in
+    # Spark, NaN in DuckDB); emit 0.0 explicitly in both engines
+    weight = F.when(
+        F.col("total_scaled") > 0,
+        F.col("scaled").cast("double") / F.col("total_scaled").cast("double"),
+    ).otherwise(F.lit(0.0))
     return out.select(
         "stratum",
         "n_docs",
         "n_tokens",
         F.round(weight, 6).alias("weight"),
-        F.round(
-            F.lit(float(token_budget)) * weight / F.col("n_tokens").cast("double"), 6
-        ).alias("epochs"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.lit(float(token_budget))
+                * weight
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
     )

@@ -222,16 +222,23 @@ def kmeans_centroids(
     Each iteration: broadcast centroids -> assign (map-side argmin) ->
     groupBy(cluster).avg (one shuffle of dim-sized partial sums). Only the
     centroid list (n_clusters x dim floats) ever reaches the driver.
+
+    The (id, vec) projection is persisted for the duration of the loop:
+    every iteration is a fresh Spark job, and without the cache each of the
+    1 + iterations jobs would re-read and re-decode the source parquet (for
+    PQ training, times m subspaces). The projection is its own plan node, so
+    unpersisting it cannot evict a cache the caller owns.
     """
+    work = embeddings.select(id_col, vec_col).persist()
     seed_rows = (
-        embeddings.orderBy(F.col(id_col).asc())
+        work.orderBy(F.col(id_col).asc())
         .limit(n_clusters)
         .select(vec_col)
         .collect()
     )
     centroids = [list(map(float, r[vec_col])) for r in seed_rows]
     for _ in range(iterations):
-        assigned = assign_clusters(embeddings, centroids, vec_col)
+        assigned = assign_clusters(work, centroids, vec_col)
         # Per-dimension mean via posexplode -> groupBy(cluster, idx) -> avg:
         # one aggregate regardless of dim (a per-dimension F.sum column list
         # would be a 1000-column aggregate at dim 1024). collect_list order is
@@ -257,6 +264,7 @@ def kmeans_centroids(
         for r in means:
             new_centroids[r["cluster"]] = [float(v) for v in r["c"]]
         centroids = new_centroids
+    work.unpersist()
     return list(enumerate(centroids))
 
 
@@ -616,8 +624,14 @@ def pq_topk(
     per-partition-top-k plan as brute_force_topk."""
     dim = _probe_dim(embeddings, vec_col)
     if dim is None:
-        return brute_force_topk(embeddings, queries, k, id_col, vec_col,
-                                query_id_col, query_vec_col)
+        # empty corpus: return a typed empty frame (same shape as the scored
+        # path) rather than silently delegating to the exact scorer — the
+        # approximate-vs-exact switch should never be implicit
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        nid_t = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {qid_t}, neighbor_id {nid_t}, score double, rank int"
+        )
     codebooks = pq_codebooks(
         embeddings, m, n_codes, iterations, vec_col, id_col, dim=dim
     )

@@ -2919,9 +2919,11 @@ _CONTAM_K = 5
            FROM (SELECT doc_id, unnest(grams) AS g FROM tr)),
     hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
              FROM tg JOIN ev USING (gh) GROUP BY doc_id)
-    SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
+    SELECT t.doc_id, CAST(COALESCE(len(t.grams), 0) AS BIGINT) AS n_grams,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           round(CAST(COALESCE(h.n_hits, 0) AS BIGINT) / len(t.grams), 4) AS contamination
+           CASE WHEN COALESCE(len(t.grams), 0) > 0
+                THEN round(CAST(COALESCE(h.n_hits, 0) AS BIGINT) / len(t.grams), 4)
+                ELSE 0.0 END AS contamination
     FROM tr t LEFT JOIN hits h USING (doc_id)""",
 )
 def documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3104,9 +3106,13 @@ _MIX_ALPHA, _MIX_BUDGET = 0.5, 1_000_000
       FROM documents GROUP BY source),
     tot AS (SELECT SUM(scaled) AS total_scaled FROM per)
     SELECT stratum, n_docs, n_tokens,
-           round(CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE), 6) AS weight,
-           round({_MIX_BUDGET}.0 * (CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE))
-                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+           round(CASE WHEN total_scaled > 0
+                      THEN CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE)
+                      ELSE 0.0 END, 6) AS weight,
+           CASE WHEN n_tokens > 0 AND total_scaled > 0
+                THEN round({_MIX_BUDGET}.0 * (CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE))
+                           / CAST(n_tokens AS DOUBLE), 6)
+                ELSE 0.0 END AS epochs
     FROM per CROSS JOIN tot""",
 )
 def documents_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3394,3 +3400,119 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (operators/similarity.py::pq_codes)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.pq_codes(emb)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: rule-based quality gate + statistical LM curation signals
+# ---------------------------------------------------------------------------
+
+from .operators import quality as Q  # noqa: E402
+
+
+@register(
+    "documents_quality_rules",
+    f"""WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    st AS (
+      SELECT doc_id, len(tk) AS n,
+        CASE WHEN len(tk) > 0
+             THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+             ELSE 0.0 END AS mwl,
+        CASE WHEN len(tk) > 0
+             THEN len(list_filter(tk, t -> t IN ({_SQL_STOPS}))) / len(tk)
+             ELSE 0.0 END AS sr,
+        CASE WHEN len(tk) > 0
+             THEN 1.0 - len(list_distinct(tk)) / len(tk)
+             ELSE 0.0 END AS dr
+      FROM tk)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           (n >= {Q.MIN_TOKENS} AND n <= {Q.MAX_TOKENS}) AS r_len,
+           (mwl >= {Q.MIN_MEAN_WORD_LEN} AND mwl <= {Q.MAX_MEAN_WORD_LEN}) AS r_wordlen,
+           (sr >= {Q.MIN_STOPWORD_RATIO}) AS r_stop,
+           (dr <= {Q.MAX_DUP_TOKEN_RATIO}) AS r_dup,
+           ((n >= {Q.MIN_TOKENS} AND n <= {Q.MAX_TOKENS})
+            AND (mwl >= {Q.MIN_MEAN_WORD_LEN} AND mwl <= {Q.MAX_MEAN_WORD_LEN})
+            AND (sr >= {Q.MIN_STOPWORD_RATIO})
+            AND (dr <= {Q.MAX_DUP_TOKEN_RATIO})) AS keep
+    FROM st""",
+)
+def documents_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style hard quality gate: per-rule boolean flags (length,
+    mean word length, stopword presence, token repetition) plus the combined
+    keep verdict — the auditable first-pass drop stage of a corpus pipeline.
+    Pure per-row codegen, scan-bound at any scale
+    (operators/quality.py::quality_rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Q.quality_rules(docs)
+
+
+@register(
+    "documents_lm_logprob",
+    f"""WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+    vocab AS (
+      SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok),
+    vl AS (
+      SELECT tok, CAST(round(ln(cnt / (SELECT SUM(cnt) FROM vocab)), 4)
+                       AS DECIMAL(28,4)) AS lp
+      FROM vocab),
+    per AS (
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(v.lp) AS lp_sum
+      FROM occ o JOIN vl v USING (tok) GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN round(CAST(p.lp_sum AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 4)
+                ELSE 0.0 END AS mean_logprob
+    FROM documents d LEFT JOIN per p USING (doc_id)""",
+)
+def documents_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-lite quality signal: mean per-token log-probability of each
+    document under the corpus's own unigram LM (CCNet-style LM filtering).
+    Vocab is a broadcast lookup; log terms round to 4 dp and sum as DECIMAL
+    so both engines agree regardless of summation order
+    (operators/lm.py::unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.lm import unigram_logprob
+
+    return unigram_logprob(docs)
+
+
+@register(
+    "documents_dsir_weights",
+    f"""WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+    cc AS (SELECT tok, COUNT(*) AS ccnt FROM occ GROUP BY tok),
+    tc AS (SELECT tok, COUNT(*) AS tcnt FROM occ WHERE doc_id % 20 = 0 GROUP BY tok),
+    st AS (
+      SELECT c.tok, c.ccnt, COALESCE(t.tcnt, 0) AS tcnt,
+             (SELECT SUM(ccnt) FROM cc) AS ctot,
+             (SELECT SUM(COALESCE(t2.tcnt, 0)) FROM cc c2 LEFT JOIN tc t2 USING (tok)) AS ttot,
+             (SELECT COUNT(*) FROM cc) AS vsize
+      FROM cc c LEFT JOIN tc t USING (tok)),
+    lr AS (
+      SELECT tok, CAST(round(ln((tcnt + 1) / (ttot + vsize))
+                             - ln((ccnt + 1) / (ctot + vsize)), 4)
+                       AS DECIMAL(28,4)) AS lr
+      FROM st),
+    per AS (
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(l.lr) AS lr_sum
+      FROM occ o JOIN lr l USING (tok) GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN round(CAST(p.lr_sum AS DOUBLE), 4)
+                ELSE 0.0 END AS dsir_logratio
+    FROM documents d LEFT JOIN per p USING (doc_id)""",
+)
+def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio between a
+    target-domain unigram LM (docs with doc_id % 20 == 0 — the same held-out
+    split the contamination query uses) and the corpus LM, add-one smoothed
+    over the corpus vocabulary. Resampling the corpus by these weights is
+    the published recipe for shifting a 100 TB crawl toward a target domain
+    without training a model (operators/lm.py::dsir_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.lm import dsir_weights
+
+    target = docs.filter(F.col("doc_id") % 20 == 0)
+    return dsir_weights(docs, target)

@@ -55,9 +55,13 @@ def read_change_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(table_path(sf_dir, "events"))
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(raw.schema["ts"].dataType, LongType):
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         # TIMESTAMP(NANOS) parquet read as long (see sources.tables.load_table)
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # TIMESTAMP(MICROS) without UTC flag; session TZ is UTC (ditto)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return events_as_change_stream(raw)

@@ -37,16 +37,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain `spark.read.parquet`: schema comes from the
     footer, filters/pruning push down automatically.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's timestamp type
-    (microseconds) cannot represent; with spark.sql.legacy.parquet.nanosAsLong
-    it arrives as a long that we floor-divide to micros — the same truncation
-    DuckDB's epoch_ms applies, so both engines see identical instants.
+    `events.ts` has shipped as two physical types across testdata
+    generations: TIMESTAMP(NANOS) (arrives as a long under
+    spark.sql.legacy.parquet.nanosAsLong — floor-divide to micros, the same
+    truncation DuckDB's epoch_ms applies) and TIMESTAMP(MICROS) without UTC
+    adjustment (arrives as TIMESTAMP_NTZ — cast to the session-TZ timestamp;
+    the session is pinned to UTC, so the wall-clock values are reinterpreted
+    as the same instants DuckDB's naive-as-UTC epoch_ms sees). Either way
+    downstream code only ever handles TimestampType.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

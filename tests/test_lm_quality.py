@@ -1,0 +1,83 @@
+"""Unit tests for the statistical-LM curation signals (operators/lm.py) and
+the rule-based quality gate (operators/quality.py): hand-computed expected
+values on tiny corpora plus the degenerate edges (empty text, empty target)
+that the synthetic fixtures never hit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from k8s_vectordb_sync_spark.operators.lm import dsir_weights, unigram_logprob
+from k8s_vectordb_sync_spark.operators.quality import quality_rules
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: "a a b" + "b" -> counts a:2 b:2 total 4, p=0.5 each
+    df = _docs(spark, [(1, "a a b"), (2, "b")])
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    lp = round(math.log(0.5), 4)
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["mean_logprob"] == round(3 * lp / 3, 4)
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["mean_logprob"] == lp
+
+
+def test_unigram_logprob_empty_doc_is_zero(spark):
+    df = _docs(spark, [(1, "x y"), (2, "   ")])
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["mean_logprob"] == 0.0
+    # every input doc appears exactly once
+    assert set(got) == {1, 2}
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    # target doc is pure "ml ml ml"; corpus has an ml-heavy and a web-heavy doc
+    df = _docs(
+        spark,
+        [(0, "ml ml ml"), (1, "ml ml web"), (2, "web web web web")],
+    )
+    target = df.filter(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r["dsir_logratio"] for r in dsir_weights(df, target).collect()}
+    # the ml-heavy doc must score strictly higher than the web-heavy one
+    assert got[0] > got[1] > got[2]
+
+
+def test_dsir_weights_empty_target_defined_by_smoothing(spark):
+    df = _docs(spark, [(1, "a b"), (2, "b c")])
+    target = df.filter(F.col("doc_id") < 0)  # empty
+    out = dsir_weights(df, target).collect()
+    assert len(out) == 2
+    # with an empty target every token has tcnt 0: ratio ln(1/V) - ln((c+1)/(tot+V))
+    assert all(r["dsir_logratio"] is not None for r in out)
+
+
+def test_quality_rules_flags_and_keep(spark):
+    # 46 tokens, all distinct: stopwords present, mean word length ~5.5
+    good = "the a and of to in " + " ".join(f"word{i:02d}" for i in range(40))
+    rows = [
+        (1, good),
+        (2, "word " * 10),          # too short (10 tokens) + all-dup
+        (3, "the " + "x " * 60),    # mean word length too low
+        (4, "a " + "somewhat reasonable " * 20),  # dup ratio too high
+    ]
+    got = {r["doc_id"]: r for r in quality_rules(_docs(spark, rows)).collect()}
+    assert got[1]["keep"] is True and all(
+        got[1][c] for c in ("r_len", "r_wordlen", "r_stop", "r_dup")
+    )
+    assert got[2]["r_len"] is False and got[2]["keep"] is False
+    assert got[3]["r_wordlen"] is False and got[3]["keep"] is False
+    assert got[4]["r_dup"] is False and got[4]["keep"] is False
+
+
+def test_quality_rules_empty_text(spark):
+    got = quality_rules(_docs(spark, [(1, "")])).collect()[0]
+    assert got["n_tokens"] == 0
+    assert got["keep"] is False
