@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "documents_contamination",
     "documents_chunked",
     "embeddings_pq_codes",
+    "documents_quality_rules",
+    "documents_lm_logprob",
+    "documents_dsir_weights",
 ]
 
 RUNS_PER_QUERY = 2

@@ -145,3 +145,50 @@ def dsir_weights(
         .otherwise(F.lit(0.0))
         .alias("dsir_logratio"),
     )
+
+
+def oov_rate(
+    corpus: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a top-N frequency vocab —
+    the tokenizer-coverage check run before committing to a vocabulary size
+    (high OOV = the tokenizer will shred those documents into bytes).
+
+    The vocabulary is the ``vocab_size`` most frequent tokens (ties broken
+    by token string, so the cut is deterministic). Returns
+    (id, n_tokens, n_oov, oov_rate) for every document.
+
+    Scale: token counts are one partial-aggregated groupBy; the top-N cut is
+    a window over the O(V) vocab frame; membership is a broadcast join
+    against the exploded corpus, then one pre-combined groupBy(doc).
+    """
+    toks = _doc_tokens(corpus, text_col, id_col)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= vocab_size)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    base = corpus.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )

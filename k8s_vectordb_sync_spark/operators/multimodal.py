@@ -85,6 +85,55 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_META_SCHEMA)
 
 
+SEGMENT_BYTES = 64
+SEGMENT_HOP = 48
+
+
+def segment_media(
+    media: DataFrame,
+    window: int = SEGMENT_BYTES,
+    hop: int = SEGMENT_HOP,
+) -> DataFrame:
+    """Fixed-size overlapping byte windows over the binary payload — the
+    audio-chunking shape (windowed samples for feature extraction / frame
+    embedding). One output row per segment: (doc_id, seg_idx, seg_start,
+    seg_len, seg_md5), where seg_md5 fingerprints the actual segment bytes.
+
+    All JVM-side: offsets come from sequence+posexplode, the slice is
+    substring over the BINARY column (byte addressed), md5 hashes the raw
+    bytes. No Python in the loop, no driver involvement — per-row fan-out is
+    ceil(byte_len/hop), so a 100 TB corpus segments in one scan-shaped stage.
+
+    Payloads shorter than one window yield a single truncated segment
+    (seg_len = byte_len); empty payloads yield one zero-length segment.
+    """
+    return (
+        media.select(
+            "doc_id",
+            "byte_len",
+            "content",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("byte_len") - window, F.lit(0)),
+                    F.lit(hop),
+                )
+            ).alias("seg_idx", "seg_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("bigint").alias("seg_idx"),
+            F.col("seg_start").cast("bigint").alias("seg_start"),
+            F.least(F.lit(window), F.col("byte_len") - F.col("seg_start"))
+            .cast("bigint")
+            .alias("seg_len"),
+            F.md5(
+                F.expr(f"substring(content, seg_start + 1, {window})")
+            ).alias("seg_md5"),
+        )
+    )
+
+
 def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled frame
     index (explode of a sequence — no Python). Downstream frame extraction

@@ -223,13 +223,14 @@ def kmeans_centroids(
     groupBy(cluster).avg (one shuffle of dim-sized partial sums). Only the
     centroid list (n_clusters x dim floats) ever reaches the driver.
 
-    The (id, vec) projection is persisted for the duration of the loop:
-    every iteration is a fresh Spark job, and without the cache each of the
-    1 + iterations jobs would re-read and re-decode the source parquet (for
-    PQ training, times m subspaces). The projection is its own plan node, so
-    unpersisting it cannot evict a cache the caller owns.
+    Each iteration re-scans the (column-pruned) source rather than caching
+    it: measured on the local corpus, persist() costs more in cache
+    serialization than the pruned parquet re-read saves (8.4 s vs 7.5 s for
+    PQ training at sf0.1, 13.9 s cold), and at cluster scale a corpus worth
+    clustering rarely fits executor storage anyway. Callers that know their
+    frame is small and reused can persist it upstream.
     """
-    work = embeddings.select(id_col, vec_col).persist()
+    work = embeddings.select(id_col, vec_col)
     seed_rows = (
         work.orderBy(F.col(id_col).asc())
         .limit(n_clusters)
@@ -264,7 +265,6 @@ def kmeans_centroids(
         for r in means:
             new_centroids[r["cluster"]] = [float(v) for v in r["c"]]
         centroids = new_centroids
-    work.unpersist()
     return list(enumerate(centroids))
 
 

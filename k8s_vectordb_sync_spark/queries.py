@@ -3516,3 +3516,106 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     target = docs.filter(F.col("doc_id") % 20 == 0)
     return dsir_weights(docs, target)
+
+
+_SEG_WIN, _SEG_HOP = 64, 48
+
+
+@register(
+    "multimodal_segments",
+    f"""WITH media AS (
+      SELECT doc_id, text, strlen(text) AS byte_len FROM documents),
+    segs AS (
+      SELECT doc_id, byte_len, text,
+             unnest(generate_series(0, greatest(byte_len - {_SEG_WIN}, 0), {_SEG_HOP})) AS seg_start
+      FROM media)
+    SELECT doc_id,
+           CAST(seg_start // {_SEG_HOP} AS BIGINT) AS seg_idx,
+           CAST(seg_start AS BIGINT) AS seg_start,
+           CAST(least({_SEG_WIN}, byte_len - seg_start) AS BIGINT) AS seg_len,
+           md5(substring(text, CAST(seg_start + 1 AS INT), {_SEG_WIN})) AS seg_md5
+    FROM segs""",
+)
+def multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size byte windows over binary media payloads (the
+    audio-chunking / frame-embedding prep shape): offsets via
+    sequence+posexplode, byte-addressed substring on the BINARY column, md5
+    fingerprint per segment (operators/multimodal.py::segment_media). The
+    oracle slices the VARCHAR source — byte- and char-addressing agree
+    because the synthetic corpus is ASCII."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.to_media_table(docs)
+    return mm.segment_media(media, window=_SEG_WIN, hop=_SEG_HOP)
+
+
+_OOV_VOCAB = 25
+
+
+@register(
+    "documents_oov_rate",
+    f"""WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM counts
+      ORDER BY cnt DESC, tok ASC LIMIT {_OOV_VOCAB}),
+    per AS (
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM occ o LEFT JOIN vocab v USING (tok) GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN round(p.n_oov / p.n_tokens, 4) ELSE 0.0 END AS oov_rate
+    FROM documents d LEFT JOIN per p USING (doc_id)""",
+)
+def documents_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: per-document out-of-vocabulary rate against
+    the corpus's top-25 frequency vocabulary (ties broken by token string so
+    the cut is reproducible). Broadcast vocab membership + one pre-combined
+    per-doc aggregate (operators/lm.py::oov_rate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.lm import oov_rate
+
+    return oov_rate(docs, vocab_size=_OOV_VOCAB)
+
+
+_SLIDE_SIZE_MS, _SLIDE_HOP_MS = 3_600_000, 900_000
+
+
+@register(
+    "events_sliding_windows",
+    f"""WITH e AS (SELECT epoch_ms(ts) AS t, event_type, value FROM events),
+    k AS (SELECT unnest(generate_series(0, {_SLIDE_SIZE_MS // _SLIDE_HOP_MS - 1})) AS k),
+    wins AS (
+      SELECT ((t // {_SLIDE_HOP_MS}) - k) * {_SLIDE_HOP_MS} AS win_start_ms,
+             event_type, value
+      FROM e CROSS JOIN k)
+    SELECT win_start_ms, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+    FROM wins GROUP BY win_start_ms, event_type""",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 1-hour windows every 15 minutes
+    — each event lands in size/hop = 4 windows. Uses Spark's native
+    F.window(size, slide) (epoch-aligned, same closed form the oracle
+    expands via generate_series); values round to DECIMAL before summing so
+    both engines agree regardless of order. The streaming variant is this
+    exact expression under a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias("__sv"),
+        )
+        .select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+            F.round(F.col("__sv").cast("double"), 4).alias("sum_value"),
+        )
+    )

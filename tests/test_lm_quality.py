@@ -81,3 +81,37 @@ def test_quality_rules_empty_text(spark):
     got = quality_rules(_docs(spark, [(1, "")])).collect()[0]
     assert got["n_tokens"] == 0
     assert got["keep"] is False
+
+
+def test_oov_rate_top_vocab_cut(spark):
+    # tokens: a(3) b(2) c(1) -> vocab_size=2 keeps {a, b}; c is OOV
+    df = _docs(spark, [(1, "a a a b"), (2, "b c")])
+    from k8s_vectordb_sync_spark.operators.lm import oov_rate
+
+    got = {r["doc_id"]: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert got[1]["n_oov"] == 0 and got[1]["oov_rate"] == 0.0
+    assert got[2]["n_oov"] == 1 and got[2]["oov_rate"] == 0.5
+
+
+def test_segment_media_edges(spark):
+    from k8s_vectordb_sync_spark.operators.multimodal import (
+        segment_media,
+        to_media_table,
+    )
+
+    rows = [
+        (1, "x" * 200),  # 200 bytes: offsets 0,48,96 -> greatest(200-64,0)=136 -> 0..136 step 48 = 0,48,96 (144>136)
+        (2, "y" * 10),   # shorter than one window -> single truncated segment
+        (3, ""),         # empty -> one zero-length segment
+    ]
+    media = to_media_table(_docs(spark, rows))
+    segs = segment_media(media, window=64, hop=48)
+    by_doc = {}
+    for r in segs.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [s["seg_start"] for s in sorted(by_doc[1], key=lambda r: r["seg_idx"])] == [0, 48, 96]
+    assert all(s["seg_len"] == 64 for s in by_doc[1][:2])
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["seg_len"] == 10
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["seg_len"] == 0
+    # md5 of identical windows of identical payloads agree
+    assert by_doc[1][0]["seg_md5"] == by_doc[1][1]["seg_md5"]  # both 64x 'x'
