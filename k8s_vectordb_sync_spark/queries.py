@@ -1075,13 +1075,13 @@ def _sql_ivf_parts(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -
     mirroring kmeans_centroids. Returns the CTE list ending in `ranked` so
     both the top-k query and the recall evaluation can share it.
 
-    Caveat on the centroid AVG: both engines average plain doubles, and FP
-    addition is order-sensitive, so a near-tie assignment could in principle
-    flip on a last-ulp centroid difference and cascade through the unrolled
-    iterations. Empirically parity holds at sf0.001/0.01/0.1 (assignments
-    are nowhere near tie-distance on this data); if a future corpus
-    flakes here, the fix is scaling vectors to exact DECIMAL before the
-    mean, per the repo's decimal-sum discipline."""
+    Centroid means are rounded to 6 dp in BOTH engines (here and in
+    kmeans_centroids) before the next assignment step: FP addition is
+    order-sensitive, and an unrounded last-ulp difference between engines
+    (or between Spark plans) could flip a near-tie assignment and cascade
+    through the unrolled iterations. With rounding, divergence requires the
+    true mean to sit within float error of a 0.5e-6 boundary —
+    measure-zero in practice."""
     d2 = (
         "list_sum(list_transform(range(1, len(b.v) + 1),"
         " i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
@@ -1102,7 +1102,7 @@ def _sql_ivf_parts(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -
             FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
         parts.append(f"""u{it} AS (
           SELECT cluster, list(m ORDER BY idx) AS c FROM (
-            SELECT cluster, idx, AVG(val) AS m FROM (
+            SELECT cluster, idx, round(AVG(val), 6) AS m FROM (
               SELECT cluster, unnest(v) AS val,
                      unnest(range(1, len(v) + 1)) AS idx
               FROM a{it}) z
@@ -2828,6 +2828,12 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("keep_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "text", "lang", "source")
+        # two consumers read this frame (the MinHash pair chain and the
+        # survivor anti-join); persist so the sample+quality+dedup-window
+        # prefix runs once. At cluster scale the equivalent move is writing
+        # the cleaned corpus to a staging table between pipeline stages —
+        # which a real multi-day curation run wants anyway for restarts.
+        .persist()
     )
     clusters = dd.dup_clusters(dd.minhash_lsh_pairs(cleaned, threshold=0.5))
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -3294,8 +3300,8 @@ def _sql_pq_cte_parts(
     """Unrolled product-quantization oracle CTEs: one min-id-seeded Lloyd
     chain per subspace (the _sql_ivf_parts pattern, prefixed s{s}_ and run on
     list_slice of the vector), ending in per-subspace assignment CTEs
-    s{s}_af(vec_id, code{s}). Shares the FP caveat documented on
-    _sql_ivf_parts (centroid AVG order-sensitivity; empirically stable)."""
+    s{s}_af(vec_id, code{s}). Shares the 6-dp centroid rounding documented
+    on _sql_ivf_parts (pins both engines' FP-order-sensitive means)."""
     sub = dim // m
     d2 = (
         "list_sum(list_transform(range(1, len(b.v) + 1),"
@@ -3321,7 +3327,7 @@ def _sql_pq_cte_parts(
                 FROM {p}b b CROSS JOIN {prev} c) t WHERE rn = 1)""")
             parts.append(f"""{p}u{it} AS (
               SELECT cluster, list(mn ORDER BY idx) AS c FROM (
-                SELECT cluster, idx, AVG(val) AS mn FROM (
+                SELECT cluster, idx, round(AVG(val), 6) AS mn FROM (
                   SELECT cluster, unnest(v) AS val,
                          unnest(range(1, len(v) + 1)) AS idx
                   FROM {p}a{it}) z
