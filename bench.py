@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "documents_quality_rules",
     "documents_lm_logprob",
     "documents_dsir_weights",
+    "documents_oov_rate",
+    "multimodal_segments",
+    "events_sliding_windows",
+    "events_value_deciles",
+    "events_value_histogram",
+    "dedup_minhash_estimate",
 ]
 
 RUNS_PER_QUERY = 2

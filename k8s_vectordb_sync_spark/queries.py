@@ -3625,3 +3625,93 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__sv").cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate",
+    f"""WITH {_sql_minhash_ctes(0.5)},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, {NUM_MINHASHES} + 1),
+                             i -> sa.sig[i] = sb.sig[i])) / {NUM_MINHASHES} AS est_j,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS exact_j
+      FROM cand c
+      JOIN sigs sa ON c.doc_a = sa.doc_id
+      JOIN sigs sb ON c.doc_b = sb.doc_id
+      JOIN sh a ON c.doc_a = a.doc_id
+      JOIN sh b ON c.doc_b = b.doc_id)
+    SELECT doc_a, doc_b, round(est_j, 4) AS est_jaccard,
+           round(exact_j, 4) AS jaccard,
+           round(abs(est_j - exact_j), 4) AS abs_err
+    FROM est""",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration readout: signature-agreement Jaccard estimate vs
+    exact shingle Jaccard (plus absolute error) for every LSH candidate pair
+    — the check that the NUM_MINHASHES/BAND_SIZE choice is trustworthy
+    before running estimate-only dedup on a corpus too large to verify
+    (operators/dedup.py::minhash_estimate_eval)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_estimate_eval(docs)
+
+
+@register(
+    "events_value_deciles",
+    """WITH r AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi
+    FROM r GROUP BY event_type, decile""",
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value deciles via ntile(10) (deterministic total order:
+    value then event_id) with per-bucket count and bounds — the
+    equal-frequency binning used for score normalization. One window + one
+    pre-combined aggregate; the window partitions by event_type so no
+    global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+_HIST_WIDTH = 25.0
+
+
+@register(
+    "events_value_histogram",
+    f"""SELECT event_type,
+           CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bin,
+           round(CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH}, 2) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, bin""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (width 25): bin index is a
+    pure scalar floor, so the whole operator is one partial-aggregated
+    groupBy — the shuffle carries (type, bin) partial counts only. The
+    equal-frequency companion is events_value_deciles."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(_HIST_WIDTH)).cast("bigint")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("bin") * _HIST_WIDTH, 2).alias("bin_lo"),
+            "n",
+        )
+    )
