@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "events_value_deciles",
     "events_value_histogram",
     "dedup_minhash_estimate",
+    "documents_bigram_logprob",
+    "embeddings_matryoshka",
 ]
 
 RUNS_PER_QUERY = 2

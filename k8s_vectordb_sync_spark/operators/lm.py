@@ -192,3 +192,71 @@ def oov_rate(
         .otherwise(F.lit(0.0))
         .alias("oov_rate"),
     )
+
+
+def bigram_logprob(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability: ln p(w2|w1) averaged over
+    the document's adjacent token pairs, with add-one smoothing over the
+    unigram vocabulary — one order up from unigram_logprob (KenLM-lite),
+    sensitive to word-order scrambling that unigram scoring cannot see.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = distinct-token count.
+    Documents with fewer than 2 tokens report 0.0. Same determinism
+    discipline: each log term rounds to 4 dp and sums as DECIMAL(28,4).
+
+    Scale: bigram and context tables are groupBys over the exploded corpus
+    (bigger than the unigram vocab but still sublinear in corpus size);
+    lookup is a broadcast join keyed on the bigram string.
+    """
+    occ = corpus.select(
+        F.col(id_col), F.explode(T.bigrams(F.col(text_col))).alias("bg")
+    )
+    bg_counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = (
+        bg_counts.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("cbg").alias("cctx"))
+    )
+    vsize = (
+        corpus.select(F.explode(T.tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsize"))
+    )
+    lookup = (
+        bg_counts.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("cbg") + 1) / (F.col("cctx") + F.col("vsize"))), 4
+            )
+            .cast("decimal(28,4)")
+            .alias("lp"),
+        )
+    )
+    per_doc = (
+        occ.join(F.broadcast(lookup), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lp").alias("lp_sum"),
+        )
+    )
+    base = corpus.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("lp_sum").cast("double") / F.col("n_bigrams").cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_bigram_logprob"),
+    )

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from .functions import text as T
 from .functions.vectors import cosine
+from .functions.vectors import norm as vnorm
 from .operators import debounce as dbn
 from .operators import dedup as dd
 from .operators import multimodal as mm
@@ -3714,4 +3715,79 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("bin") * _HIST_WIDTH, 2).alias("bin_lo"),
             "n",
         )
+    )
+
+
+@register(
+    "documents_bigram_logprob",
+    f"""WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM tk),
+    bgc AS (SELECT bg, COUNT(*) AS cbg FROM occ GROUP BY bg),
+    ctx AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(cbg) AS cctx
+            FROM bgc GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vsize
+          FROM (SELECT unnest(tk) AS tok FROM tk)),
+    lookup AS (
+      SELECT bg, CAST(round(ln((cbg + 1) / (cctx + vsize)), 4)
+                      AS DECIMAL(28,4)) AS lp
+      FROM bgc JOIN ctx ON string_split(bgc.bg, ' ')[1] = ctx.w1
+      CROSS JOIN v),
+    per AS (
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(l.lp) AS lp_sum
+      FROM occ o JOIN lookup l USING (bg) GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                THEN round(CAST(p.lp_sum AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE), 4)
+                ELSE 0.0 END AS mean_bigram_logprob
+    FROM documents d LEFT JOIN per p USING (doc_id)""",
+)
+def documents_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-lite: mean bigram conditional log-probability per document,
+    add-one smoothed over the unigram vocabulary — catches word-order
+    scrambling that unigram LM scoring cannot (operators/lm.py::
+    bigram_logprob; same broadcast-lookup + decimal-sum plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.lm import bigram_logprob
+
+    return bigram_logprob(docs)
+
+
+_MATRYOSHKA_DIM = 16
+
+
+@register(
+    "embeddings_matryoshka",
+    f"""WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_slice(embedding::DOUBLE[], 1, {_MATRYOSHKA_DIM}) AS h
+      FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_dot_product(v, v)), 4) AS norm_full,
+           round(sqrt(list_dot_product(h, h)), 4) AS norm_head,
+           CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                THEN round(sqrt(list_dot_product(h, h)) / sqrt(list_dot_product(v, v)), 4)
+                ELSE 0.0 END AS retained
+    FROM base""",
+)
+def embeddings_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per-vector norm of the leading
+    16-dim prefix vs the full 64-dim embedding, and the retained-norm
+    fraction — the readout that says whether prefix-truncated vectors (the
+    cheap storage/serving tier) preserve enough signal. Pure per-row
+    codegen (slice + sequential-fold dot), scan-bound at any scale; the
+    fold order matches DuckDB's list_dot_product so values agree exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    h = F.slice(v, 1, _MATRYOSHKA_DIM)
+    nf = vnorm(v)
+    nh = vnorm(h)
+    return emb.select(
+        "vec_id",
+        F.round(nf, 4).alias("norm_full"),
+        F.round(nh, 4).alias("norm_head"),
+        F.when(nf > 0, F.round(nh / nf, 4)).otherwise(F.lit(0.0)).alias("retained"),
     )
