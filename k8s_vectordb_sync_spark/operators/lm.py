@@ -41,6 +41,17 @@ def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _doc_tokens_outer(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Like _doc_tokens but zero-token documents keep one NULL-token row
+    (explode_outer), so the final groupBy(id) emits every document and no
+    join-back onto the doc table is needed — the join-back costs a
+    corpus-sized sort-merge join (two extra shuffles) that this shape
+    avoids; count(tok) ignores the NULL rows."""
+    return df.select(
+        F.col(id_col), F.explode_outer(T.tokens(F.col(text_col))).alias("tok")
+    )
+
+
 def unigram_logprob(
     corpus: DataFrame,
     text_col: str = "text",
@@ -68,16 +79,17 @@ def unigram_logprob(
             .alias("lp"),
         )
     )
-    scored = toks.join(F.broadcast(vocab), "tok")
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum("lp").alias("lp_sum"),
+    # left join over the OUTER-exploded corpus: zero-token docs ride through
+    # as NULL-token rows, so one groupBy emits every document
+    scored = _doc_tokens_outer(corpus, text_col, id_col).join(
+        F.broadcast(vocab), "tok", "left"
     )
-    # left join back onto the full doc set so empty documents still appear
-    base = corpus.select(id_col)
-    return base.join(per_doc, id_col, "left").select(
+    return scored.groupBy(id_col).agg(
+        F.count("tok").cast("bigint").alias("n_tokens"),
+        F.sum("lp").alias("lp_sum"),
+    ).select(
         id_col,
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        "n_tokens",
         F.when(
             F.col("n_tokens") > 0,
             F.round(
@@ -129,15 +141,15 @@ def dsir_weights(
     ).cast("decimal(28,4)")
     lookup = stats.select("tok", lr.alias("lr"))
 
-    scored = toks.join(F.broadcast(lookup), "tok")
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum("lr").alias("lr_sum"),
+    scored = _doc_tokens_outer(corpus, text_col, id_col).join(
+        F.broadcast(lookup), "tok", "left"
     )
-    base = corpus.select(id_col)
-    return base.join(per_doc, id_col, "left").select(
+    return scored.groupBy(id_col).agg(
+        F.count("tok").cast("bigint").alias("n_tokens"),
+        F.sum("lr").alias("lr_sum"),
+    ).select(
         id_col,
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        "n_tokens",
         F.when(
             F.col("n_tokens") > 0,
             F.round(F.col("lr_sum").cast("double"), 4),
@@ -173,18 +185,21 @@ def oov_rate(
         .filter(F.col("__rk") <= vocab_size)
         .select("tok", F.lit(1).alias("__in"))
     )
-    flagged = toks.join(F.broadcast(vocab), "tok", "left")
-    per_doc = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+    flagged = _doc_tokens_outer(corpus, text_col, id_col).join(
+        F.broadcast(vocab), "tok", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("tok").cast("bigint").alias("n_tokens"),
+        # NULL-token rows (zero-token docs) must not count as OOV
+        F.sum(
+            F.when(F.col("tok").isNotNull() & F.col("__in").isNull(), 1).otherwise(0)
+        )
         .cast("bigint")
         .alias("n_oov"),
-    )
-    base = corpus.select(id_col)
-    return base.join(per_doc, id_col, "left").select(
+    ).select(
         id_col,
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
-        F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+        "n_tokens",
+        "n_oov",
         F.when(
             F.col("n_tokens") > 0,
             F.round(F.col("n_oov") / F.col("n_tokens"), 4),
@@ -238,25 +253,30 @@ def bigram_logprob(
             .alias("lp"),
         )
     )
-    per_doc = (
-        occ.join(F.broadcast(lookup), "bg")
+    # OUTER-exploded bigrams: sub-2-token docs keep a NULL row so one
+    # groupBy emits every document (no join-back onto the doc table)
+    occ_outer = corpus.select(
+        F.col(id_col), F.explode_outer(T.bigrams(F.col(text_col))).alias("bg")
+    )
+    return (
+        occ_outer.join(F.broadcast(lookup), "bg", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.count("bg").cast("bigint").alias("n_bigrams"),
             F.sum("lp").alias("lp_sum"),
         )
-    )
-    base = corpus.select(id_col)
-    return base.join(per_doc, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
-        F.when(
-            F.col("n_bigrams") > 0,
-            F.round(
-                F.col("lp_sum").cast("double") / F.col("n_bigrams").cast("double"),
-                4,
-            ),
+        .select(
+            id_col,
+            "n_bigrams",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.col("lp_sum").cast("double")
+                    / F.col("n_bigrams").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_bigram_logprob"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("mean_bigram_logprob"),
     )
