@@ -352,3 +352,59 @@ def test_parquet_sink_adopts_legacy_flat_target(spark, workdir):
     assert "_bucket" in back.columns  # migrated layout
     state = {r["id"]: r["value"] for r in back.collect()}
     assert state == {"user/2": 9.0, "user/3": 3.0}  # merged + delete applied
+
+
+def test_streaming_sliding_window_agg_matches_batch(spark, workdir):
+    """The hopping-window aggregation (events_sliding_windows' expression)
+    under readStream + watermark produces exactly the batch result once all
+    input is processed — each event contributes to size/hop windows."""
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, _t(0), 1, "view", 10.0, None),
+        (2, _t(10 * 60_000), 1, "view", 20.0, None),   # +10min
+        (3, _t(70 * 60_000), 2, "click", 5.0, None),   # +70min
+        (4, _t(200 * 60_000), 2, "view", 1.0, None),   # +200min
+    ]
+    src = f"{workdir}/events"
+    _write_events(spark, src, rows)
+
+    def windowed(df):
+        return (
+            df.groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias("sv"),
+            )
+            .select(
+                F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+                "event_type",
+                "n",
+                F.col("sv").cast("double").alias("sum_value"),
+            )
+        )
+
+    batch = {
+        (r["win_start_ms"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed(spark.read.parquet(src)).collect()
+    }
+    # every event lands in exactly 4 hopping windows
+    assert sum(n for n, _ in batch.values()) == 4 * len(rows)
+
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        windowed(raw.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt-slide")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start_ms"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    assert got == batch
