@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "documents_bigram_logprob",
     "embeddings_matryoshka",
+    "dedup_incremental",
+    "documents_global_topk_quality",
 ]
 
 RUNS_PER_QUERY = 2

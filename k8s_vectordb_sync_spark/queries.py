@@ -3791,3 +3791,78 @@ def embeddings_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nh, 4).alias("norm_head"),
         F.when(nf > 0, F.round(nh / nf, 4)).otherwise(F.lit(0.0)).alias("retained"),
     )
+
+
+@register(
+    "dedup_incremental",
+    f"""WITH fp AS (
+      SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents),
+    hist AS (
+      SELECT fp, MIN(doc_id) AS matched_doc FROM fp
+      WHERE doc_id % 4 <> 0 GROUP BY fp),
+    new AS (SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 0)
+    SELECT n.doc_id, h.fp IS NOT NULL AS is_dup,
+           CAST(h.matched_doc AS BIGINT) AS matched_doc
+    FROM new n LEFT JOIN hist h USING (fp)""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: each NEW document (doc_id % 4 == 0) is checked
+    against the HISTORICAL corpus (the rest) by exact normalized-text
+    fingerprint; dupes report the surviving historical representative.
+    At scale the history side is a bucketed fingerprint table, so this is a
+    bucket-local hash join keyed on the fingerprint — the per-increment cost
+    is O(|new| + touched buckets), never a rescan of history's text. The
+    streaming analogue is dropDuplicatesWithinWatermark on the same key."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    hist = (
+        fp.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("matched_doc"))
+    )
+    new = fp.filter(F.col("doc_id") % 4 == 0)
+    return new.join(hist, "fp", "left").select(
+        "doc_id",
+        F.col("matched_doc").isNotNull().alias("is_dup"),
+        "matched_doc",
+    )
+
+
+_GLOBAL_TOPK = 20
+
+
+@register(
+    "documents_global_topk_quality",
+    f"""WITH base AS (
+      SELECT doc_id, text, {SQL_TOKS} AS toks,
+             regexp_replace(text, '\\s+', '', 'g') AS nospace
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        round((least(length(text) / 500.0, 1.0)
+               + (1.0 - least(CASE WHEN length(nospace) > 0
+                      THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
+                      ELSE 0.0 END * 4.0, 1.0))
+               + least(CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
+                      ELSE 0.0 END * 5.0, 1.0)) / 3.0, 4) AS quality
+      FROM base)
+    SELECT doc_id, quality,
+           CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
+    FROM m ORDER BY quality DESC, doc_id LIMIT {_GLOBAL_TOPK}""",
+)
+def documents_global_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 documents by composite quality score. orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition top-k then a k-sized
+    driver merge, NOT a global sort and NOT a single-partition window: the
+    shape that survives a 100 TB corpus. Rank is attached after the take on
+    the k surviving rows (deterministic tie-break on doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+    topk = scored.orderBy(F.col("quality").desc(), F.col("doc_id")).limit(
+        _GLOBAL_TOPK
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
