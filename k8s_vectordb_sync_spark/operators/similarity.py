@@ -726,3 +726,73 @@ def pq_topk(
             "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
         )
     )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iterations: int = PQ_ITERATIONS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Two-stage retrieval: PQ asymmetric-distance coarse search keeps the
+    top k*rerank_factor candidates per query, then ONLY those rows are
+    re-scored with exact cosine and re-ranked to the final top-k — the
+    standard ANN serving shape (coarse quantized scan over everything,
+    exact math over a few dozen rows).
+
+    Scale: the candidate set is O(|queries| * k * factor) — broadcast it
+    onto the embedding table so fetching exact vectors is a broadcast semi
+    join, not a shuffle of the base corpus; everything after runs on the
+    candidate cardinality.
+    """
+    coarse = pq_topk(
+        embeddings,
+        queries,
+        k=k * rerank_factor,
+        m=m,
+        n_codes=n_codes,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id")
+    exact = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__nv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        norm(F.col(query_vec_col)).alias("__nq"),
+    )
+    denom = F.col("__nq") * F.col("__nv")
+    scored = (
+        exact.join(F.broadcast(coarse), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(denom > 0, dot(F.col("__qv"), F.col("__v")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+        )
+    )

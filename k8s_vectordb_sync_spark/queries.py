@@ -3866,3 +3866,64 @@ def documents_global_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
     return topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+_RERANK_FACTOR = 4
+
+
+def _sql_pq_rerank(
+    m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64
+) -> str:
+    """Two-stage oracle: the PQ coarse ranking (shared CTEs) cut at
+    ANN_K * factor, then exact-cosine re-scoring of only those candidates."""
+    parts = _sql_pq_cte_parts(m, k, iterations, dim)
+    code_joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
+    parts.append(f"codes AS (SELECT * FROM s0_af {code_joins})")
+    cat = " || ".join(f"cb{s}.c" for s in range(m))
+    book_joins = " ".join(
+        f"JOIN s{s}_c{iterations} cb{s} ON cb{s}.cluster = cd.code{s}"
+        for s in range(m)
+    )
+    parts.append(f"recon AS (SELECT cd.vec_id, {cat} AS rv FROM codes cd {book_joins})")
+    parts.append(
+        f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID})"""
+    )
+    parts.append(f"""coarse AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, r.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {SQL_COS.format(a='q.qv', b='r.rv')} DESC,
+                                           r.vec_id) AS crank
+        FROM q CROSS JOIN recon r) t
+      WHERE crank <= {ANN_K * _RERANK_FACTOR})""")
+    parts.append("bx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+    parts.append(f"""rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {SQL_COS.format(a='q.qv', b='b.v')} AS score
+      FROM coarse c
+      JOIN bx b ON c.neighbor_id = b.vec_id
+      JOIN q ON c.query_id = q.query_id)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT query_id, neighbor_id, round(score, 4) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM rescored) t
+    WHERE rank <= {ANN_K}"""
+
+
+@register("ann_pq_rerank", _sql_pq_rerank())
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving shape: PQ coarse search keeps top
+    ANN_K * 4 candidates per query (quantized scan over everything), then
+    exact cosine re-ranks ONLY those rows to the final top-k. Candidate ids
+    broadcast onto the embedding table, so the exact-vector fetch is a
+    broadcast join, never a corpus shuffle
+    (operators/similarity.py::pq_rerank_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.pq_rerank_topk(
+        emb, _queries_df(spark, sf_dir), k=ANN_K, rerank_factor=_RERANK_FACTOR
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
