@@ -1067,7 +1067,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-def _sql_ivf_parts(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -> list:
+# Deterministic hash-sample for centroid/codebook training (matches
+# operators/similarity.py::training_sample): md5 over the stringified id is
+# bit-identical in Spark and DuckDB, so both engines train on the same rows.
+# "0123" keeps ~1/4 of the corpus — big enough that every local SF trains on
+# >= n_clusters rows, small enough to demonstrate the sampled-training IO
+# shape (at 100 TB the rate drops to ~10-50k rows, same predicate).
+_TRAIN_SAMPLE_HEX = "0123"
+
+
+def _sql_train_pred(sample_hex: str, id_expr: str = "vec_id") -> str:
+    chars = ", ".join(f"'{c}'" for c in sample_hex)
+    return f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 1) IN ({chars})"
+
+
+def _sql_ivf_parts(
+    n_clusters: int = 8,
+    iterations: int = 5,
+    n_probe: int = 2,
+    sample_hex: str = _TRAIN_SAMPLE_HEX,
+) -> list:
     """Unrolled k-means oracle for IVF: the Spark path is fully deterministic
     (min-id seeds, fixed Lloyd iterations, ties to the lowest cluster index),
     so each assign/update iteration becomes a chained CTE pair. Squared
@@ -1087,11 +1106,15 @@ def _sql_ivf_parts(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -
         "list_sum(list_transform(range(1, len(b.v) + 1),"
         " i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))"
     )
+    # Lloyd's runs on the hash-sampled `train` CTE (the sampled-training IO
+    # posture — see similarity.py::training_sample); only the one final
+    # assignment `af` touches the full corpus.
     parts = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"train AS (SELECT * FROM base WHERE {_sql_train_pred(sample_hex)})",
         f"""c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
-          FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {n_clusters}))""",
+          FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {n_clusters}))""",
     ]
     for it in range(1, iterations + 1):
         prev = f"c{it - 1}"
@@ -1100,7 +1123,7 @@ def _sql_ivf_parts(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -
             SELECT b.vec_id, b.v, c.cluster,
                    row_number() OVER (PARTITION BY b.vec_id
                                       ORDER BY {d2} ASC, c.cluster ASC) AS rn
-            FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+            FROM train b CROSS JOIN {prev} c) t WHERE rn = 1)""")
         parts.append(f"""u{it} AS (
           SELECT cluster, list(m ORDER BY idx) AS c FROM (
             SELECT cluster, idx, round(AVG(val), 6) AS m FROM (
@@ -1149,7 +1172,10 @@ def _sql_ivf(n_clusters: int = 8, iterations: int = 5, n_probe: int = 2) -> str:
 @register("ann_ivf_topk", _sql_ivf())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.ivf_topk(emb, _queries_df(spark, sf_dir), k=ANN_K, n_clusters=8, n_probe=2)
+    out = sim.ivf_topk(
+        emb, _queries_df(spark, sf_dir), k=ANN_K, n_clusters=8, n_probe=2,
+        sample_hex=_TRAIN_SAMPLE_HEX,
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -2714,7 +2740,9 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = _queries_df(spark, sf_dir)
     bf = sim.brute_force_topk(emb, qdf, k=ANN_K).select("query_id", "neighbor_id")
-    ivf = sim.ivf_topk(emb, qdf, k=ANN_K, n_clusters=8, n_probe=2).select(
+    ivf = sim.ivf_topk(
+        emb, qdf, k=ANN_K, n_clusters=8, n_probe=2, sample_hex=_TRAIN_SAMPLE_HEX
+    ).select(
         F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
     )
     hits = (
@@ -3017,7 +3045,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py::semantic_dedup_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup_pairs(
-        emb, threshold=_SEMANTIC_THRESHOLD, n_clusters=8, iterations=5
+        emb, threshold=_SEMANTIC_THRESHOLD, n_clusters=8, iterations=5,
+        sample_hex=_TRAIN_SAMPLE_HEX,
     )
 
 
@@ -3296,13 +3325,15 @@ def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pq_cte_parts(
-    m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64
+    m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64,
+    sample_hex: str = _TRAIN_SAMPLE_HEX,
 ) -> list:
     """Unrolled product-quantization oracle CTEs: one min-id-seeded Lloyd
     chain per subspace (the _sql_ivf_parts pattern, prefixed s{s}_ and run on
     list_slice of the vector), ending in per-subspace assignment CTEs
     s{s}_af(vec_id, code{s}). Shares the 6-dp centroid rounding documented
-    on _sql_ivf_parts (pins both engines' FP-order-sensitive means)."""
+    on _sql_ivf_parts (pins both engines' FP-order-sensitive means) and the
+    hash-sampled training CTE pattern ({p}t; encode stays full-corpus)."""
     sub = dim // m
     d2 = (
         "list_sum(list_transform(range(1, len(b.v) + 1),"
@@ -3315,9 +3346,12 @@ def _sql_pq_cte_parts(
         parts.append(
             f"{p}b AS (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings)"
         )
+        parts.append(
+            f"{p}t AS (SELECT * FROM {p}b WHERE {_sql_train_pred(sample_hex)})"
+        )
         parts.append(f"""{p}c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
-          FROM (SELECT vec_id, v FROM {p}b ORDER BY vec_id LIMIT {k}))""")
+          FROM (SELECT vec_id, v FROM {p}t ORDER BY vec_id LIMIT {k}))""")
         for it in range(1, iterations + 1):
             prev = f"{p}c{it - 1}"
             parts.append(f"""{p}a{it} AS (
@@ -3325,7 +3359,7 @@ def _sql_pq_cte_parts(
                 SELECT b.vec_id, b.v, c.cluster,
                        row_number() OVER (PARTITION BY b.vec_id
                                           ORDER BY {d2} ASC, c.cluster ASC) AS rn
-                FROM {p}b b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+                FROM {p}t b CROSS JOIN {prev} c) t WHERE rn = 1)""")
             parts.append(f"""{p}u{it} AS (
               SELECT cluster, list(mn ORDER BY idx) AS c FROM (
                 SELECT cluster, idx, round(AVG(val), 6) AS mn FROM (
@@ -3394,7 +3428,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     small ints per row — the scan that makes exhaustive scoring of billions
     of vectors affordable (operators/similarity.py::pq_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.pq_topk(emb, _queries_df(spark, sf_dir), k=ANN_K)
+    out = sim.pq_topk(
+        emb, _queries_df(spark, sf_dir), k=ANN_K, sample_hex=_TRAIN_SAMPLE_HEX
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -3406,7 +3442,7 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding is one shuffle-free select of argmin-over-literal-centroid
     expressions (operators/similarity.py::pq_codes)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.pq_codes(emb)
+    return sim.pq_codes(emb, sample_hex=_TRAIN_SAMPLE_HEX)
 
 
 # ---------------------------------------------------------------------------
@@ -3924,6 +3960,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py::pq_rerank_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.pq_rerank_topk(
-        emb, _queries_df(spark, sf_dir), k=ANN_K, rerank_factor=_RERANK_FACTOR
+        emb, _queries_df(spark, sf_dir), k=ANN_K, rerank_factor=_RERANK_FACTOR,
+        sample_hex=_TRAIN_SAMPLE_HEX,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
