@@ -856,15 +856,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(docs)
 
 
-def _sql_minhash_ctes(threshold: float = 0.5) -> str:
+def _sql_minhash_ctes(threshold: float = 0.5, max_bucket_size: int | None = None) -> str:
     """Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — reused by
-    the pair query and the recursive clusters oracle."""
+    the pair query and the recursive clusters oracle. ``max_bucket_size``
+    mirrors the Spark operator's degenerate-bucket guard: (band, bucket)
+    groups above the cap are dropped before pair expansion, so parity holds
+    by construction when a pipeline assembly sets the cap."""
     sh = _sql_shingles(SQL_NTOKS)
     sig_entries = ", ".join(
         f"list_min(list_transform(hx, x -> ({a} * x + {b}) % {MINHASH_P}))"
         for a, b in MINHASH_COEFFS
     )
     n_bands = NUM_MINHASHES // BAND_SIZE
+    cand_src = "buckets"
+    cap_cte = ""
+    if max_bucket_size is not None:
+        cap_cte = f"""capped AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT doc_id, band, bucket,
+               COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM buckets) t WHERE bn <= {max_bucket_size}),
+    """
+        cand_src = "capped"
     return f"""sh AS (SELECT doc_id, {sh} AS s FROM documents),
     hx AS (SELECT doc_id, s, list_transform(s, e -> {SQL_H8.format(x='e')}) AS hx FROM sh),
     sigs AS (SELECT doc_id, s, [{sig_entries}] AS sig FROM hx),
@@ -874,9 +887,9 @@ def _sql_minhash_ctes(threshold: float = 0.5) -> str:
                  list_slice(sig, b.band * {BAND_SIZE} + 1, b.band * {BAND_SIZE} + {BAND_SIZE}),
                  v -> CAST(v AS VARCHAR)), '-')) AS bucket
       FROM sigs, (SELECT unnest(range(0, {n_bands})) AS band) b),
-    cand AS (
+    {cap_cte}cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+      FROM {cand_src} l JOIN {cand_src} r ON l.band = r.band AND l.bucket = r.bucket
                                     AND l.doc_id < r.doc_id),
     verified AS (
       SELECT c.doc_a, c.doc_b,
@@ -2787,6 +2800,15 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Degenerate-bucket cap for the composed pipeline's LSH stage: a
+# boilerplate-heavy corpus puts thousands of near-identical docs in one
+# (band, bucket) and the pair expansion goes quadratic. 64 is far above any
+# legitimate near-dup group in the testdata (parity unaffected) while
+# bounding the worst bucket's expansion to 64^2 pairs. Mirrored in the
+# oracle via _sql_minhash_ctes(threshold, max_bucket_size).
+_PIPELINE_LSH_CAP = 64
+
+
 def _sql_training_mix() -> str:
     """The capstone composition: the `documents` CTE SHADOWS the raw view
     with the sampled + quality-gated + language-gated + exact-deduped subset,
@@ -2812,7 +2834,7 @@ def _sql_training_mix() -> str:
                        ELSE 0.0 END * 5.0, 1.0)) / 3.0 >= 0.55
         ) d
       ) dd WHERE doc_id = keep_id),
-    {_sql_minhash_ctes(0.5)},
+    {_sql_minhash_ctes(0.5, _PIPELINE_LSH_CAP)},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
@@ -2864,7 +2886,9 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which a real multi-day curation run wants anyway for restarts.
         .persist()
     )
-    clusters = dd.dup_clusters(dd.minhash_lsh_pairs(cleaned, threshold=0.5))
+    clusters = dd.dup_clusters(
+        dd.minhash_lsh_pairs(cleaned, threshold=0.5, max_bucket_size=_PIPELINE_LSH_CAP)
+    )
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     survivors = cleaned.join(dropped, "doc_id", "left_anti")
     return (

@@ -64,6 +64,25 @@ def test_minhash_finds_planted_near_duplicate(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_lsh_bucket_cap_keeps_pathological_corpus_linear(spark):
+    """Boilerplate burst: 1000 near-identical docs land in the same
+    (band, bucket) in EVERY band, so uncapped pair expansion is ~O(n^2)
+    (hundreds of thousands of candidate pairs). With max_bucket_size set the
+    oversized buckets are dropped BEFORE expansion — the stage stays linear —
+    while small legitimate near-dup groups still surface. This is the
+    pipeline-assembly setting (pipeline_training_mix passes the cap)."""
+    boiler = "identical boilerplate template text repeated across the corpus"
+    legit = "a genuinely unique document about spark shuffle partitioning"
+    rows = [(i, f"{boiler} variant {i % 4}", "s") for i in range(1000)]
+    rows += [(2000 + j, legit, "s") for j in range(3)]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=16).collect()
+    ids = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert ids == {2000, 2001, 2002}  # the burst never reaches pair expansion
+    assert len(pairs) == 3  # 3 choose 2, each identical -> jaccard 1.0
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
 def test_simhash_identical_docs_equal_hamming_zero(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma", "s"), (2, "alpha beta gamma", "s"), (3, "x y z", "s")],
