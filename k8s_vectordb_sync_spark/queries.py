@@ -1435,31 +1435,30 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE e.event_type = 'purchase' AND s.sigma > 0""",
 )
 def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped normalization via Arrow-batched applyInPandas (the grouped-UDF
-    surface): per-user z-score of purchase values. Numpy computes within each
-    group; output rounded to 3 decimals to absorb summation-order differences
-    vs the SQL oracle (float reduction order is engine-specific)."""
-    import pandas as pd
-
+    """Per-user z-score of purchase values — pure-JVM window expressions
+    (avg/stddev_samp over the user partition + one projection): one user-keyed
+    Exchange, whole-stage codegen, no Python stage. Output rounded to 3
+    decimals to absorb summation-order differences vs the SQL oracle (float
+    reduction order is engine-specific). The Arrow-batched grouped-UDF
+    formulation of the same shape lives in
+    tests/test_curation.py::test_grouped_udf_zscore_matches_window — the
+    applyInPandas surface is demonstrated there, not registered as an engine
+    query, because Catalyst does this arithmetic natively."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("event_id", "user_id", "value")
-
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sigma = pdf["value"].std(ddof=1)
-        if not sigma > 0:
-            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=0.0)
-        return pd.DataFrame(
-            {
-                "event_id": pdf["event_id"],
-                "user_id": pdf["user_id"],
-                "zscore": ((pdf["value"] - mu) / sigma).round(3),
-            }
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sigma", F.stddev_samp("value").over(w))
+        .filter(F.col("sigma") > 0)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias(
+                "zscore"
+            ),
         )
-
-    return ev.groupBy("user_id").applyInPandas(
-        zscore, schema="event_id bigint, user_id bigint, zscore double"
     )
 
 

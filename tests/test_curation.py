@@ -157,3 +157,61 @@ def test_fixed_size_sample_small_stratum_returned_whole(spark):
 
     df = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id long, source string")
     assert fixed_size_sample(df, 10).count() == 2
+
+
+def test_grouped_udf_zscore_matches_window(spark):
+    """The Arrow-batched grouped-UDF (applyInPandas) surface, demonstrated on
+    the z-score shape and checked against the pure-JVM window formulation the
+    registered events_user_zscore query uses. The UDF form lives here rather
+    than in the engine registry: Catalyst computes avg/stddev natively, so a
+    registered query should never pay per-group Python serialization for
+    arithmetic — but the grouped-UDF API itself (group -> pandas frame ->
+    typed result) is part of the engine's surface and stays exercised."""
+    import pandas as pd
+
+    rows = [
+        (i, i % 5, float((i * 37) % 100) / 7.0) for i in range(200)
+    ] + [(900, 99, 1.25)]  # single-event user: sigma undefined -> dropped
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)
+        if not sigma > 0:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=0.0)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((pdf["value"] - mu) / sigma).round(3),
+            }
+        )
+
+    udf_out = {
+        (r["event_id"], r["user_id"]): r["zscore"]
+        for r in ev.groupBy("user_id")
+        .applyInPandas(zscore, schema="event_id long, user_id long, zscore double")
+        .collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    jvm_out = {
+        (r["event_id"], r["user_id"]): r["zscore"]
+        for r in ev.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sigma", F.stddev_samp("value").over(w))
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias(
+                "zscore"
+            ),
+        )
+        .collect()
+    }
+    assert set(udf_out) == set(jvm_out)
+    for key, v in jvm_out.items():
+        assert abs(udf_out[key] - v) <= 0.001  # 3-dp rounding boundary slack
+    assert all(k[1] != 99 for k in jvm_out)  # sigma-undefined user dropped
