@@ -93,18 +93,35 @@ def cmd_resync(args: argparse.Namespace) -> int:
 
 
 def cmd_serve(args: argparse.Namespace) -> int:
-    """Run the operational HTTP API (POST /api/v1/resync), the analog of the
-    reference's API server wired in cmd/main.go alongside the controller."""
+    """Run the operational HTTP API (POST /api/v1/resync) plus the periodic
+    resync ticker — the analog of the reference's API server and 24 h resync
+    loop wired in cmd/main.go alongside the controller (watcher.go:125)."""
     from .api_server import OpsServer
+    from .scheduler import PeriodicResync
 
     config = EngineConfig.from_env()
     spark = build_spark(app_name="kvs-ops")
+    do_resync = lambda: _run_resync(spark, args.events_dir, args.target).resources
     server = OpsServer(
-        resync=lambda: _run_resync(spark, args.events_dir, args.target).resources,
+        resync=do_resync,
         bind_address=args.bind or config.api_bind_address,
     )
+    # RESYNC_INTERVAL_MIN <= 0 disables the ticker (manual/HTTP-only resync)
+    ticker = (
+        PeriodicResync(do_resync, config.resync_interval_min * 60).start()
+        if config.resync_interval_min > 0
+        else None
+    )
     host, port = server.start()
-    print(json.dumps({"listening": f"{host}:{port}"}), flush=True)
+    print(
+        json.dumps(
+            {
+                "listening": f"{host}:{port}",
+                "resync_interval_min": config.resync_interval_min,
+            }
+        ),
+        flush=True,
+    )
     try:
         import threading
 
@@ -112,6 +129,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        if ticker is not None:
+            ticker.stop()
         server.stop()
         spark.stop()
     return 0
