@@ -64,6 +64,51 @@ def test_minhash_finds_planted_near_duplicate(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_storage_level_none_matches_default(spark, sf_dir):
+    """The shingle-cache escape hatch: storage_level=None recomputes shingles
+    in each consumer instead of caching arrays ~k x the text size — at 100 TB
+    that cache is a storage event, so the uncached mode must be a pure
+    performance choice with identical output."""
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cached = {tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    uncached = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, storage_level=None).collect()
+    }
+    assert cached == uncached
+    assert len(cached) > 0
+
+
+def test_minhash_signature_verify_mode(spark):
+    """verify='signature' gates candidates on the signature-agreement
+    estimate instead of exact shingle Jaccard — zero shingle caching, 16
+    longs per doc of pipeline state. On planted data: identical docs
+    (estimate 1.0) and clear non-dups survive/are-dropped exactly as in
+    exact mode; the estimate's 1/16 granularity near the threshold is the
+    documented tradeoff (minhash_estimate_eval calibrates it)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "s"),
+        (2, base, "s"),  # identical -> estimate 1.0
+        (3, "completely unrelated text about spark query engines here", "s"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    sig_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5, verify="signature").collect()
+    }
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(sig_pairs) == set(exact_pairs) == {(1, 2)}
+    assert sig_pairs[(1, 2)] == 1.0 and exact_pairs[(1, 2)] == 1.0
+    with pytest.raises(ValueError, match="verify"):
+        minhash_lsh_pairs(docs, verify="estimate")
+
+
 def test_lsh_bucket_cap_keeps_pathological_corpus_linear(spark):
     """Boilerplate burst: 1000 near-identical docs land in the same
     (band, bucket) in EVERY band, so uncapped pair expansion is ~O(n^2)
