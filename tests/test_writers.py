@@ -76,6 +76,49 @@ def test_partitioned_write_prunes(spark, workdir):
     assert "= 2" in pf_segment
 
 
+def test_ivf_index_partitioned_probe_prunes(spark, workdir):
+    """The ANN IVF scale path made concrete (mirror of the LSH layout test
+    below): train centroids, write the corpus partitioned by assigned
+    cluster, and a probe for one query's n_probe nearest centroids prunes
+    the scan to exactly those partitions at listing time — reading
+    n_probe/n_clusters of the data, as the ivf_topk docstring promises."""
+    import pyspark.sql.functions as F
+
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    dim, n_clusters, n_probe = 8, 4, 2
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.col("id") * i, F.lit(7)) - F.lit(3.0)).cast("double"),
+        ).alias("embedding"),
+    )
+    centroids = kmeans_centroids(emb, n_clusters=n_clusters, iterations=3)
+    cvecs = [c for _, c in centroids]
+    indexed = assign_clusters(emb, cvecs)
+    write_partitioned(indexed, f"{workdir}/ivf_index", ["cluster"])
+
+    # n_probe nearest centroids for one query vector, chosen driver-side —
+    # the same tiny math ivf_topk does per query
+    qv = emb.first()["embedding"]
+    d2 = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b))
+    probes = sorted(range(n_clusters), key=lambda ci: (d2(qv, cvecs[ci]), ci))[:n_probe]
+
+    back = spark.read.parquet(f"{workdir}/ivf_index")
+    probe = back.filter(F.col("cluster").isin(probes))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_segment = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert all(str(ci) in pf_segment for ci in probes)
+    # pruned read returns exactly the probed clusters' members
+    assert probe.count() == indexed.filter(F.col("cluster").isin(probes)).count()
+    assert 0 < probe.count() < 200  # probing genuinely skips partitions
+
+
 def test_lsh_index_partitioned_probe_prunes(spark, workdir):
     # the ANN LSH scale path made concrete: persist the corpus partitioned by
     # hyperplane bucket, and a probe for one query's bucket prunes to that
