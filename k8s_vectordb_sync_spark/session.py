@@ -55,7 +55,30 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _configure_rocksdb_state_store(spark)
+    return spark
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _configure_rocksdb_state_store(spark: SparkSession) -> None:
+    """Prefer the RocksDB state store for the stateful streaming operators
+    (stateful_debounce and friends): debounce state is one row per LIVE key —
+    at reference scale that is every tracked resource plus tombstones, far
+    beyond what the default HDFS-backed provider should hold on-heap
+    (it keeps the full map in executor memory; RocksDB spills to local disk
+    and ships incremental changelogs to the checkpoint). Probed rather than
+    assumed so a stripped build without the provider class falls back to the
+    default provider instead of failing at query start."""
+    try:
+        spark._jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)  # type: ignore[union-attr]
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    except Exception:
+        pass  # provider class absent: keep Spark's default state store
 
 
 def get_or_create(spark: SparkSession | None = None) -> SparkSession:

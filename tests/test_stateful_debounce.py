@@ -91,6 +91,62 @@ def _run(spark, workdir, collected, impl):
     q.awaitTermination(180)
 
 
+def _run_with_progress(spark, workdir, collected, impl):
+    """Like _run, but returns the terminated query's progress list so tests
+    can read state-store metrics (numRowsTotal/numRowsRemoved)."""
+    src = f"{workdir}/events"
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream = events_as_change_stream(raw)
+    debounced = impl(stream, gap_ms=10_000, watermark_delay="5 seconds")
+
+    def collect(batch_df, batch_id):
+        collected.extend(
+            (r["id"], r["op"], r["event_id"], r["value"]) for r in batch_df.collect()
+        )
+
+    q = (
+        debounced.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return [p for p in q.recentProgress if p.get("stateOperators")]
+
+
+def test_rocksdb_state_store_configured(spark):
+    # build_spark probes for the RocksDB provider and prefers it: debounce
+    # state is one row per live key (plus tombstones) — executor-heap-resident
+    # state does not survive reference scale. This container's Spark ships
+    # the provider, so the conf must be set.
+    assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tombstone_expires_after_gap(spark, workdir, debounce_impl):
+    """Delete tombstones are state with a TTL: retained while stragglers may
+    still arrive (they suppress resurrect-by-straggler), expired by the same
+    quiet-period timer once the watermark passes ts+gap — asserted via the
+    state operator's own row metrics, so this is evidence the state store
+    actually shrinks (no unbounded tombstone accumulation at scale)."""
+    collected: list = []
+    # batch 1: a lone DELETE -> emitted immediately, tombstone retained
+    _write(spark, f"{workdir}/events", [(1, _t(100), 2, "error", 0.0, "{}")])
+    p1 = _run_with_progress(spark, workdir, collected, debounce_impl)
+    assert collected == [("user/2", "delete", 1, 0.0)]
+    assert any(p["stateOperators"][0]["numRowsTotal"] == 1 for p in p1)
+
+    # batch 2: an unrelated event far in the future advances the watermark
+    # past the tombstone's ts+gap timer -> tombstone expires SILENTLY and is
+    # removed; only the new key's pending upsert remains in the store
+    _write(spark, f"{workdir}/events", [(9, _t(3_600_000), 9, "view", 2.0, "{}")])
+    p2 = _run_with_progress(spark, workdir, collected, debounce_impl)
+    assert [c for c in collected if c[0] == "user/2"] == [("user/2", "delete", 1, 0.0)]
+    final_total = p2[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_total == 1  # user/9's buffered upsert only; tombstone gone
+    assert sum(p["stateOperators"][0]["numRowsRemoved"] for p in p2) >= 1
+
+
 def test_delete_skips_debounce_and_upsert_waits(spark, workdir, debounce_impl):
     # DeleteSkipsDebounce (debounce_test.go:33) + UpsertIsDebounced (:66):
     # in the first batch the delete is emitted immediately while the upsert
