@@ -3608,7 +3608,9 @@ def multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence+posexplode, byte-addressed substring on the BINARY column, md5
     fingerprint per segment (operators/multimodal.py::segment_media). The
     oracle slices the VARCHAR source — byte- and char-addressing agree
-    because the synthetic corpus is ASCII."""
+    because the synthetic corpus is ASCII, an assumption the parity harness
+    now asserts loudly (test_documents_corpus_is_ascii; parity_sweep.py warns
+    too) since this DuckDB build has no BLOB substring to byte-address."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm.to_media_table(docs)
     return mm.segment_media(media, window=_SEG_WIN, hop=_SEG_HOP)

@@ -52,6 +52,20 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # multimodal_segments parity rests on the corpus being pure ASCII (the
+    # oracle slices VARCHAR char-addressed, Spark slices BINARY bytes; this
+    # DuckDB has no BLOB substring). Fail loudly if a testdata regeneration
+    # breaks that assumption (see test_documents_corpus_is_ascii).
+    (n_non_ascii,) = con.execute(
+        "SELECT COUNT(*) FROM documents WHERE strlen(text) <> length(text)"
+    ).fetchone()
+    if n_non_ascii:
+        print(
+            f"WARNING: {n_non_ascii} non-ASCII documents — multimodal_segments "
+            "byte/char slicing diverges; its parity result is not trustworthy",
+            flush=True,
+        )
+
     failures = []
     for name in names:
         t0 = time.time()
@@ -81,6 +95,10 @@ def main() -> int:
         print(f"{name:40s} {dt:6.1f}s {status}", flush=True)
         if problems:
             failures.append(name)
+        # dedup/similarity queries persist() shared frames (caller-owned
+        # lifecycle); drop them so a full-registry sweep doesn't accumulate
+        # every query's cache for the whole session
+        spark.catalog.clearCache()
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green", flush=True)
     if failures:

@@ -75,6 +75,25 @@ def test_all_queries_have_entries():
     assert rows_only == set(), rows_only
 
 
+def test_documents_corpus_is_ascii(sf_dir):
+    """The multimodal_segments oracle slices VARCHAR char-addressed while the
+    Spark side slices BINARY byte-addressed; parity holds only while the
+    corpus is pure ASCII (this DuckDB build has no BLOB substring to
+    byte-address the oracle). Testdata generations have changed shape before
+    (events.ts physical type), so a non-ASCII regeneration must fail HERE,
+    loudly, instead of silently hash-mismatching that one query."""
+    con = duckdb.connect()
+    (n_non_ascii,) = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE strlen(text) <> length(text)"
+    ).fetchone()
+    assert n_non_ascii == 0, (
+        f"{n_non_ascii} non-ASCII documents: byte- vs char-addressed "
+        "slicing diverges — byte-address the multimodal_segments oracle "
+        "(BLOB substring) before trusting its parity"
+    )
+
+
 def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
