@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "embeddings_matryoshka",
     "dedup_incremental",
     "documents_global_topk_quality",
+    "documents_token_entropy",
+    "events_anomaly_mad",
+    "ann_ivf_pq_topk",
 ]
 
 RUNS_PER_QUERY = 2

@@ -280,3 +280,49 @@ def bigram_logprob(
             .alias("mean_bigram_logprob"),
         )
     )
+
+
+def token_entropy(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in nats:
+    H = ln(N) - (sum_t cnt_t * ln(cnt_t)) / N over token-type counts.
+
+    The information-theoretic cousin of the Gopher repetition signals
+    (documents_repetition): boilerplate and keyword-stuffed text score low,
+    diverse prose scores near ln(N). Zero-token and single-distinct-token
+    documents score exactly 0.0.
+
+    Plan: explode_outer -> (doc, tok) count -> per-doc aggregate — two
+    map-side-combined shuffles, no join back onto the corpus (zero-token
+    docs ride through as NULL-token rows). Determinism: each type's
+    cnt*ln(cnt) term rounds to 6 dp and sums as DECIMAL (FP summation order
+    is engine-specific); ln(N) is a single libm call both engines agree on.
+    """
+    occ = _doc_tokens_outer(corpus, text_col, id_col)
+    cc = occ.groupBy(id_col, "tok").agg(F.count("tok").alias("cnt"))
+    term = (
+        F.when(F.col("cnt") > 0, F.round(F.col("cnt") * F.log(F.col("cnt")), 6))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(28,6)")
+    )
+    per = cc.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(term).alias("s"),
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("s").cast("double") / F.col("n_tokens").cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("token_entropy"),
+    )

@@ -854,3 +854,92 @@ def pq_rerank_topk(
             "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    pq_iterations: int = PQ_ITERATIONS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    sample_hex: str | None = None,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-vector serving composition — IVF
+    partition pruning picks WHICH rows to score (n_probe nearest centroid
+    partitions per query), PQ asymmetric distance decides HOW to score them
+    (exact query against each row's quantized reconstruction).
+
+    At scale the table is written partitioned by cluster storing only the m
+    code ints per row: a query reads n_probe/n_clusters of the partitions
+    and m bytes-ish per row — both reductions compose multiplicatively,
+    which is what makes exhaustive-within-probe scoring of billions of
+    vectors serveable. Both trainings (coarse centroids, per-subspace
+    codebooks) honor ``sample_hex`` hash-sampling; each is a few KB
+    broadcast back as plan literals.
+    """
+    centroids = kmeans_centroids(
+        embeddings, n_clusters, vec_col=vec_col, id_col=id_col, sample_hex=sample_hex
+    )
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        nid_t = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {qid_t}, neighbor_id {nid_t}, score double, rank int"
+        )
+    codebooks = pq_codebooks(
+        embeddings, m, n_codes, pq_iterations, vec_col, id_col, dim=dim,
+        sample_hex=sample_hex,
+    )
+    sub = dim // m
+    base = assign_clusters(embeddings, [c for _, c in centroids], vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct_expr(F.col(vec_col), codebooks, sub).alias("rv"),
+        "cluster",
+    )
+    cent_df = queries.sparkSession.createDataFrame(
+        list(centroids), schema="cluster int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("query_vec"),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    scored = base.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("rv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+        )
+    )

@@ -3989,3 +3989,148 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_hex=_TRAIN_SAMPLE_HEX,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: entropy quality signal, MAD outliers, composed IVF-PQ search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_token_entropy",
+    f"""WITH tk AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+    cc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM occ GROUP BY doc_id, tok),
+    per AS (
+      SELECT doc_id, SUM(cnt) AS n,
+             SUM(CAST(round(cnt * ln(cnt), 6) AS DECIMAL(28,6))) AS s
+      FROM cc GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN COALESCE(p.n, 0) > 0
+                THEN round(ln(p.n) - CAST(p.s AS DOUBLE) / p.n, 4)
+                ELSE 0.0 END AS token_entropy
+    FROM documents d LEFT JOIN per p USING (doc_id)""",
+)
+def documents_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) — the
+    information-theoretic repetition/diversity signal
+    (operators/lm.py::token_entropy). Two map-side-combined shuffles, no
+    corpus join-back; per-type log terms decimal-summed for engine parity."""
+    from .operators.lm import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+_MAD_K = 4.4478  # 3 * 1.4826 (the normal-consistency MAD-to-sigma factor)
+
+
+@register(
+    "events_anomaly_mad",
+    f"""WITH m AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median
+      FROM events GROUP BY event_type),
+    d AS (
+      SELECT e.event_type, m.median,
+             round(abs(e.value - m.median), 6) AS adev
+      FROM events e JOIN m USING (event_type)),
+    md AS (
+      SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+      FROM d GROUP BY event_type)
+    SELECT d.event_type, MIN(d.median) AS median, MIN(md.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > {_MAD_K} * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median absolute
+    deviation), flagging values beyond 3 sigma-equivalents (MAD * 1.4826 * 3)
+    — the standard robust alternative to mean/stddev z-scores, immune to the
+    outliers it hunts. Exact MAD is inherently two-pass (the median must
+    exist before deviations do); the plan is two grouped percentile
+    aggregates plus one counting aggregate, with the O(#event_types) median
+    and MAD frames broadcast back — the corpus never shuffles. Medians and
+    deviations round to 6 dp in BOTH engines before the threshold compare,
+    so interpolated-percentile last-ulp differences cannot flip a boundary
+    row."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median",
+        F.round(F.abs(F.col("value") - F.col("median")), 6).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("median").alias("median"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(_MAD_K) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def _sql_ivf_pq(
+    n_clusters: int = 8,
+    iterations: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 4,
+    pq_iterations: int = 3,
+    dim: int = 64,
+) -> str:
+    """Composed IVF-PQ oracle: the IVF CTE chain up through `probes` (which
+    clusters each query scans) + the PQ CTE chain through the per-subspace
+    codebooks (how each row is reconstructed), joined on vec_id for the
+    asymmetric-distance scoring of only the probed partitions."""
+    ivf = _sql_ivf_parts(n_clusters, iterations, n_probe)[:-2]  # ... probes
+    pq = _sql_pq_cte_parts(m, pq_k, pq_iterations, dim)
+    parts = ivf + pq
+    code_joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
+    parts.append(f"codes AS (SELECT * FROM s0_af {code_joins})")
+    cat = " || ".join(f"cb{s}.c" for s in range(m))
+    book_joins = " ".join(
+        f"JOIN s{s}_c{pq_iterations} cb{s} ON cb{s}.cluster = cd.code{s}"
+        for s in range(m)
+    )
+    parts.append(f"recon AS (SELECT cd.vec_id, {cat} AS rv FROM codes cd {book_joins})")
+    parts.append(f"""scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {SQL_COS.format(a='p.qv', b='r.rv')} AS score
+      FROM probes p JOIN af a ON p.cluster = a.cluster
+                    JOIN recon r ON a.vec_id = r.vec_id)""")
+    parts.append("""ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT query_id, neighbor_id, round(score, 4) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}"""
+
+
+@register("ann_ivf_pq_topk", _sql_ivf_pq())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical billion-vector serving composition: IVF partition
+    pruning picks WHICH rows each query scores (n_probe nearest centroid
+    partitions), PQ asymmetric distance decides HOW (exact query vs
+    quantized reconstruction) — the two reductions compose multiplicatively
+    (operators/similarity.py::ivf_pq_topk). Both trainings hash-sampled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.ivf_pq_topk(
+        emb, _queries_df(spark, sf_dir), k=ANN_K, n_clusters=8, n_probe=2,
+        sample_hex=_TRAIN_SAMPLE_HEX,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -215,3 +215,33 @@ def test_grouped_udf_zscore_matches_window(spark):
     for key, v in jvm_out.items():
         assert abs(udf_out[key] - v) <= 0.001  # 3-dp rounding boundary slack
     assert all(k[1] != 99 for k in jvm_out)  # sigma-undefined user dropped
+
+
+def test_events_anomaly_mad_crafted(spark):
+    """MAD outlier detection on crafted data: a tight cluster plus one wild
+    value — the median/MAD ignore the outlier (robustness), the threshold
+    flags exactly it."""
+    from k8s_vectordb_sync_spark.queries import QUERIES
+    import tempfile, os
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, i, "purchase", float(v), "{}")
+        for i, v in enumerate([10, 11, 12, 13, 14, 1000])
+    ]
+    rows += [(100 + i, t0, i, "view", 5.0, "{}") for i in range(4)]  # mad 0
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="kvs-mad-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in QUERIES["events_anomaly_mad"](spark, d).collect()}
+    p = out["purchase"]
+    assert p["median"] == 12.5 and p["mad"] == 1.5
+    assert p["n_outliers"] == 1  # only the 1000
+    v = out["view"]
+    assert v["mad"] == 0.0 and v["n_outliers"] == 0  # all equal: nothing flagged

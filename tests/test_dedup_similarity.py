@@ -653,3 +653,23 @@ def test_pq_codes_dim_not_divisible_raises(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_codes(df, m=2)
+
+
+def test_ivf_pq_probe_all_equals_pq(spark, sf_dir):
+    """With n_probe = n_clusters the IVF stage prunes nothing, so the
+    composed IVF-PQ search must equal plain PQ asymmetric-distance search
+    exactly (same codebooks, same scoring, same tie order) — the pruning and
+    the scoring are orthogonal, which is what makes the composition sound."""
+    from k8s_vectordb_sync_spark.operators.similarity import ivf_pq_topk, pq_topk
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    composed = {
+        tuple(r)
+        for r in ivf_pq_topk(emb, q, k=4, n_clusters=4, n_probe=4).collect()
+    }
+    plain = {tuple(r) for r in pq_topk(emb, q, k=4).collect()}
+    assert composed == plain and len(plain) == 12

@@ -115,3 +115,22 @@ def test_segment_media_edges(spark):
     assert len(by_doc[3]) == 1 and by_doc[3][0]["seg_len"] == 0
     # md5 of identical windows of identical payloads agree
     assert by_doc[1][0]["seg_md5"] == by_doc[1][1]["seg_md5"]  # both 64x 'x'
+
+
+def test_token_entropy_crafted(spark):
+    import math
+
+    from k8s_vectordb_sync_spark.operators.lm import token_entropy
+
+    rows = [
+        (1, "a a a a"),          # one token type -> H = 0
+        (2, "a b"),              # two equiprobable -> H = ln 2
+        (3, ""),                 # zero tokens -> 0.0 by convention
+        (4, "a a b b c c d d"),  # four equiprobable -> ln 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["token_entropy"]) for r in token_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (2, round(math.log(2), 4))
+    assert got[3] == (0, 0.0)
+    assert got[4] == (8, round(math.log(4), 4))
