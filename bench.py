@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "documents_token_entropy",
     "events_anomaly_mad",
     "ann_ivf_pq_topk",
+    "cdc_key_churn",
 ]
 
 RUNS_PER_QUERY = 2

@@ -4134,3 +4134,36 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_hex=_TRAIN_SAMPLE_HEX,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "cdc_key_churn",
+    f"""WITH {SQL_CH}
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN op_type = 'UPSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+           CAST(SUM(CASE WHEN op_type = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           CAST(MIN(ts_ms) AS BIGINT) AS first_ts_ms,
+           CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms,
+           CAST(MAX(ts_ms) - MIN(ts_ms) AS BIGINT) AS active_ms
+    FROM ch GROUP BY id""",
+)
+def cdc_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key churn profile: event counts by op, first/last activity, active
+    span — the ops readout behind the reference's debounce-effectiveness
+    guarantees (integration_test.go's N-events -> 1-upsert dedup ratio is
+    n_events vs the 1 row last-state-wins emits). ONE hash aggregate with
+    map-side partials; the shuffle carries one row per key per task."""
+    ch = _ch(spark, sf_dir)
+    ts_ms = F.unix_millis("event_ts")
+    return ch.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("op_type") == "UPSERT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_upserts"),
+        F.sum(F.when(F.col("op_type") == "DELETE", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+        F.min(ts_ms).cast("bigint").alias("first_ts_ms"),
+        F.max(ts_ms).cast("bigint").alias("last_ts_ms"),
+        (F.max(ts_ms) - F.min(ts_ms)).cast("bigint").alias("active_ms"),
+    )
