@@ -128,3 +128,18 @@ def test_cli_resync_does_not_resurrect_deleted_keys(tmp_path):
         ).fetchall()
     }
     assert ids == {"user/4"}  # user/3's latest event is a DELETE
+
+
+def test_bench_queries_all_registered():
+    """Every name bench.py times must exist in the registry — a typo would
+    crash the driver's per-round bench run, which is a silent round-killer."""
+    import bench
+
+    from k8s_vectordb_sync_spark.queries import ORACLES, QUERIES
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in QUERIES]
+    assert missing == []
+    # bench names are unique (no double-timed queries skewing the total)
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+    # and the registry invariant: every query has an oracle
+    assert set(QUERIES) == set(ORACLES)
