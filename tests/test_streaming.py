@@ -408,3 +408,57 @@ def test_streaming_sliding_window_agg_matches_batch(spark, workdir):
         for r in spark.sql("SELECT * FROM slide_test").collect()
     }
     assert got == batch
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, workdir):
+    """The streaming analogue dedup_incremental's docstring promises: NEW
+    documents arrive as a stream and are checked against the static
+    historical fingerprint table with a stream-static left join — per
+    micro-batch, only the increment is scanned; history is the build side.
+    The union of micro-batch outputs must equal the batch formulation."""
+    from k8s_vectordb_sync_spark.functions.text import fingerprint
+
+    hist_rows = [
+        (1, "the quick brown fox", "s"),
+        (2, "lorem ipsum dolor", "s"),
+        (3, "THE   quick brown fox", "s"),  # same fingerprint as 1
+    ]
+    new_rows = [
+        (100, "the quick brown fox", "s"),   # dup of history (matched_doc 1)
+        (101, "entirely new content", "s"),  # novel
+        (102, "lorem ipsum dolor", "s"),     # dup of history (matched_doc 2)
+    ]
+    hist = (
+        spark.createDataFrame(hist_rows, "doc_id long, text string, source string")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("matched_doc"))
+    )
+    src = f"{workdir}/newdocs"
+    spark.createDataFrame(
+        new_rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def incr(df):
+        fp = df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        return fp.join(hist, "fp", "left").select(
+            "doc_id",
+            F.col("matched_doc").isNotNull().alias("is_dup"),
+            "matched_doc",
+        )
+
+    batch = {tuple(r) for r in incr(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    collected: list = []
+    q = (
+        incr(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", f"{workdir}/ckpt-incr-dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(collected) == batch
+    assert {(r[0], r[1]) for r in batch} == {(100, True), (101, False), (102, True)}
