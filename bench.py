@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "ann_ivf_pq_topk",
     "cdc_key_churn",
+    "documents_duplicate_spans",
 ]
 
 RUNS_PER_QUERY = 2

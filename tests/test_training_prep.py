@@ -222,3 +222,30 @@ def test_project_matches_manual_dot(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, v array<float>")
     (row,) = df.select(project(F.col("v"), planes).alias("p")).collect()
     assert row["p"] == [pytest.approx(7.0), pytest.approx(-0.5)]
+
+
+def test_duplicate_spans_crafted(spark, tmp_path):
+    """Planted boilerplate: three docs share an identical 8+-token passage
+    wrapped in different surroundings (whole-doc dedup misses them); one doc
+    is fully unique. The shared spans are flagged, the unique doc scores 0."""
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    boiler = "please subscribe to our newsletter for the latest updates today"
+    rows = [
+        (1, f"alpha beta {boiler}", "s"),
+        (2, f"{boiler} gamma delta", "s"),
+        (3, f"epsilon {boiler} zeta", "s"),
+        (4, "a completely unique document about adaptive query execution plans", "s"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_common_spans"], r["common_ratio"])
+        for r in QUERIES["documents_duplicate_spans"](spark, d).collect()
+    }
+    assert out[4] == (0, 0.0)
+    # the 10-token boilerplate contributes 3 shared 8-grams to each carrier
+    assert all(out[i][0] == 3 for i in (1, 2, 3))
+    assert all(out[i][1] > 0 for i in (1, 2, 3))
