@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ann_ivf_pq_topk",
     "cdc_key_churn",
     "documents_duplicate_spans",
+    "ann_pq_adc_topk",
 ]
 
 RUNS_PER_QUERY = 2

@@ -943,3 +943,118 @@ def ivf_pq_topk(
             "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
         )
     )
+
+
+def pq_topk_adc(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iterations: int = PQ_ITERATIONS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    sample_hex: str | None = None,
+) -> DataFrame:
+    """PQ top-k via ADC lookup tables (asymmetric distance computation, the
+    FAISS serving shape): per query, precompute the m x k table of
+    query-subvector . codebook-centroid dots on the driver (a few hundred
+    floats); each base row is then scored by m array LOOKUPS on its code
+    word — no per-row vector math at all. cosine(q, recon) decomposes
+    exactly: dot(q, recon) = sum_s dot(q_s, c_s) and |recon|^2 =
+    sum_s |c_s|^2, so the scan reads m small ints per row and does m+m
+    element_at calls per row per query.
+
+    This is the plan pq_topk converges to at scale: same codebooks, same
+    ranking semantics, but the reconstruction dot product moves out of the
+    per-row loop into the per-query table. Table entries, centroid
+    norms-squared, and the query norm round to 6 dp (mirrored in the
+    oracle) so the per-subspace summation order is the only order either
+    engine uses. Queries are collected driver-side — the established
+    small-side pattern (cf. brute_force_topk_vectorized).
+    """
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        nid_t = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {qid_t}, neighbor_id {nid_t}, score double, rank int"
+        )
+    codebooks = pq_codebooks(
+        embeddings, m, n_codes, iterations, vec_col, id_col, dim=dim,
+        sample_hex=sample_hex,
+    )
+    sub = dim // m
+    codes = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            nearest_centroid_expr(F.slice(F.col(vec_col), s * sub + 1, sub), codebooks[s])
+            .alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
+    # |c_s|^2 per (subspace, code): query-independent, k*m floats
+    n2 = [
+        [round(sum(v * v for v in cent), 6) for cent in codebooks[s]]
+        for s in range(m)
+    ]
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        nid_t = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {qid_t}, neighbor_id {nid_t}, score double, rank int"
+        )
+    qtab_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r[query_vec_col]]
+        if len(qv) != dim:
+            raise ValueError(f"query dim {len(qv)} != base dim {dim}")
+        tables = [
+            [
+                round(
+                    sum(
+                        a * b
+                        for a, b in zip(qv[s * sub : (s + 1) * sub], cent)
+                    ),
+                    6,
+                )
+                for cent in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        qnorm = round(math.sqrt(sum(x * x for x in qv)), 6)
+        qtab_rows.append((r[query_id_col], qnorm, tables, n2))
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    qtab = embeddings.sparkSession.createDataFrame(
+        qtab_rows,
+        schema=(
+            f"query_id {qid_t}, qnorm double, "
+            "t array<array<double>>, n2 array<array<double>>"
+        ),
+    )
+    dotsum = None
+    rn2 = None
+    for s in range(m):
+        d = F.element_at(F.element_at(F.col("t"), s + 1), F.col(f"code{s}").cast("int") + 1)
+        n = F.element_at(F.element_at(F.col("n2"), s + 1), F.col(f"code{s}").cast("int") + 1)
+        dotsum = d if dotsum is None else dotsum + d
+        rn2 = n if rn2 is None else rn2 + n
+    denom = F.col("qnorm") * F.sqrt(rn2)
+    scored = codes.crossJoin(F.broadcast(qtab)).select(
+        "query_id",
+        "neighbor_id",
+        F.when(denom > 0, dotsum / denom).otherwise(F.lit(0.0)).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+        )
+    )

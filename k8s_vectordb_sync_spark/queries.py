@@ -4223,3 +4223,63 @@ def documents_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common_spans").cast("double") / F.col("n_spans"), 4
         ).alias("common_ratio"),
     )
+
+
+def _sql_pq_adc(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64) -> str:
+    """ADC lookup-table PQ oracle: per (query, subspace, code) the dot table
+    and centroid norm-squared come straight from the final codebook CTEs
+    (6-dp rounded, mirroring the driver-side tables); scoring is per-subspace
+    table joins summed s=0..m-1 — the same association order the Spark
+    expression uses."""
+    sub = dim // m
+    parts = _sql_pq_cte_parts(m, k, iterations, dim)
+    code_joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
+    parts.append(f"codes AS (SELECT * FROM s0_af {code_joins})")
+    parts.append(
+        f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+          round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS qnorm
+          FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID})"""
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""dt{s} AS (
+          SELECT q.query_id, cb.cluster,
+                 round(list_sum(list_transform(range(1, {sub} + 1),
+                       i -> list_slice(q.qv, {lo}, {hi})[i] * cb.c[i])), 6) AS dt,
+                 round(list_sum(list_transform(cb.c, x -> x * x)), 6) AS n2
+          FROM q CROSS JOIN s{s}_c{iterations} cb)""")
+    dot_sum = " + ".join(f"t{s}.dt" for s in range(m))
+    n2_sum = " + ".join(f"t{s}.n2" for s in range(m))
+    tbl_joins = " ".join(
+        f"JOIN dt{s} t{s} ON t{s}.query_id = q.query_id AND t{s}.cluster = cd.code{s}"
+        for s in range(m)
+    )
+    parts.append(f"""scored AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id,
+             CASE WHEN q.qnorm * sqrt({n2_sum}) > 0
+                  THEN ({dot_sum}) / (q.qnorm * sqrt({n2_sum}))
+                  ELSE 0.0 END AS score
+      FROM codes cd CROSS JOIN q {tbl_joins})""")
+    parts.append("""ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT query_id, neighbor_id, round(score, 4) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}"""
+
+
+@register("ann_pq_adc_topk", _sql_pq_adc())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via ADC lookup tables — the FAISS serving shape: per query
+    an m x k dot table is built once driver-side, and every base row is
+    scored by m array lookups on its code word, no per-row vector math
+    (operators/similarity.py::pq_topk_adc). This is what pq_topk's scan
+    becomes at scale: m small ints read per row, m+m element_at calls."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.pq_topk_adc(
+        emb, _queries_df(spark, sf_dir), k=ANN_K, sample_hex=_TRAIN_SAMPLE_HEX
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -673,3 +673,23 @@ def test_ivf_pq_probe_all_equals_pq(spark, sf_dir):
     }
     plain = {tuple(r) for r in pq_topk(emb, q, k=4).collect()}
     assert composed == plain and len(plain) == 12
+
+
+def test_pq_adc_matches_reconstruction_scoring(spark, sf_dir):
+    """ADC lookup-table scoring must agree with per-row reconstruction
+    scoring (pq_topk): cosine(q, recon) decomposes exactly into per-subspace
+    table entries, so the same codebooks give the same neighbors — scores
+    may differ only by the 6-dp table rounding + FP association, absorbed by
+    the 4-dp output rounding."""
+    from k8s_vectordb_sync_spark.operators.similarity import pq_topk, pq_topk_adc
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    adc = {(r["query_id"], r["neighbor_id"]): r["score"] for r in pq_topk_adc(emb, q, k=4).collect()}
+    rec = {(r["query_id"], r["neighbor_id"]): r["score"] for r in pq_topk(emb, q, k=4).collect()}
+    assert set(adc) == set(rec)
+    for key in rec:
+        assert abs(adc[key] - rec[key]) <= 2e-4  # 4-dp rounding boundary slack
