@@ -462,3 +462,79 @@ def test_streaming_incremental_dedup_matches_batch(spark, workdir):
     q.awaitTermination(120)
     assert set(collected) == batch
     assert {(r[0], r[1]) for r in batch} == {(100, True), (101, False), (102, True)}
+
+
+def test_streaming_lsh_vector_search_matches_batch(spark, workdir):
+    """Vector search as a STREAMING serving path: query vectors arrive on a
+    stream, the static corpus is pre-bucketed by hyperplane bucket, and the
+    LSH candidate step is a stream-static equi-join on bucket (supported in
+    append mode; at scale the static side is the partitioned index of
+    test_ivf/lsh_index_partitioned_probe_prunes, so each micro-batch reads
+    only probed partitions). Per-batch top-k runs inside foreachBatch — the
+    union over micro-batches must equal batch lsh_topk exactly."""
+    from k8s_vectordb_sync_spark.functions.vectors import dot, norm
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        hyperplane_bucket,
+        lsh_planes,
+        lsh_topk,
+    )
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    expected = {tuple(r) for r in lsh_topk(emb, queries, k=3).collect()}
+
+    dim = len(emb.first()["embedding"])
+    planes = lsh_planes(dim)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vec"),
+        norm(F.col("embedding")).alias("nv"),
+        hyperplane_bucket("embedding", planes).alias("bucket"),
+    )
+
+    src = f"{workdir}/qstream"
+    queries.coalesce(1).write.mode("overwrite").parquet(src)
+    qstream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = qstream.select(
+        "query_id",
+        "query_vec",
+        norm(F.col("query_vec")).alias("nq"),
+        hyperplane_bucket("query_vec", planes).alias("bucket"),
+    )
+    denom = F.col("nq") * F.col("nv")
+    scored = q.join(corpus, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.when(denom > 0, dot(F.col("query_vec"), F.col("vec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+    collected: list = []
+
+    def topk_batch(df, _id):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        collected.extend(
+            tuple(r)
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+            .collect()
+        )
+
+    q_handle = (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(topk_batch)
+        .option("checkpointLocation", f"{workdir}/ckpt-lsh-serve")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_handle.awaitTermination(120)
+    assert set(collected) == expected and len(expected) > 0
