@@ -4283,3 +4283,58 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _queries_df(spark, sf_dir), k=ANN_K, sample_hex=_TRAIN_SAMPLE_HEX
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""WITH {_sql_minhash_ctes(0.5)},
+    da AS (SELECT p.doc_a, p.doc_b, d.source FROM pairs p
+           JOIN documents d ON p.doc_a = d.doc_id),
+    xp AS (
+      SELECT da.source AS source, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN sb.source = da.source THEN 1 ELSE 0 END) AS n_same_source
+      FROM da JOIN documents sb ON da.doc_b = sb.doc_id
+      GROUP BY da.source),
+    docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(x.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(x.n_same_source, 0) AS BIGINT) AS n_same_source,
+           round(CAST(COALESCE(x.n_pairs, 0) AS DOUBLE) / d.n_docs, 4) AS pair_rate
+    FROM docs d LEFT JOIN xp x USING (source)""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-health readout per source: MinHash near-dup pairs attributed to
+    the doc_a side's source, split into same-source vs cross-source, rated
+    against the source's doc count — the monitoring view that tells a
+    curation run WHERE its duplication lives (same-source = crawl revisits /
+    templates; cross-source = syndication). Reuses the bucketed LSH pair
+    miner; the attribution joins are pair-cardinality (tiny), the per-source
+    rollup is a map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    da = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+        "doc_b",
+    )
+    xp = da.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("src_b") == F.col("source"), 1).otherwise(0)).alias(
+            "n_same_source"
+        ),
+    )
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return per_source.join(xp, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.col("n_same_source"), F.lit(0))
+        .cast("bigint")
+        .alias("n_same_source"),
+        F.round(
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double") / F.col("n_docs"), 4
+        ).alias("pair_rate"),
+    )
