@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "cdc_key_churn",
     "documents_duplicate_spans",
     "ann_pq_adc_topk",
+    "dedup_rate_by_source",
 ]
 
 RUNS_PER_QUERY = 2

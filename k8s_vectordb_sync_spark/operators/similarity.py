@@ -308,21 +308,32 @@ def kmeans_centroids(
 
 
 def nearest_centroid_expr(vec, centroids: list[list[float]]):
-    """Argmin-over-literal-centroids as a single codegen Column expression
-    (strict < comparison: ties go to the lowest cluster index, matching the
-    oracle's ORDER BY distance, cluster)."""
-    best_c = F.lit(0)
-    best_d = F.lit(float("inf"))
-    for ci, cvec in enumerate(centroids):
-        c_col = F.array(*[F.lit(float(v)) for v in cvec])
-        diffs = F.zip_with(
-            vec, c_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        )
-        d = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-        take = d < best_d
-        best_c = F.when(take, F.lit(ci)).otherwise(best_c)
-        best_d = F.when(take, d).otherwise(best_d)
-    return best_c
+    """Argmin-over-literal-centroids as a single Column expression: one
+    transform over the 2-D centroid literal computes every squared distance,
+    array_position(d, array_min(d)) picks the winner — first occurrence on
+    ties, i.e. the lowest cluster index, matching the oracle's ORDER BY
+    (distance, cluster). Distance arithmetic (zip_with square fold) is
+    identical to the previous nested-when formulation, so selected clusters
+    are bit-for-bit unchanged; the tree is linear in k instead of the
+    when-chain that nested k deep and evaluated every distance twice
+    (measured: IVF training time dominated by that expression's analysis +
+    double evaluation)."""
+    if not centroids:
+        return F.lit(0)
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in cvec]) for cvec in centroids]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def assign_clusters(
