@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "documents_duplicate_spans",
     "ann_pq_adc_topk",
     "dedup_rate_by_source",
+    "dedup_minhash_sig_pairs",
+    "dedup_simhash_clusters",
 ]
 
 RUNS_PER_QUERY = 2

@@ -4338,3 +4338,67 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double") / F.col("n_docs"), 4
         ).alias("pair_rate"),
     )
+
+
+def _sql_minhash_sig_pairs(threshold: float = 0.5) -> str:
+    """Signature-agreement pair oracle: same shingle/sig/bucket CTEs as the
+    exact-verify chain, but the gate is matching signature positions /
+    NUM_MINHASHES — the zero-shingle-state verify mode of minhash_lsh_pairs
+    (verify="signature")."""
+    base = _sql_minhash_ctes(threshold)
+    # keep the chain through `cand`; replace the exact-Jaccard verify
+    cut = base.index("verified AS")
+    head = base[:cut].rstrip().rstrip(",")
+    return f"""WITH {head},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, {NUM_MINHASHES} + 1),
+                             i -> a.sig[i] = b.sig[i]))::DOUBLE / {NUM_MINHASHES} AS jaccard
+      FROM cand c JOIN sigs a ON c.doc_a = a.doc_id
+                  JOIN sigs b ON c.doc_b = b.doc_id)
+    SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+    FROM est WHERE jaccard >= {threshold}"""
+
+
+@register("dedup_minhash_sig_pairs", _sql_minhash_sig_pairs())
+def dedup_minhash_sig_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs gated by the SIGNATURE-AGREEMENT estimate
+    (minhash_lsh_pairs verify="signature") — the 100 TB verify mode: nothing
+    above 16 longs per doc is cached or joined, so the shingle arrays never
+    exist past the signature aggregation. The estimate's quality vs exact
+    Jaccard is what dedup_minhash_estimate calibrates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, threshold=0.5, verify="signature")
+
+
+def _sql_simhash_clusters(max_hamming: int = 3) -> str:
+    """Connected components over the banded SimHash pair graph — the
+    recursive-reachability closed form of dup_clusters, sharing the simhash
+    signature CTEs (mirror of _sql_minhash_clusters)."""
+    base = _sql_simhash().replace("WITH ", "WITH RECURSIVE ", 1)
+    return base + f""",
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id)
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id"""
+
+
+@register("dedup_simhash_clusters", _sql_simhash_clusters())
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the SimHash near-dup graph — the
+    same pointer-jumping label propagation dedup_minhash_clusters uses
+    (operators/dedup.py::dup_clusters), fed by the chunk-banded hamming<=3
+    pair miner. Together the two cluster queries cover both similarity
+    families' graph closures."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.simhash_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    return dd.dup_clusters(pairs)
