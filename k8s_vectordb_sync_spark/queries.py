@@ -4177,11 +4177,12 @@ _SPAN_K, _SPAN_MIN_DOCS = 8, 3
     f"""WITH sp AS (
       SELECT doc_id, unnest({_sql_shingles(SQL_NTOKS, _SPAN_K)}) AS span
       FROM documents),
-    df AS (SELECT span, COUNT(*) AS ndocs FROM sp GROUP BY span),
+    cnt AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY span) AS ndocs FROM sp),
     per AS (
-      SELECT s.doc_id, COUNT(*) AS n_spans,
-             SUM(CASE WHEN d.ndocs >= {_SPAN_MIN_DOCS} THEN 1 ELSE 0 END) AS n_common
-      FROM sp s JOIN df d USING (span) GROUP BY s.doc_id)
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN ndocs >= {_SPAN_MIN_DOCS} THEN 1 ELSE 0 END) AS n_common
+      FROM cnt GROUP BY doc_id)
     SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
            CAST(n_common AS BIGINT) AS n_common_spans,
            round(CAST(n_common AS DOUBLE) / n_spans, 4) AS common_ratio
@@ -4193,27 +4194,26 @@ def documents_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — a high common_ratio marks template/boilerplate text that
     survives whole-document dedup because the surrounding words differ.
 
-    Plan: one span explode (distinct spans per doc), a span-keyed document
-    count, and one shuffle join back on span — both aggregates carry
-    map-side partials; nothing is quadratic in docs or spans. Spans are the
+    Plan: ONE span explode, a span-partitioned count window (the span shuffle
+    carries each row once — no aggregate-then-join-back, which would
+    recompute the tokenize+explode lineage a second time; measured 7.6s ->
+    3.9s at sf0.1), then the per-doc aggregate. Spans are the
     distinct-shingle arrays the MinHash family already uses, so the oracle
-    shares _sql_shingles (per-doc-distinct makes COUNT(*) per span a
+    shares _sql_shingles (per-doc-distinct makes the window count a
     document count). Documents shorter than 8 tokens contribute their whole
     text as one span (the shingle fallback, mirrored in both engines)."""
     docs = load_table(spark, sf_dir, "documents")
     sp = docs.select(
         "doc_id", F.explode(T.shingles(F.col("text"), _SPAN_K)).alias("span")
     )
-    span_df = sp.groupBy("span").agg(F.count(F.lit(1)).alias("ndocs"))
-    per = (
-        sp.join(span_df, "span")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.sum(F.when(F.col("ndocs") >= _SPAN_MIN_DOCS, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_common_spans"),
-        )
+    cnt = sp.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("span")).alias("ndocs")
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("ndocs") >= _SPAN_MIN_DOCS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_common_spans"),
     )
     return per.select(
         "doc_id",
