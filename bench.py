@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "dedup_minhash_sig_pairs",
     "dedup_simhash_clusters",
+    "documents_despan_clean",
+    "embeddings_standardize",
 ]
 
 RUNS_PER_QUERY = 2

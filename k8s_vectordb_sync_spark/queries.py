@@ -4402,3 +4402,114 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.simhash_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
     return dd.dup_clusters(pairs)
+
+
+_SPAN_CLEAN_MAX_RATIO = 0.5
+
+
+@register(
+    "documents_despan_clean",
+    f"""WITH sp AS (
+      SELECT doc_id, unnest({_sql_shingles(SQL_NTOKS, _SPAN_K)}) AS span
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY span) AS ndocs FROM sp),
+    per AS (
+      SELECT doc_id,
+             SUM(CASE WHEN ndocs >= {_SPAN_MIN_DOCS} THEN 1 ELSE 0 END)::DOUBLE
+               / COUNT(*) AS ratio
+      FROM cnt GROUP BY doc_id)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.ratio > {_SPAN_CLEAN_MAX_RATIO} THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           round(SUM(CASE WHEN p.ratio > {_SPAN_CLEAN_MAX_RATIO} THEN 0 ELSE 1 END)::DOUBLE
+                 / COUNT(*), 4) AS keep_rate
+    FROM documents d JOIN per p USING (doc_id)
+    GROUP BY d.source""",
+)
+def documents_despan_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of duplicate-span detection: drop documents whose
+    common-span ratio exceeds 0.5 (majority-boilerplate pages) and report
+    keep rates per source — the detector (documents_duplicate_spans)
+    composed with the removal policy a curation run applies. Same
+    single-pass span-window plan plus one broadcast-scale join to source and
+    a per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), _SPAN_K)).alias("span")
+    )
+    cnt = sp.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("span")).alias("ndocs")
+    )
+    per = cnt.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("ndocs") >= _SPAN_MIN_DOCS, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("ratio")
+    )
+    keep = F.when(F.col("ratio") > _SPAN_CLEAN_MAX_RATIO, 0).otherwise(1)
+    return (
+        docs.select("doc_id", "source")
+        .join(per, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep).cast("bigint").alias("n_kept"),
+            F.round(F.sum(keep).cast("double") / F.count(F.lit(1)), 4).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "embeddings_standardize",
+    """WITH ex AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+             unnest(range(1, len(embedding) + 1)) AS idx
+      FROM embeddings),
+    st AS (
+      SELECT idx, round(AVG(val), 6) AS mu,
+             round(stddev_samp(val), 6) AS sigma
+      FROM ex GROUP BY idx),
+    z AS (
+      SELECT e.vec_id, e.idx,
+             CASE WHEN s.sigma > 0
+                  THEN round((e.val - s.mu) / s.sigma, 4) ELSE 0.0 END AS zv
+      FROM ex e JOIN st s USING (idx))
+    SELECT vec_id, list(zv ORDER BY idx) AS z
+    FROM z GROUP BY vec_id""",
+)
+def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening-lite): z-score every
+    coordinate against the corpus's per-dimension mean/stddev — the
+    preprocessing that stops high-variance dimensions from dominating
+    cosine/L2 retrieval. Plan: one posexplode -> per-dimension aggregate
+    (dim rows — broadcast back), then the z-projection and per-vector
+    array reassembly (array_sort over (idx, z) structs, the kmeans-means
+    trick). Means/stddevs round to 6 dp in both engines before the divide;
+    zero-variance dimensions map to 0.0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx0", "val"),
+    ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "val")
+    st = ex.groupBy("idx").agg(
+        F.round(F.avg("val"), 6).alias("mu"),
+        F.round(F.stddev_samp("val"), 6).alias("sigma"),
+    )
+    z = ex.join(F.broadcast(st), "idx").select(
+        "vec_id",
+        "idx",
+        F.when(
+            F.col("sigma") > 0, F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zv"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "zv"))), lambda s: s["zv"]
+        ).alias("z")
+    )
