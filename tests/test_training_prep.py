@@ -249,3 +249,42 @@ def test_duplicate_spans_crafted(spark, tmp_path):
     # the 10-token boilerplate contributes 3 shared 8-grams to each carrier
     assert all(out[i][0] == 3 for i in (1, 2, 3))
     assert all(out[i][1] > 0 for i in (1, 2, 3))
+
+
+def test_embeddings_standardize_crafted(spark, tmp_path):
+    """Known per-dimension stats: dim 1 has mean 2, stddev 1 over {1,2,3};
+    dim 2 is constant (sigma 0 -> z 0.0 by convention)."""
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    rows = [(1, [1.0, 7.0]), (2, [2.0, 7.0]), (3, [3.0, 7.0])]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(d + "/embeddings.parquet")
+    out = {r["vec_id"]: list(r["z"]) for r in QUERIES["embeddings_standardize"](spark, d).collect()}
+    assert out == {1: [-1.0, 0.0], 2: [0.0, 0.0], 3: [1.0, 0.0]}
+
+
+def test_despan_clean_drops_majority_boilerplate(spark, tmp_path):
+    """A doc that is pure shared boilerplate (common_ratio 1.0) is dropped;
+    docs where the boilerplate is a minority of their spans are kept."""
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    boiler = "one two three four five six seven eight"  # exactly one 8-gram
+    unique_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    unique_b = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    unique_c = "phi chi psi omega aleph bet gimel dalet he vav"
+    rows = [
+        (1, boiler, "s"),                      # 100% common -> dropped
+        (2, boiler, "s"),                      # 100% common -> dropped
+        (3, boiler, "s"),                      # 100% common -> dropped
+        (4, f"{unique_a} {boiler}", "s"),      # minority common -> kept
+        (5, f"{unique_b} {boiler}", "s"),      # minority common -> kept
+        (6, unique_c, "s"),                    # no common spans -> kept
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    out = {r["source"]: (r["n_docs"], r["n_kept"]) for r in QUERIES["documents_despan_clean"](spark, d).collect()}
+    assert out == {"s": (6, 3)}
