@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dedup_simhash_clusters",
     "documents_despan_clean",
     "embeddings_standardize",
+    "events_session_windows",
 ]
 
 RUNS_PER_QUERY = 2

@@ -4513,3 +4513,47 @@ def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("idx", "zv"))), lambda s: s["zv"]
         ).alias("z")
     )
+
+
+_SESSION_WINDOW_GAP_MS = 30 * 60 * 1000  # 30 min, the events_sessionization gap
+
+
+@register(
+    "events_session_windows",
+    f"""WITH ev AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+    marks AS (
+      SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w > {_SESSION_WINDOW_GAP_MS}
+                THEN 1 ELSE 0 END AS ns
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+    sess AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks)
+    SELECT user_id, CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
+           CAST(MAX(ts_ms) + {_SESSION_WINDOW_GAP_MS} AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window operator — the
+    built-in form of the reference's debounce quiet-period grouping
+    (debounce.go:32-149), and the operator the streaming pipeline can run
+    stateful with a watermark (merging session state across micro-batches).
+    The oracle is the classic lag/cumsum closed form (shared idiom with
+    cdc_debounce_sessions); session_window's [min_ts, max_ts + gap) bounds
+    are reproduced exactly. One user-keyed exchange; the session merge is
+    Spark-internal state, not a window sort at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = f"{_SESSION_WINDOW_GAP_MS // 1000} seconds"
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )

@@ -538,3 +538,49 @@ def test_streaming_lsh_vector_search_matches_batch(spark, workdir):
     )
     q_handle.awaitTermination(120)
     assert set(collected) == expected and len(expected) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, workdir):
+    """Spark's native session_window under readStream + watermark: session
+    state merges across micro-batches and the final emitted sessions equal
+    the batch computation — the streaming form of the reference's
+    quiet-period grouping (sessions close when the watermark passes
+    last_event + gap)."""
+    rows = [
+        (1, _t(0), 1, "view", 1.0, None),
+        (2, _t(5 * 60_000), 1, "view", 1.0, None),     # same session (gap 30m)
+        (3, _t(60 * 60_000), 1, "click", 1.0, None),   # new session
+        (4, _t(10 * 60_000), 2, "view", 1.0, None),
+        (5, _t(300 * 60_000), 9, "view", 1.0, None),   # watermark pusher
+    ]
+    src = f"{workdir}/events"
+    _write_events(spark, src, rows)
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                "user_id",
+                F.unix_millis(F.col("w.start")).alias("start_ms"),
+                F.unix_millis(F.col("w.end")).alias("end_ms"),
+                "n",
+            )
+        )
+
+    batch = {tuple(r) for r in sessions(spark.read.parquet(src)).collect()}
+    assert len(batch) == 4  # user1 x2, user2 x1, user9 x1
+
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        sessions(raw.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt-sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM session_test").collect()}
+    assert streamed == batch
