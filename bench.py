@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "documents_despan_clean",
     "embeddings_standardize",
     "events_session_windows",
+    "cdc_last_state_wins_salted",
 ]
 
 RUNS_PER_QUERY = 2

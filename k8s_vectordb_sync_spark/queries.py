@@ -4557,3 +4557,31 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "cdc_last_state_wins_salted",
+    # SAME oracle as cdc_last_state_wins: salting is a shuffle-shape change,
+    # not a semantic one (max_by over a total order is associative), and the
+    # driver gate proving that equality is the point of registering it.
+    f"""WITH {SQL_CH},
+    r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, event_id DESC) rn FROM ch)
+    SELECT id, event_id AS last_event_id, value AS last_value,
+           ts_ms AS last_ts_ms, op_type AS last_op
+    FROM r WHERE rn = 1""",
+)
+def cdc_last_state_wins_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant last-state-wins (operators/debounce.py::
+    salted_last_state_wins): two-phase max_by through 16 salt buckets — the
+    aggregation-skew mitigation for a single hot key at 100 TB (AQE splits
+    skewed JOINS, but aggregation skew needs salting). Hash-identical to
+    cdc_last_state_wins by construction; the gate proves it."""
+    ch = _ch(spark, sf_dir)
+    latest = dbn.salted_last_state_wins(ch, key_cols=["id"], tiebreak_cols=["event_id"])
+    return latest.select(
+        "id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.unix_millis("event_ts").alias("last_ts_ms"),
+        F.col("op_type").alias("last_op"),
+    )

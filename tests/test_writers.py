@@ -152,3 +152,48 @@ def test_lsh_index_partitioned_probe_prunes(spark, workdir):
     assert str(some_bucket) in pf_segment
     # pruned read returns exactly the bucket members
     assert probe.count() == indexed.filter(F.col("bucket") == some_bucket).count()
+
+
+def test_aqe_splits_skewed_join(spark, workdir):
+    """The 100 TB skew story made concrete: a join where one key holds ~90%
+    of the fact rows. With AQE skew-join enabled (build_spark sets it) and
+    test-scaled thresholds, the oversized partition is split into parallel
+    subtasks — visible as `isSkew=true` / skew markers in the final adaptive
+    plan — and the join result is unchanged."""
+    import pyspark.sql.functions as F
+
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 97).select(F.col("id").alias("k"), (F.col("id") * 2).alias("d"))
+    fact.write.mode("overwrite").parquet(f"{workdir}/fact")
+    dim.write.mode("overwrite").parquet(f"{workdir}/dim")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (
+            spark.read.parquet(f"{workdir}/fact")
+            .join(spark.read.parquet(f"{workdir}/dim"), "k")
+        )
+        # execute THIS QueryExecution (count() would build a separate one
+        # whose adaptive plan finalizes instead of joined's)
+        n = len(joined.collect())
+        assert n == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan or "isSkew=true" in plan or "Skew" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
