@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "embeddings_standardize",
     "events_session_windows",
     "cdc_last_state_wins_salted",
+    "embeddings_cluster_sizes",
 ]
 
 RUNS_PER_QUERY = 2

@@ -4585,3 +4585,41 @@ def cdc_last_state_wins_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("event_ts").alias("last_ts_ms"),
         F.col("op_type").alias("last_op"),
     )
+
+
+def _sql_cluster_sizes() -> str:
+    """Cluster-occupancy oracle: the IVF CTE chain through the full
+    assignment `af`, then one aggregate + share-of-corpus."""
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # ... through af
+    body = ",\n    ".join(parts)
+    return f"""WITH {body},
+    tot AS (SELECT COUNT(*) AS n FROM af)
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(COUNT(*)::DOUBLE / (SELECT n FROM tot), 4) AS share
+    FROM af GROUP BY cluster"""
+
+
+@register("embeddings_cluster_sizes", _sql_cluster_sizes())
+def embeddings_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/SemDeDup cluster-balance audit: vectors per cluster and share of
+    corpus — the readout behind both scale knobs (a dominant cluster means
+    IVF probes read too much and SemDeDup's within-cluster pair join goes
+    quadratic; the fix is raising n_clusters until shares flatten). Same
+    hash-sampled training + one full assignment pass as ann_ivf_topk, then
+    a single map-side-combined aggregate with the corpus total as an
+    O(#clusters) broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = sim.kmeans_centroids(
+        emb, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX
+    )
+    assigned = sim.assign_clusters(emb, [c for _, c in centroids])
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    total = sizes.agg(F.sum("n_vectors").alias("n"))
+    return sizes.crossJoin(F.broadcast(total)).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / F.col("n"), 4).alias("share"),
+    )
