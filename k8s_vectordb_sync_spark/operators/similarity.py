@@ -1,14 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-Three tiers:
+The tiers, cheapest-scan first:
   brute_force_topk   exact top-k: broadcast the (small) query set, score every
-                     row, per-query window top-k. The correctness baseline.
+                     row, per-query window top-k. The correctness baseline
+                     (+ brute_force_topk_vectorized, the numpy/BLAS form).
   lsh_topk           random-hyperplane LSH buckets; search only matching
-                     buckets. The sub-linear scale path — deterministic
-                     hyperplanes so the DuckDB oracle reproduces it exactly.
-  ivf_topk           IVF: k-means (Lloyd's, DataFrame iterations) -> probe the
-                     nearest centroid partitions. Iterative, so rows-only
-                     checked (no closed-form SQL oracle).
+                     buckets. Deterministic hyperplanes so the DuckDB oracle
+                     reproduces it exactly.
+  ivf_topk           IVF: hash-sample-trained k-means -> probe the n_probe
+                     nearest centroid partitions (oracle: unrolled Lloyd CTEs).
+  pq_topk / pq_topk_adc / pq_rerank_topk
+                     product quantization: asymmetric-distance scoring over
+                     quantized reconstructions; ADC lookup-table scoring (the
+                     FAISS serving shape); two-stage exact re-rank.
+  ivf_pq_topk        the composed serving shape: IVF pruning x PQ scoring.
+  semantic_dedup_pairs
+                     SemDeDup: k-means clusters as blocking keys, cosine
+                     pairs only within a cluster.
 
 Scale notes (100 TB): the query side is broadcast (small dim table — Spark's
 BroadcastHashJoin / BroadcastNestedLoopJoin, no shuffle of the big side); the
