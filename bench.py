@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "documents_token_entropy",
     "events_anomaly_mad",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_topk_indexed",
     "cdc_key_churn",
     "documents_duplicate_spans",
     "ann_pq_adc_topk",

@@ -18,9 +18,17 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
 
 from .config import EngineConfig
 from .session import build_spark
+
+# Serializes full-snapshot resync runs. The reference's TriggerResync is
+# concurrency-safe because it only emits events into the (serialized) debounce
+# pipeline; here a resync is a whole Spark write job, and cmd_serve exposes TWO
+# triggers for it (the PeriodicResync ticker and POST /api/v1/resync) — two
+# overlapping runs would both mode('overwrite') the same .resynced directory.
+_RESYNC_LOCK = threading.Lock()
 
 
 def cmd_sync(args: argparse.Namespace) -> int:
@@ -57,7 +65,9 @@ def cmd_sync(args: argparse.Namespace) -> int:
 
 def _run_resync(spark, events_dir: str, target_path: str):
     """Shared full-snapshot reconciliation core (cmd_resync + the ops server's
-    POST /api/v1/resync both call this — the Resyncer role, server.go:16-18).
+    POST /api/v1/resync + the PeriodicResync ticker all call this — the
+    Resyncer role, server.go:16-18). Guarded by _RESYNC_LOCK so overlapping
+    triggers queue instead of racing the overwrite of the same output dir.
     """
     from .api import trigger_resync
     from .operators.debounce import last_state_wins
@@ -66,22 +76,24 @@ def _run_resync(spark, events_dir: str, target_path: str):
 
     from pyspark.sql import functions as F
 
-    ch = events_as_change_stream(load_table(spark, events_dir, "events"))
-    # The snapshot is the set of LIVE entities: keys whose latest event is a
-    # DELETE must not re-enter the target (resync heals drift, it must not
-    # resurrect deletions). Resolve latest-per-key first, then drop deletes.
-    snapshot = (
-        last_state_wins(ch, tiebreak_cols=["event_id"])
-        .filter(F.col("op_type") != "DELETE")
-        .select("id", "event_id", "value")
-    )
-    try:
-        target = spark.read.parquet(target_path)
-    except Exception:
-        target = snapshot.limit(0)
-    merged, result = trigger_resync(snapshot, target)
-    merged.write.mode("overwrite").parquet(target_path + ".resynced")
-    return result
+    with _RESYNC_LOCK:
+        ch = events_as_change_stream(load_table(spark, events_dir, "events"))
+        # The snapshot is the set of LIVE entities: keys whose latest event is
+        # a DELETE must not re-enter the target (resync heals drift, it must
+        # not resurrect deletions). Resolve latest-per-key first, then drop
+        # deletes.
+        snapshot = (
+            last_state_wins(ch, tiebreak_cols=["event_id"])
+            .filter(F.col("op_type") != "DELETE")
+            .select("id", "event_id", "value")
+        )
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            target = snapshot.limit(0)
+        merged, result = trigger_resync(snapshot, target)
+        merged.write.mode("overwrite").parquet(target_path + ".resynced")
+        return result
 
 
 def cmd_resync(args: argparse.Namespace) -> int:

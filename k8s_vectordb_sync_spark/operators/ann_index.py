@@ -1,0 +1,307 @@
+"""Persistent ANN index lifecycle: build once -> persist artifacts -> probe.
+
+Every `ann_*` tier in operators/similarity.py retrains its centroids and
+codebooks inline per invocation — correct, but not how a serving system works:
+an index is BUILT once (the expensive, corpus-scale job) and PROBED many
+times (the latency-sensitive job that must touch as little data as possible).
+The reference draws the same line between the sync controller and the
+downstream vector store that owns the persistent index
+(/root/reference/README.md:3-9); in our engine the index artifact is a set of
+parquet tables this module owns.
+
+On-disk layout of an IVF-PQ index at ``path``:
+
+  centroids/    (cluster int, centroid array<double>)      — IVF coarse
+                quantizer, n_clusters rows (a few KB).
+  codebooks/    (subspace int, code int, centroid array<double>)
+                — PQ codebooks, m * n_codes rows.
+  codes/        (vec_id, code0..code{m-1}) parquet PARTITIONED BY cluster —
+                the compressed corpus: m small ints per row instead of the
+                full vector, laid out so a probe's cluster filter is
+                PartitionFilters pruning (only n_probe/n_clusters of the
+                directories are listed or read).
+  meta.json     build parameters (dim, m, n_codes, n_clusters, iterations).
+  _INDEX_OK     marker written LAST; its presence means the index is complete
+                (a crashed build never leaves a readable half-index).
+
+Scale shape: build is one training pass (hash-sampled Lloyd loops — only
+centroid/codebook literals reach the driver) plus ONE full-corpus encode
+scan writing the partitioned codes table. Probe reads n_probe partitions of
+an m-ints-per-row table, reconstructs per-row vectors from broadcast codebook
+literals, and two-phase-top-ks — the corpus vector column is never read
+again. At 100 TB the build amortizes across every query thereafter; the
+retrain-per-query forms in similarity.py remain as the oracle-parity
+reference path.
+
+Training is deterministic (min-id seeds, fixed iterations, 6-dp mean
+rounding — see kmeans_centroids), so probing a stored index returns
+bit-identical results to the inline ivf_pq_topk, and the same DuckDB oracle
+covers both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import (
+    PQ_ITERATIONS,
+    PQ_K,
+    PQ_M,
+    _probe_dim,
+    assign_clusters,
+    kmeans_centroids,
+    nearest_centroid_expr,
+    pq_codebooks,
+    topk_per_query,
+)
+
+MARKER = "_INDEX_OK"
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    kmeans_iterations: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    pq_iterations: int = PQ_ITERATIONS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_hex: str | None = None,
+) -> dict:
+    """Train and persist an IVF-PQ index under ``path``; returns the meta
+    dict. Overwrites any existing index at the path (the marker is removed
+    first, so a concurrent prober sees "not built" rather than a torn read).
+
+    One corpus-scale job: the encode select computes the coarse cluster AND
+    every subspace code in a single codegen'd projection over one scan, and
+    the partitioned write is the only shuffle-free full-corpus output.
+    Training jobs before it are sample-sized (see training_sample).
+    """
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        raise ValueError("cannot build an ANN index over an empty corpus")
+    spark = embeddings.sparkSession
+    marker = os.path.join(path, MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    # drop any previous codes table whole: a plain mode("overwrite") under a
+    # session configured for DYNAMIC partition overwrite would leave behind
+    # partitions the rebuild does not touch (e.g. rows appended by
+    # ivf_pq_index_add into a cluster that is empty after retraining)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
+
+    centroids = kmeans_centroids(
+        embeddings, n_clusters, kmeans_iterations, vec_col=vec_col,
+        id_col=id_col, sample_hex=sample_hex,
+    )
+    codebooks = pq_codebooks(
+        embeddings, m, n_codes, pq_iterations, vec_col, id_col, dim=dim,
+        sample_hex=sample_hex,
+    )
+    sub = dim // m
+
+    cent_df = spark.createDataFrame(
+        list(centroids), schema="cluster int, centroid array<double>"
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    book_rows = [
+        (s, c, codebooks[s][c])
+        for s in range(m)
+        for c in range(len(codebooks[s]))
+    ]
+    spark.createDataFrame(
+        book_rows, schema="subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+    codes = assign_clusters(
+        embeddings, [c for _, c in centroids], vec_col
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        "cluster",
+        *[
+            nearest_centroid_expr(
+                F.slice(F.col(vec_col), s * sub + 1, sub), codebooks[s]
+            )
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "codes")
+    )
+
+    meta = {
+        "dim": dim, "m": m, "n_codes": n_codes, "n_clusters": n_clusters,
+        "kmeans_iterations": kmeans_iterations, "pq_iterations": pq_iterations,
+        "sample_hex": sample_hex or "",
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return meta
+
+
+def index_is_built(path: str) -> bool:
+    return os.path.exists(os.path.join(path, MARKER))
+
+
+def ivf_pq_index_add(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a BUILT index without retraining — the serving
+    mutation path (FAISS's ``add()``): each new row is assigned to its
+    nearest STORED centroid and encoded with the STORED codebooks, then
+    appended into its cluster partition of the codes table. One codegen'd
+    projection over the new rows, one partitioned append — the existing
+    corpus is never read or rewritten.
+
+    Centroids/codebooks stay immutable, so retrieval quality for added rows
+    assumes the corpus distribution is stationary; when the cluster-balance
+    audit (embeddings_cluster_sizes vs the build-time layout) drifts, rebuild.
+    Appends are not atomic (a crashed add can leave a partial batch) — a
+    deployment gates readers on a manifest/commit the same way the MERGE sink
+    does; callers here should re-add idempotently by vec_id or rebuild.
+    """
+    spark = embeddings.sparkSession
+    meta, centroids, books = load_ivf_pq_index(spark, path)
+    dim, m = meta["dim"], meta["m"]
+    sub = dim // m
+    codes = assign_clusters(embeddings, centroids, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        "cluster",
+        *[
+            nearest_centroid_expr(
+                F.slice(F.col(vec_col), s * sub + 1, sub), books[s]
+            )
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
+    codes.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def load_ivf_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[dict, list[list[float]], list[list[list[float]]]]:
+    """Load (meta, centroids-by-cluster, codebooks[s][code]) from a built
+    index — a few-KB collect of the two artifact tables, the only driver-side
+    data a probe ever needs."""
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    centroids = [[float(v) for v in r["centroid"]] for r in cent_rows]
+    book_rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    books: list[list[list[float]]] = [
+        [None] * meta["n_codes"] for _ in range(meta["m"])
+    ]
+    for r in book_rows:
+        books[r["subspace"]][r["code"]] = [float(v) for v in r["centroid"]]
+    return meta, centroids, books
+
+
+def ivf_pq_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve top-k from a PERSISTED IVF-PQ index: no training, no corpus
+    vector scan — load the (tiny) centroid/codebook artifacts, pick each
+    query's n_probe nearest clusters, read ONLY those partitions of the codes
+    table (PartitionFilters pruning via an isin over the union of probed
+    clusters), reconstruct rows from broadcast codebook literals, and
+    two-phase-top-k. Results are identical to similarity.ivf_pq_topk over the
+    same corpus/params because training is deterministic.
+    """
+    meta, centroids, books = load_ivf_pq_index(spark, path)
+    m = meta["m"]
+
+    cent_df = spark.createDataFrame(
+        list(enumerate(centroids)), schema="cluster int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("query_vec"),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    # The union of probed clusters is <= n_queries * n_probe ids (the query
+    # side is broadcast-small by contract) — collect it so the codes scan
+    # carries a LITERAL isin predicate, which parquet partition discovery
+    # turns into directory pruning. The per-query routing still happens in
+    # the broadcast join below.
+    probed = sorted(
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cluster").isin([int(c) for c in probed])
+    )
+
+    # reconstruct from stored codes: element_at into the codebook literals —
+    # the decode half of asymmetric distance, zero joins, all codegen
+    pieces = []
+    for s in range(m):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in cent]) for cent in books[s]]
+        )
+        pieces.append(F.element_at(book_lit, F.col(f"code{s}").cast("int") + 1))
+    recon = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cluster",
+        F.concat(*pieces).alias("rv"),
+    )
+
+    from ..functions.vectors import cosine
+
+    scored = recon.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("rv")).alias("score"),
+    )
+    return topk_per_query(scored, k)

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions import text as T
 
@@ -65,19 +64,19 @@ def unigram_logprob(
     the vocabulary (the LM is trained on the same corpus).
     """
     toks = _doc_tokens(corpus, text_col, id_col)
-    # vocab with totals: one partial-aggregated groupBy; the grand total
-    # rides along via an unpartitioned window over the O(V) vocab frame
-    # (NOT a second corpus scan)
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
-        .select(
-            "tok",
-            F.round(F.log(F.col("cnt") / F.col("total")), 4)
-            .cast("decimal(28,4)")
-            .alias("lp"),
-        )
+    # vocab with totals: one partial-aggregated groupBy; the grand total is a
+    # 1-row aggregate over the counts frame cross-join-broadcast back — NOT
+    # an unpartitioned window, which would sort the whole O(V) vocab into one
+    # partition (fatal at a web-scale 10^8-token vocabulary). Both branches
+    # share the counts exchange (ReusedExchange), so the corpus explode still
+    # runs once; the total branch re-reads only the O(V) shuffle output.
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total")), 4)
+        .cast("decimal(28,4)")
+        .alias("lp"),
     )
     # left join over the OUTER-exploded corpus: zero-token docs ride through
     # as NULL-token rows, so one groupBy emits every document
@@ -125,15 +124,20 @@ def dsir_weights(
     c_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ccnt"))
     t_counts = t_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tcnt"))
     # corpus vocab is the feature space; target counts attach by left join
-    # (missing -> 0, handled by smoothing). Totals + vocab size via windows
-    # over the O(V) frame.
-    stats = (
-        c_counts.join(t_counts, "tok", "left")
-        .withColumn("tcnt", F.coalesce(F.col("tcnt"), F.lit(0)))
-        .withColumn("ctot", F.sum("ccnt").over(Window.partitionBy()))
-        .withColumn("ttot", F.sum("tcnt").over(Window.partitionBy()))
-        .withColumn("vsize", F.count(F.lit(1)).over(Window.partitionBy()))
+    # (missing -> 0, handled by smoothing). Totals + vocab size are ONE 1-row
+    # aggregate over the joined O(V) frame, cross-join-broadcast back — not
+    # unpartitioned windows, which would funnel the whole vocabulary through
+    # a single partition. The join's input exchanges are shared between the
+    # two branches (ReusedExchange), so neither corpus is scanned twice.
+    joined = c_counts.join(t_counts, "tok", "left").withColumn(
+        "tcnt", F.coalesce(F.col("tcnt"), F.lit(0))
     )
+    totals = joined.agg(
+        F.sum("ccnt").alias("ctot"),
+        F.sum("tcnt").alias("ttot"),
+        F.count(F.lit(1)).alias("vsize"),
+    )
+    stats = joined.crossJoin(F.broadcast(totals))
     lr = F.round(
         F.log((F.col("tcnt") + 1) / (F.col("ttot") + F.col("vsize")))
         - F.log((F.col("ccnt") + 1) / (F.col("ctot") + F.col("vsize"))),
@@ -174,15 +178,25 @@ def oov_rate(
     (id, n_tokens, n_oov, oov_rate) for every document.
 
     Scale: token counts are one partial-aggregated groupBy; the top-N cut is
-    a window over the O(V) vocab frame; membership is a broadcast join
-    against the exploded corpus, then one pre-combined groupBy(doc).
+    a distributed sort+limit (TakeOrderedAndProject — per-partition partial
+    top-N, never a single-partition global sort) whose LAST element becomes a
+    broadcast threshold: token t is in the vocabulary iff its sort key
+    (-cnt, tok) <= that threshold, which is exactly rank <= N because the
+    order is total (tok is unique in the counts frame). Membership is then a
+    broadcast-filtered counts frame joined against the exploded corpus, and
+    one pre-combined groupBy(doc) finishes.
     """
     toks = _doc_tokens(corpus, text_col, id_col)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    key = F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("tk"))
+    cut = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .agg(F.max(key).alias("__thr"))
+    )
     vocab = (
-        counts.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= vocab_size)
+        counts.crossJoin(F.broadcast(cut))
+        .filter(key <= F.col("__thr"))
         .select("tok", F.lit(1).alias("__in"))
     )
     flagged = _doc_tokens_outer(corpus, text_col, id_col).join(

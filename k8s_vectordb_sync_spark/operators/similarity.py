@@ -66,6 +66,44 @@ def lsh_planes(dim: int, n_planes: int = LSH_NUM_PLANES) -> list[list[float]]:
 HYPERPLANES: list[list[float]] = lsh_planes(LSH_DIM)
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over a scored frame
+    (query_id, neighbor_id, score) -> (query_id, neighbor_id, score, rank).
+
+    Phase 1 ranks within (query_id, input-partition-id) and keeps k: the
+    exchange hashes on the COMPOSITE key, so a query's candidates spread over
+    #input-partitions reducer keys and no single reducer ever materializes a
+    query's full candidate set — the failure mode of the naive
+    row_number() OVER (PARTITION BY query_id) at 100 TB, where one key
+    receives the whole scored corpus. Phase 2 ranks the surviving
+    k x partitions rows per query — a shuffle bounded by k * #partitions *
+    #queries rows regardless of corpus size.
+
+    Results are identical to the single-window form: both phases use the same
+    total order (score desc, neighbor_id asc — deterministic, tie-free), and
+    each partition's local top-k is a superset of that partition's
+    contribution to the global top-k. Same pattern
+    brute_force_topk_vectorized proves with mapInPandas; this is the pure
+    Column-expression form shared by every scored tail below.
+    """
+    order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+    wp = Window.partitionBy("query_id", "__part").orderBy(*order)
+    pruned = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wp))
+        .filter(F.col("__lr") <= k)
+        .drop("__part", "__lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+        )
+    )
+
+
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     """Read one row's vector length — a LIMIT-1 job, cheap at any scale.
     Returns None for an EMPTY frame (a legitimate state: a filtered-out
@@ -118,16 +156,7 @@ def brute_force_topk(
     scored = base.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", score.alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
-        )
-    )
+    return topk_per_query(scored, k)
 
 
 def hyperplane_bucket(vec_col, planes: list[list[float]] | None = None):
@@ -341,7 +370,13 @@ def nearest_centroid_expr(vec, centroids: list[list[float]]):
             lambda acc, x: acc + x,
         ),
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    # All-NaN distance rows (an embedding containing NaN) make array_position
+    # return 0 (not found); clamp the argmin to cluster 0 — the same default
+    # the historical when-chain produced — instead of emitting -1, which would
+    # turn a later element_at(codebook, code+1) into a runtime error.
+    return F.greatest(
+        F.array_position(dists, F.array_min(dists)) - 1, F.lit(0)
+    ).cast("int")
 
 
 def assign_clusters(
@@ -520,6 +555,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_hex: str | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
     embedding space, then compare vectors ONLY within their cluster and keep
@@ -533,6 +569,16 @@ def semantic_dedup_pairs(
     deterministic Lloyd loop from kmeans_centroids (min-id seeds, fixed
     iterations), so the DuckDB oracle replays it exactly via unrolled CTEs.
 
+    ``max_cluster_size`` guards the degenerate corpus (a mega-cluster of
+    near-identical embeddings whose in-cluster pair expansion is quadratic —
+    the SemDeDup analog of minhash_lsh_pairs' oversized LSH bucket): clusters
+    larger than the cap are dropped BEFORE the self-join, so the pair stage
+    stays linear in corpus size no matter how skewed the clustering. The
+    membership filter costs one tiny aggregate (n_clusters rows) broadcast
+    back. Default None = uncapped, exact SemDeDup recall — a pipeline
+    assembly should set a cap and route mega-cluster members through exact
+    dedup on a fingerprint instead (they are near-identical by construction).
+
     Returns (vec_a, vec_b, cluster, cosine) with cosine rounded to 4.
     """
     centroids = kmeans_centroids(
@@ -545,6 +591,14 @@ def semantic_dedup_pairs(
         norm(F.col(vec_col)).alias("__n"),
         "cluster",
     )
+    if max_cluster_size is not None:
+        ok = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .filter(F.col("__sz") <= max_cluster_size)
+            .select("cluster")
+        )
+        assigned = assigned.join(F.broadcast(ok), "cluster")
     a = assigned.select(
         F.col("__id").alias("vec_a"),
         F.col("__v").alias("va"),
@@ -791,16 +845,7 @@ def pq_topk(
     scored = recon.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("rv")).alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
-        )
-    )
+    return topk_per_query(scored, k)
 
 
 def pq_rerank_topk(
@@ -863,16 +908,7 @@ def pq_rerank_topk(
             .alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
-        )
-    )
+    return topk_per_query(scored, k)
 
 
 def ivf_pq_topk(
@@ -952,16 +988,7 @@ def ivf_pq_topk(
         "neighbor_id",
         cosine(F.col("query_vec"), F.col("rv")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
-        )
-    )
+    return topk_per_query(scored, k)
 
 
 def pq_topk_adc(
@@ -1067,13 +1094,4 @@ def pq_topk_adc(
         "neighbor_id",
         F.when(denom > 0, dotsum / denom).otherwise(F.lit(0.0)).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
-        )
-    )
+    return topk_per_query(scored, k)

@@ -18,6 +18,7 @@ value hash. Parity rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -371,6 +372,69 @@ def cdc_resync_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         tgt.join(snap.select("id"), "id", "left_anti").withColumn(
             "action", F.lit("stale_delete")
         )
+    )
+
+
+@register(
+    "cdc_resync_drift",
+    f"""WITH {SQL_CH},
+    tgt AS (SELECT id, raw_event_type AS kind, value FROM (
+        SELECT id, raw_event_type, value,
+               row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, event_id DESC) rn
+        FROM ch WHERE event_id % 2 = 0) WHERE rn = 1),
+    snap AS (SELECT id, raw_event_type AS kind, value FROM (
+        SELECT id, raw_event_type, value,
+               row_number() OVER (PARTITION BY id ORDER BY ts_us DESC, event_id DESC) rn
+        FROM ch WHERE event_id % 2 = 1) WHERE rn = 1),
+    j AS (
+      SELECT COALESCE(s.kind, t.kind) AS kind,
+             CASE WHEN t.id IS NULL THEN 'missed_upsert'
+                  WHEN s.id IS NULL THEN 'missed_delete'
+                  WHEN s.value IS DISTINCT FROM t.value THEN 'changed'
+                  ELSE 'in_sync' END AS status
+      FROM snap s FULL OUTER JOIN tgt t ON s.id = t.id)
+    SELECT kind, status, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM j GROUP BY kind, status""",
+)
+def cdc_resync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-target drift report: the full-outer reconciliation audit
+    behind resync (SURVEY §2.4). The reference can only heal drift it can
+    SEE — its resync replays snapshot rows as ADDs (watcher.go:349-383), so
+    stale target keys (missed deletes) survive until a live DELETE arrives
+    (1-resource-sync-controller.md:199). plans/resync.py's full-outer form
+    heals both directions; this query is the driver-verifiable readout:
+    per kind, how many keys are missing from the target (missed_upsert),
+    stale in it (missed_delete), present-but-changed, or in sync.
+
+    Plan: two last-state-wins windows (partial-aggregated per key), ONE
+    full-outer sort-merge join on the key — co-located/exchange-free when
+    both sides are bucketed by id (sources/writers.py) — and a
+    map-side-combined count per (kind, status)."""
+    ch = _ch(spark, sf_dir)
+    tgt = dbn.last_state_wins(
+        ch.filter(F.col("event_id") % 2 == 0), key_cols=["id"], tiebreak_cols=["event_id"]
+    ).select(
+        F.col("id").alias("t_id"),
+        F.col("raw_event_type").alias("t_kind"),
+        F.col("value").alias("t_value"),
+    )
+    snap = dbn.last_state_wins(
+        ch.filter(F.col("event_id") % 2 == 1), key_cols=["id"], tiebreak_cols=["event_id"]
+    ).select(
+        F.col("id").alias("s_id"),
+        F.col("raw_event_type").alias("s_kind"),
+        F.col("value").alias("s_value"),
+    )
+    j = snap.join(tgt, snap["s_id"] == tgt["t_id"], "full_outer").select(
+        F.coalesce(F.col("s_kind"), F.col("t_kind")).alias("kind"),
+        F.when(F.col("t_id").isNull(), F.lit("missed_upsert"))
+        .when(F.col("s_id").isNull(), F.lit("missed_delete"))
+        .when(~F.col("s_value").eqNullSafe(F.col("t_value")), F.lit("changed"))
+        .otherwise(F.lit("in_sync"))
+        .alias("status"),
+    )
+    return j.groupBy("kind", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
     )
 
 
@@ -1099,6 +1163,7 @@ def _sql_ivf_parts(
     iterations: int = 5,
     n_probe: int = 2,
     sample_hex: str = _TRAIN_SAMPLE_HEX,
+    train_extra: str = "",
 ) -> list:
     """Unrolled k-means oracle for IVF: the Spark path is fully deterministic
     (min-id seeds, fixed Lloyd iterations, ties to the lowest cluster index),
@@ -1122,9 +1187,10 @@ def _sql_ivf_parts(
     # Lloyd's runs on the hash-sampled `train` CTE (the sampled-training IO
     # posture — see similarity.py::training_sample); only the one final
     # assignment `af` touches the full corpus.
+    extra = f" AND ({train_extra})" if train_extra else ""
     parts = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"train AS (SELECT * FROM base WHERE {_sql_train_pred(sample_hex)})",
+        f"train AS (SELECT * FROM base WHERE {_sql_train_pred(sample_hex)}{extra})",
         f"""c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
           FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {n_clusters}))""",
@@ -3073,6 +3139,49 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Binds at both local SFs (cluster sizes run 35-94 on the 500-row embeddings
+# table), so the capped query demonstrably drops mega-clusters rather than
+# degenerating to the uncapped result.
+_SEMANTIC_MAX_CLUSTER = 70
+
+
+def _sql_semantic_capped(
+    threshold: float = _SEMANTIC_THRESHOLD, cap: int = _SEMANTIC_MAX_CLUSTER
+) -> str:
+    """dedup_semantic plus the mega-cluster guard: clusters over ``cap``
+    members are excluded from pair generation (HAVING on the assignment
+    CTE — the same predicate semantic_dedup_pairs' broadcast filter applies).
+    """
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # ... through af
+    parts.append(
+        f"ok AS (SELECT cluster FROM af GROUP BY cluster HAVING COUNT(*) <= {cap})"
+    )
+    body = ",\n    ".join(parts)
+    cos = SQL_COS.format(a="a.v", b="b.v")
+    return f"""WITH {body}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cluster AS BIGINT) AS cluster, round({cos}, 4) AS cosine
+    FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN ok ON ok.cluster = a.cluster
+    WHERE {cos} >= {threshold}"""
+
+
+@register("dedup_semantic_capped", _sql_semantic_capped())
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the skewed-cluster guard: clusters larger than
+    max_cluster_size are dropped before the in-cluster self-join, so one
+    mega-cluster of near-identical embeddings can never go quadratic — the
+    SemDeDup analog of the LSH max_bucket_size cap
+    (operators/similarity.py::semantic_dedup_pairs). Pipeline posture:
+    mega-cluster members are near-identical by construction and belong to
+    exact/fingerprint dedup instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs(
+        emb, threshold=_SEMANTIC_THRESHOLD, n_clusters=8, iterations=5,
+        sample_hex=_TRAIN_SAMPLE_HEX, max_cluster_size=_SEMANTIC_MAX_CLUSTER,
+    )
+
+
 _RANGE_JOIN_WINDOW_MS = 3_600_000
 
 
@@ -3350,6 +3459,7 @@ def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_pq_cte_parts(
     m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64,
     sample_hex: str = _TRAIN_SAMPLE_HEX,
+    train_extra: str = "",
 ) -> list:
     """Unrolled product-quantization oracle CTEs: one min-id-seeded Lloyd
     chain per subspace (the _sql_ivf_parts pattern, prefixed s{s}_ and run on
@@ -3369,8 +3479,9 @@ def _sql_pq_cte_parts(
         parts.append(
             f"{p}b AS (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings)"
         )
+        extra = f" AND ({train_extra})" if train_extra else ""
         parts.append(
-            f"{p}t AS (SELECT * FROM {p}b WHERE {_sql_train_pred(sample_hex)})"
+            f"{p}t AS (SELECT * FROM {p}b WHERE {_sql_train_pred(sample_hex)}{extra})"
         )
         parts.append(f"""{p}c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
@@ -4089,13 +4200,20 @@ def _sql_ivf_pq(
     pq_k: int = 4,
     pq_iterations: int = 3,
     dim: int = 64,
+    train_extra: str = "",
 ) -> str:
     """Composed IVF-PQ oracle: the IVF CTE chain up through `probes` (which
     clusters each query scans) + the PQ CTE chain through the per-subspace
     codebooks (how each row is reconstructed), joined on vec_id for the
-    asymmetric-distance scoring of only the probed partitions."""
-    ivf = _sql_ivf_parts(n_clusters, iterations, n_probe)[:-2]  # ... probes
-    pq = _sql_pq_cte_parts(m, pq_k, pq_iterations, dim)
+    asymmetric-distance scoring of only the probed partitions.
+
+    ``train_extra`` further restricts BOTH training CTE chains (coarse
+    centroids + codebooks) — used by the incremental-index query, whose
+    index trains only on the initially-built half of the corpus."""
+    ivf = _sql_ivf_parts(
+        n_clusters, iterations, n_probe, train_extra=train_extra
+    )[:-2]  # ... probes
+    pq = _sql_pq_cte_parts(m, pq_k, pq_iterations, dim, train_extra=train_extra)
     parts = ivf + pq
     code_joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
     parts.append(f"codes AS (SELECT * FROM s0_af {code_joins})")
@@ -4132,6 +4250,86 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.ivf_pq_topk(
         emb, _queries_df(spark, sf_dir), k=ANN_K, n_clusters=8, n_probe=2,
         sample_hex=_TRAIN_SAMPLE_HEX,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _ivf_pq_index_dir(sf_dir: str) -> str:
+    """Repo-local cache path for the persisted IVF-PQ index over a given
+    corpus: keyed on the corpus identity (absolute path + parquet file
+    size/mtime, so a regenerated corpus invalidates the index) and every
+    build parameter. In a deployment this would be a warehouse path the
+    serving fleet shares; locally it lives under <repo>/.ann_index."""
+    import hashlib
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        "|".join(
+            [
+                os.path.abspath(sf_dir), str(st.st_size), str(int(st.st_mtime)),
+                "ivfpq", "8", "5", str(sim.PQ_M), str(sim.PQ_K),
+                str(sim.PQ_ITERATIONS), _TRAIN_SAMPLE_HEX,
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ann_index"
+    )
+    return os.path.join(root, key)
+
+
+@register("ann_ivf_pq_topk_indexed", _sql_ivf_pq())
+def ann_ivf_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a PERSISTED index (operators/ann_index.py): the
+    first invocation builds centroid/codebook artifacts plus the
+    cluster-partitioned codes table; every later invocation only loads the
+    few-KB artifacts and scans the n_probe probed partitions of the codes
+    parquet — no training, no corpus vector read. This is the build-once /
+    probe-many lifecycle a serving system actually runs (the reference
+    delegates it to the downstream vector store, README.md:3-9); results are
+    bit-identical to ann_ivf_pq_topk because training is deterministic, so
+    the same oracle covers both."""
+    from .operators import ann_index as ai
+
+    path = _ivf_pq_index_dir(sf_dir)
+    if not ai.index_is_built(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ai.build_ivf_pq_index(
+            emb, path, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX
+        )
+    out = ai.ivf_pq_probe(
+        spark, path, _queries_df(spark, sf_dir), k=ANN_K, n_probe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("ann_ivf_pq_incremental", _sql_ivf_pq(train_extra="vec_id % 2 = 0"))
+def ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE: build the IVF-PQ index over half the corpus (even
+    vec_ids), then ``add()`` the other half against the STORED artifacts —
+    assignment + encoding with the already-trained centroids/codebooks, one
+    partitioned append, no retraining and no rewrite of existing rows
+    (operators/ann_index.py::ivf_pq_index_add) — then probe the whole index.
+    This is the append-only serving lifecycle (a crawl corpus grows daily;
+    the index retrains weekly at most). The oracle trains its CTE chains on
+    the same even-id half (train_extra) and assigns the full corpus, which
+    is exactly what build+add produce."""
+    from .operators import ann_index as ai
+
+    path = _ivf_pq_index_dir(sf_dir) + "-incr"
+    incr_marker = os.path.join(path, "_INCR_OK")
+    if not os.path.exists(incr_marker):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ai.build_ivf_pq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, n_clusters=8,
+            sample_hex=_TRAIN_SAMPLE_HEX,
+        )
+        ai.ivf_pq_index_add(emb.filter(F.col("vec_id") % 2 == 1), path)
+        with open(incr_marker, "w") as fh:
+            fh.write("ok\n")
+    out = ai.ivf_pq_probe(
+        spark, path, _queries_df(spark, sf_dir), k=ANN_K, n_probe=2
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 

@@ -1,0 +1,150 @@
+"""Persistent ANN index lifecycle (operators/ann_index.py): build once,
+probe from artifacts, results identical to the inline retrain-per-query
+path, and the probe-side scan actually prunes cluster partitions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from k8s_vectordb_sync_spark.operators import ann_index as ai
+from k8s_vectordb_sync_spark.operators import similarity as sim
+from k8s_vectordb_sync_spark.sources.tables import load_table
+
+SAMPLE_HEX = "0123"
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = ai.build_ivf_pq_index(
+        emb, path, n_clusters=8, sample_hex=SAMPLE_HEX
+    )
+    return path, meta
+
+
+def test_build_writes_complete_artifact_set(built_index):
+    path, meta = built_index
+    for part in ("centroids", "codebooks", "codes", "meta.json", ai.MARKER):
+        assert os.path.exists(os.path.join(path, part)), part
+    assert meta["n_clusters"] == 8 and meta["m"] == sim.PQ_M
+    assert ai.index_is_built(path)
+    # codes/ is partitioned by cluster: one directory per non-empty cluster
+    parts = [d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("cluster=")]
+    assert len(parts) >= 2
+
+
+def test_probe_matches_inline_ivf_pq(spark, sf_dir, built_index):
+    path, _ = built_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    probed = {
+        tuple(r)
+        for r in ai.ivf_pq_probe(spark, path, q, k=5, n_probe=2).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in sim.ivf_pq_topk(
+            emb, q, k=5, n_clusters=8, n_probe=2, sample_hex=SAMPLE_HEX
+        ).collect()
+    }
+    assert probed == inline
+    assert len(probed) > 0
+
+
+def test_probe_scan_is_partition_pruned(spark, sf_dir, built_index):
+    """The codes scan must carry the probed-cluster filter as a PARTITION
+    filter (directory pruning), not a post-scan row filter — that is the
+    entire point of the centroid-partitioned layout at 100 TB."""
+    path, _ = built_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ai.ivf_pq_probe(spark, path, _queries(emb), k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cluster" in pf.group(1)
+
+
+def test_probe_without_index_raises(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(FileNotFoundError, match="_INDEX_OK"):
+        ai.ivf_pq_probe(spark, str(tmp_path / "nope"), emb)
+
+
+def test_build_on_empty_corpus_raises(spark, tmp_path):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ai.build_ivf_pq_index(emb, str(tmp_path / "idx"))
+
+
+def test_registered_indexed_query_matches_retrain_query(spark, sf_dir):
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    a = {tuple(r) for r in QUERIES["ann_ivf_pq_topk_indexed"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in QUERIES["ann_ivf_pq_topk"](spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_incremental_add_matches_full_build_encoding(spark, sf_dir, tmp_path):
+    """build(half) + add(other half) must produce the same codes table as
+    build over the full corpus WITH training restricted to the first half —
+    add() assigns/encodes against the stored artifacts, it never retrains."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    p1 = str(tmp_path / "incr")
+    ai.build_ivf_pq_index(even, p1, n_clusters=4, sample_hex=None)
+    n_before = spark.read.parquet(os.path.join(p1, "codes")).count()
+    ai.ivf_pq_index_add(odd, p1)
+    codes_incr = {
+        tuple(r) for r in spark.read.parquet(os.path.join(p1, "codes")).collect()
+    }
+    assert len(codes_incr) == emb.count() and n_before == even.count()
+
+    # reference: encode the odd half directly with the stored artifacts
+    meta, centroids, books = ai.load_ivf_pq_index(spark, p1)
+    sub = meta["dim"] // meta["m"]
+    expected_odd = sim.assign_clusters(odd, centroids).select(
+        F.col("vec_id"),
+        *[
+            sim.nearest_centroid_expr(
+                F.slice(F.col("embedding"), s * sub + 1, sub), books[s]
+            ).cast("int").alias(f"code{s}")
+            for s in range(meta["m"])
+        ],
+        F.col("cluster").cast("int"),
+    )
+    # codes parquet column order: vec_id, code0..m-1, cluster(partition col)
+    expected = {tuple(r) for r in expected_odd.collect()}
+    odd_rows = {t for t in codes_incr if t[0] % 2 == 1}
+    assert odd_rows == expected
+
+
+def test_incremental_probe_includes_added_rows(spark, sf_dir, tmp_path):
+    """An added vector must be findable: probing with an added row's own
+    vector returns it (self-hit) even though it was never in the build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "probe-incr")
+    ai.build_ivf_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), p, n_clusters=4, sample_hex=None
+    )
+    ai.ivf_pq_index_add(emb.filter(F.col("vec_id") % 2 == 1), p)
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = ai.ivf_pq_probe(spark, p, q, k=10, n_probe=4).collect()
+    assert any(r["neighbor_id"] == 7 for r in hits)

@@ -693,3 +693,63 @@ def test_pq_adc_matches_reconstruction_scoring(spark, sf_dir):
     assert set(adc) == set(rec)
     for key in rec:
         assert abs(adc[key] - rec[key]) <= 2e-4  # 4-dp rounding boundary slack
+
+
+def test_semantic_cluster_cap_keeps_pathological_corpus_linear(spark):
+    """SemDeDup mega-cluster guard: 300 identical embeddings all land in one
+    k-means cluster, so uncapped in-cluster pair expansion is ~45k pairs;
+    with max_cluster_size the mega-cluster is dropped BEFORE the self-join
+    (the stage stays linear) while a small legitimate near-dup group still
+    surfaces with cosine 1.0 — mirroring the LSH max_bucket_size semantics."""
+    from k8s_vectordb_sync_spark.operators.similarity import semantic_dedup_pairs
+
+    mega = [0.9, 0.1, 0.0, 0.2]
+    legit = [-0.8, 0.7, -0.5, 0.1]
+    rows = [(0, mega), (1, legit), (2, legit), (3, legit)]
+    rows += [(10 + i, mega) for i in range(297)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = semantic_dedup_pairs(
+        emb, threshold=0.5, n_clusters=2, iterations=2, max_cluster_size=10
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in capped} == {(1, 2), (1, 3), (2, 3)}
+    assert all(r["cosine"] == 1.0 for r in capped)
+    uncapped = semantic_dedup_pairs(
+        emb, threshold=0.5, n_clusters=2, iterations=2
+    )
+    assert uncapped.count() == 298 * 297 // 2 + 3  # the quadratic blow-up the cap removes
+
+
+def test_topk_per_query_two_phase_plan_and_equivalence(spark):
+    """topk_per_query (the shared scored-tail ranker) must (a) produce the
+    same rows as the naive single-window form and (b) contain the partial
+    phase in its plan: a local rank filter BEFORE the final per-query window,
+    so no single reducer key ever receives a query's full candidate set."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from k8s_vectordb_sync_spark.operators.similarity import topk_per_query
+
+    rng = random.Random(11)
+    rows = [
+        (q, n, round(rng.uniform(-1, 1), 6))
+        for q in range(4)
+        for n in range(500)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, score double"
+    ).repartition(8)
+    two_phase = topk_per_query(scored, k=7)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(map(tuple, naive.collect()))
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    # two Window nodes (partial then final) and the bounding local-rank filter
+    assert plan.count("Window") >= 2
+    assert "__lr" in plan and "SPARK_PARTITION_ID" in plan.upper()
