@@ -1,1 +1,9 @@
-from . import debounce, dedup, filters, multimodal, similarity  # noqa: F401
+from . import (  # noqa: F401
+    debounce,
+    dedup,
+    filters,
+    multimodal,
+    retrieval,
+    similarity,
+    sketches,
+)

@@ -1,0 +1,246 @@
+"""Lexical retrieval and hybrid lexical+vector search.
+
+The reference system pairs a change-capture pipeline with a downstream
+vector store and leaves keyword search to that store's engine
+(/root/reference/README.md:3-9 scopes the sync side only). A training-data
+engine at 100 TB needs the lexical half in-engine: BM25 scoring over an
+inverted index is the standard retrieval baseline (Robertson & Zaragoza,
+"The Probabilistic Relevance Framework: BM25 and Beyond"), and hybrid
+search fuses it with the ANN tiers in operators/similarity.py via
+reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09).
+
+Scale shape (the part that matters at 100 TB):
+
+  * The corpus is scanned ONCE into a (doc_id, term, tf) posting frame; the
+    groupBy is map-side partial (token occurrences combine to distinct
+    (doc, term) pairs before the shuffle).
+  * Everything derived from postings is either vocabulary-sized (df, idf —
+    low millions of rows at web scale, broadcastable) or a 1-row aggregate
+    (N, avgdl — broadcast as a literal frame). The ONLY corpus-sized
+    shuffles are the posting groupBy and the per-(query, doc) score
+    combine, which is bounded by |queries| x |matching docs|.
+  * Query-term sets are tiny by construction and broadcast; scoring is a
+    broadcast hash join against postings, never a corpus x corpus product.
+  * Top-k uses similarity.topk_per_query's two-phase rank, so no reducer
+    key ever receives a query's full candidate set.
+
+Cross-engine determinism (same discipline as operators/lm.py): ln() may
+differ by 1 ulp between the JVM and DuckDB's libm and double summation is
+order-dependent, so idf and each per-term BM25 contribution are rounded to
+6 decimals and the per-document score is summed as DECIMAL(28,6) — exact
+and order-independent — then cast back to double. avgdl is computed as
+exact-integer SUM(dl)/COUNT, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from . import similarity as sim
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_C = 60  # standard reciprocal-rank-fusion constant
+
+
+def doc_term_freqs(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting frame: one row per (doc_id, term) with its term frequency.
+
+    The explode -> groupBy combines map-side, so the shuffle carries
+    distinct (doc, term) pairs, not token occurrences.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.tokens(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl): token count per document, derived from the posting
+    frame so the corpus text is not scanned a second time."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def corpus_stats(lengths: DataFrame) -> DataFrame:
+    """1-row frame (n_docs, avgdl). avgdl is exact-integer sum / count so
+    both engines derive the identical double."""
+    return lengths.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
+def idf_table(postings: DataFrame, stats: DataFrame) -> DataFrame:
+    """(term, df, idf): Lucene-style BM25 idf = ln(1 + (N - df + .5)/(df + .5)),
+    rounded to 6 decimals for cross-engine determinism. Vocabulary-sized."""
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "df",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+            6,
+        ).alias("idf"),
+    )
+
+
+def derive_query_terms(
+    postings: DataFrame, n_queries: int, terms_per_query: int
+) -> DataFrame:
+    """Query workload derived from the corpus itself: for each query doc
+    (doc_id < n_queries) keep its top-M terms by tf (ties by term asc).
+    Deterministic, and representative of 'more like this' retrieval."""
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        postings.filter(F.col("doc_id") < n_queries)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= terms_per_query)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+
+
+def bm25_scored(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, neighbor_id, score): BM25 score of every matching document
+    against every query's term set.
+
+    query_terms (query_id, term) is broadcast — it is tiny by construction.
+    The idf table is vocabulary-sized and also broadcast. The per-document
+    combine sums DECIMAL(28,6)-rounded contributions, so the result is
+    independent of partitioning and matches the DuckDB oracle bit-for-bit.
+    """
+    postings = doc_term_freqs(documents, text_col, id_col)
+    lengths = doc_lengths(postings)
+    stats = corpus_stats(lengths)
+    idf = idf_table(postings, stats)
+
+    scored_terms = (
+        postings.join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # Same expression tree as the oracle: idf * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    contrib = (
+        F.col("idf")
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        scored_terms.select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(contrib, 6).cast("decimal(28,6)").alias("__c"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__c").cast("double").alias("score"))
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 matches per query: two-phase rank via topk_per_query, so
+    the plan shape survives a corpus 1000x wider."""
+    scored = bm25_scored(documents, query_terms, text_col, id_col)
+    return sim.topk_per_query(scored, k)
+
+
+def inverted_index(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 100,
+) -> DataFrame:
+    """(term, df, cf, postings): document frequency, collection frequency,
+    and the first `max_postings` doc ids (ascending) per term.
+
+    df/cf aggregate over ALL postings; the materialized posting LIST is
+    capped BEFORE collect_list via a windowed rank, so a stopword-like term
+    at 100 TB never builds a corpus-sized array on one reducer — real
+    engines shard long posting lists; the cap models that truncation
+    explicitly rather than OOMing.
+    """
+    postings = doc_term_freqs(documents, text_col, id_col)
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    capped = (
+        postings.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_postings)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return stats.join(capped, "term")
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking.
+
+    Both inputs are (query_id, neighbor_id, ..., rank) top-k frames — each
+    already k-bounded per query, so the full-outer join is tiny regardless
+    of corpus size. rrf = sum over present rankings of 1/(c + rank); the
+    two-term sum has a FIXED evaluation order (it is one expression, not an
+    aggregation), so it is deterministic.
+    """
+    lex = lexical.select(
+        "query_id", "neighbor_id", F.col("rank").alias("lex_rank")
+    )
+    vec = vector.select(
+        "query_id", "neighbor_id", F.col("rank").alias("vec_rank")
+    )
+    fused = lex.join(vec, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            "rank",
+        )
+    )

@@ -1,0 +1,179 @@
+"""Distributed mergeable sketches: HyperLogLog distinct counting and
+Count-Min frequency estimation.
+
+At 100 TB, exact COUNT(DISTINCT) is an expensive two-phase expand and exact
+per-key counts over a heavy-tailed vocabulary shuffle the whole token
+stream; sketches answer both with KB-sized, map-side-combinable state —
+the canonical trade at scale (Flajolet et al., "HyperLogLog: the analysis
+of a near-optimal cardinality estimation algorithm", AofA'07; Cormode &
+Muthukrishnan, "An improved data stream summary: the count-min sketch and
+its applications", J. Algorithms 2005).
+
+Spark ships approx_count_distinct (HLL++) and CountMinSketch, but their
+hash functions don't match any external oracle. These implementations make
+the sketch itself *portable arithmetic*: md5-based hashing and pure
+integer bucket state, so DuckDB replays the identical sketch and the
+CORRECTNESS gate can hash-compare estimates, not just row counts.
+
+Determinism discipline:
+  * All hash/bucket/rho math is 64-bit integer — bit-identical anywhere.
+  * The HLL harmonic sum is computed as an exact BIGINT (rho capped at
+    RHO_CAP so 2^(CAP-rho) fits; the cap changes estimates by < 1e-6 ulp at
+    any realistic cardinality and both engines apply it identically), so
+    the only floats are a final constant/S division and ln() in the
+    small-range correction — identical expression trees both sides.
+  * The aggregation state is per-(group, bucket) MAX — associative and
+    commutative, so Spark combines it map-side and a 1000-executor
+    cluster shuffles 256 rows per group, not the key stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_prefix_long
+
+# --- HyperLogLog -----------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 buckets -> ~6.5% standard error, 256 longs of state
+HLL_M = 1 << HLL_P
+HLL_HASH_BITS = 60  # md5_prefix_long yields a 60-bit non-negative hash
+HLL_W_BITS = HLL_HASH_BITS - HLL_P  # bits left for the rho pattern
+HLL_RHO_CAP = 40  # keeps 2^(CAP - rho) summable in BIGINT: 256 * 2^40 << 2^63
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # bias constant for m >= 128
+# alpha * m^2 * 2^CAP, folded to ONE Python float so both engines divide the
+# same literal by the same exact integer sum.
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RHO_CAP)
+HLL_SMALL_RANGE = 2.5 * HLL_M
+
+
+def hll_rho(w: Column) -> Column:
+    """Position of the first 1-bit (from the MSB of the W_BITS window) of a
+    non-negative integer, capped at HLL_RHO_CAP. bin() renders the minimal
+    binary string in both Spark and DuckDB, so rho = W_BITS - bitlen + 1."""
+    bitlen = F.length(F.bin(w))
+    rho = F.when(w > 0, F.lit(HLL_W_BITS + 1) - bitlen).otherwise(
+        F.lit(HLL_W_BITS + 1)
+    )
+    return F.least(rho, F.lit(HLL_RHO_CAP))
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate next to the exact count.
+
+    Returns (group_cols..., n_exact, n_hll, rel_err). The exact side is the
+    audit column (feasible at test scale; the point of the sketch is that
+    at 100 TB you'd keep only the 256-long state). rel_err is the realized
+    |estimate - exact| / exact.
+    """
+    h = md5_prefix_long(F.col(key_col).cast("string"))
+    buckets = (
+        df.select(
+            *group_cols,
+            F.pmod(h, F.lit(HLL_M)).alias("__bucket"),
+            hll_rho(F.shiftright(h, HLL_P)).alias("__rho"),
+        )
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__rho").alias("__maxrho"))
+    )
+    # Exact BIGINT harmonic sum: present buckets contribute 2^(CAP - maxrho),
+    # each absent bucket contributes 2^CAP (rho = 0).
+    per_group = buckets.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - __maxrho)")
+        ).alias("__s_present"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    v = F.lit(HLL_M) - F.col("__present")  # empty buckets
+    s = F.col("__s_present") + v * F.lit(1 << HLL_RHO_CAP)
+    e_raw = F.lit(HLL_NUMERATOR) / s
+    # Linear-counting small-range correction (the standard HLL recipe).
+    estimate = F.when(
+        (e_raw <= F.lit(HLL_SMALL_RANGE)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(e_raw)
+    est = per_group.select(*group_cols, estimate.alias("__est"))
+
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    return exact.join(est, group_cols).select(
+        *group_cols,
+        "n_exact",
+        F.round("__est", 2).alias("n_hll"),
+        F.round(
+            F.abs(F.col("__est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 64  # buckets per row
+
+
+def cms_bucket(term: Column, row: int) -> Column:
+    """Row-salted md5 bucket, identical to the oracle's
+    ('0x' || substr(md5(row || ':' || term), 1, 15))::BIGINT % WIDTH."""
+    return F.pmod(
+        md5_prefix_long(F.concat(F.lit(f"{row}:"), term)), F.lit(CMS_WIDTH)
+    )
+
+
+def cms_heavy_hitters(
+    documents: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-Min estimates vs exact counts for the top-N corpus terms.
+
+    Scale shape: the corpus collapses to a vocabulary-sized (term, cf)
+    frame in ONE map-side-combined shuffle; the sketch is then built from
+    that frame (equivalent to streaming every occurrence, since the sketch
+    adds are linear) as DEPTH x WIDTH = 256 rows of exact integer state.
+    The heavy-hitter probe joins the (tiny, broadcast) sketch back to the
+    top-N terms; cms_n >= exact_n always (one-sided error), and the gap is
+    the realized collision overestimate.
+    """
+    from ..functions import text as T
+
+    cf = (
+        documents.select(F.explode(T.tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cms_bucket(F.col("term"), j).alias("b"))
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        cf.select(F.col("cf"), F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.j").alias("j"), F.col("rb.b").alias("b"))
+        .agg(F.sum("cf").alias("bucket_n"))
+    )
+    top = (
+        cf.orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(top_n)
+        .select("term", F.col("cf").alias("exact_n"))
+    )
+    probes = top.select(
+        "term", "exact_n", F.explode(rows).alias("rb")
+    ).select("term", "exact_n", F.col("rb.j").alias("j"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("bucket_n").alias("cms_n"))
+        .select(
+            "term",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )

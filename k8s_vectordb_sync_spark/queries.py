@@ -4821,3 +4821,259 @@ def embeddings_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         F.round(F.col("n_vectors").cast("double") / F.col("n"), 4).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval, hybrid search, substring dedup, sketches (round 5)
+# ---------------------------------------------------------------------------
+
+from .operators import retrieval as ret  # noqa: E402
+from .operators import sketches as sk  # noqa: E402
+
+RETRIEVAL_N_QUERIES = 4
+RETRIEVAL_TERMS_PER_QUERY = 5
+BM25_TOPK = 10
+HYBRID_POOL_K = 20
+HYBRID_TOPK = 10
+
+
+def _sql_bm25_parts(n_queries: int, terms: int) -> list[str]:
+    """BM25 CTE chain (DuckDB): posting stats -> idf -> derived query terms
+    -> DECIMAL(28,6)-summed scores, mirroring operators/retrieval.py term
+    for term. Arithmetic that Spark does in double is CAST to DOUBLE here so
+    DuckDB's decimal literals never switch the expression to decimal math."""
+    return [
+        f"tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM "
+        f"(SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents) GROUP BY doc_id, term)",
+        "dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id)",
+        "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl)",
+        "dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)",
+        "idf AS (SELECT term, round(ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE) / "
+        "CAST(df + 0.5 AS DOUBLE)), 6) AS idf FROM dfreq CROSS JOIN stats)",
+        f"qterms AS (SELECT query_id, term FROM ("
+        f"SELECT doc_id AS query_id, term, "
+        f"row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r "
+        f"FROM tf WHERE doc_id < {n_queries}) WHERE r <= {terms})",
+        "contrib AS (SELECT q.query_id, t.doc_id AS neighbor_id, "
+        "CAST(round(i.idf * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 6) "
+        "AS DECIMAL(28,6)) AS c "
+        "FROM qterms q JOIN tf t ON q.term = t.term "
+        "JOIN idf i ON t.term = i.term JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats s)",
+        "bm25 AS (SELECT query_id, neighbor_id, CAST(SUM(c) AS DOUBLE) AS score "
+        "FROM contrib GROUP BY query_id, neighbor_id)",
+        "bm25_ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM bm25)",
+    ]
+
+
+def _sql_bm25_topk() -> str:
+    body = ",\n    ".join(
+        _sql_bm25_parts(RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY)
+    )
+    return f"""WITH {body}
+    SELECT query_id, neighbor_id, round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+    FROM bm25_ranked WHERE rank <= {BM25_TOPK}"""
+
+
+@register("documents_bm25_topk", _sql_bm25_topk())
+def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 'more-like-this' retrieval: query term sets are the top-5 terms
+    of the first 4 documents; scores are Lucene-style BM25 over the corpus
+    posting frame (operators/retrieval.py — one corpus scan, broadcast
+    idf/query joins, DECIMAL-exact score combine, two-phase top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = ret.doc_term_freqs(docs)
+    qterms = ret.derive_query_terms(
+        postings, RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY
+    )
+    out = ret.bm25_topk(docs, qterms, k=BM25_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "documents_inverted_index",
+    f"""WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+      (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents) GROUP BY doc_id, term),
+    stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY term),
+    posts AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r FROM tf),
+    capped AS (SELECT term, list_sort(list(doc_id)) AS postings
+               FROM posts WHERE r <= 100 GROUP BY term)
+    SELECT s.term, s.df, s.cf, c.postings
+    FROM stats s JOIN capped c ON s.term = c.term""",
+)
+def documents_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with df/cf term statistics and posting lists capped at
+    100 doc ids BEFORE collection (windowed rank), so a stopword's posting
+    list at 100 TB never materializes on one reducer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ret.inverted_index(docs, max_postings=100)
+
+
+def _sql_hybrid_rrf() -> str:
+    bm25 = ",\n    ".join(
+        _sql_bm25_parts(RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY)
+    )
+    return f"""WITH {bm25},
+    ltop AS (SELECT query_id, neighbor_id, rank FROM bm25_ranked WHERE rank <= {HYBRID_POOL_K}),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {RETRIEVAL_N_QUERIES}),
+    base AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vscored AS (SELECT query_id, neighbor_id, {SQL_COS.format(a='qv', b='v')} AS score
+                FROM q CROSS JOIN base),
+    vtop AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM vscored) WHERE rank <= {HYBRID_POOL_K}),
+    fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                     COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+                     l.rank AS lex_rank, v.rank AS vec_rank,
+                     COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0.0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rank), 0.0) AS rrf
+              FROM ltop l FULL OUTER JOIN vtop v
+              ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank FROM fused)
+    SELECT query_id, neighbor_id, round(rrf, 6) AS rrf_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank, CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {HYBRID_TOPK}"""
+
+
+@register("hybrid_search_rrf", _sql_hybrid_rrf())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 fused with embedding-cosine top-20 by
+    reciprocal-rank fusion (1/(60+rank), Cormack et al. SIGIR'09). The
+    doc_id<->vec_id alignment links the two modalities; both inputs are
+    k-bounded per query so the fusion join is tiny at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    postings = ret.doc_term_freqs(docs)
+    qterms = ret.derive_query_terms(
+        postings, RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY
+    )
+    lex = ret.bm25_topk(docs, qterms, k=HYBRID_POOL_K)
+    vqueries = emb.filter(F.col("vec_id") < RETRIEVAL_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = sim.brute_force_topk(emb, vqueries, k=HYBRID_POOL_K)
+    return ret.rrf_fuse(lex, vec, k=HYBRID_TOPK)
+
+
+@register(
+    "dedup_substring_spans",
+    f"""WITH toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    occ AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS span
+            FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+            WHERE len(ts) >= 8)
+    SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM occ GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup report (Lee et al., ACL'22): 8-token sliding
+    windows shared by >= 2 documents, with document and occurrence counts —
+    the interpretable face of cross-document copied text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_spans(docs, n=8, min_docs=2)
+
+
+@register(
+    "dedup_substring_doc_rate",
+    f"""WITH toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    occ AS (SELECT doc_id,
+                   CAST(('0x' || substring(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+            WHERE len(ts) >= 8),
+    sdf AS (SELECT h, COUNT(DISTINCT doc_id) AS span_docs FROM occ GROUP BY h),
+    rates AS (SELECT o.doc_id, COUNT(*) AS n_spans,
+                     SUM(CASE WHEN s.span_docs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+              FROM occ o JOIN sdf s ON o.h = s.h GROUP BY o.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(r.dup_spans, 0) AS BIGINT) AS dup_spans,
+           round(CAST(COALESCE(r.dup_spans, 0) AS DOUBLE) / COALESCE(r.n_spans, 1), 6) AS dup_rate
+    FROM documents d LEFT JOIN rates r ON d.doc_id = r.doc_id""",
+)
+def dedup_substring_doc_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction over 8-token windows — the
+    'partially copied document' signal. Spans travel as 60-bit md5 hashes
+    through both corpus-sized shuffles; every document is emitted (zero-span
+    docs rate 0.0) without a join-back onto the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_dup_rate(docs, n=8)
+
+
+def _sql_hll_distinct() -> str:
+    cap = sk.HLL_RHO_CAP
+    wb1 = sk.HLL_W_BITS + 1
+    return f"""WITH h AS (SELECT event_type,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events),
+    b AS (SELECT event_type, h % {sk.HLL_M} AS bucket,
+                 CASE WHEN (h >> {sk.HLL_P}) > 0
+                      THEN least({wb1} - length(bin(h >> {sk.HLL_P})), {cap})
+                      ELSE {cap} END AS rho
+          FROM h),
+    mx AS (SELECT event_type, bucket, MAX(rho) AS maxrho FROM b GROUP BY event_type, bucket),
+    agg AS (SELECT event_type,
+                   SUM(1::BIGINT << ({cap} - maxrho)) AS s_present,
+                   COUNT(*) AS present
+            FROM mx GROUP BY event_type),
+    agg2 AS (SELECT event_type,
+                    s_present + ({sk.HLL_M} - present) * (1::BIGINT << {cap}) AS s,
+                    {sk.HLL_M} - present AS v
+             FROM agg),
+    est AS (SELECT event_type,
+                   CASE WHEN CAST({sk.HLL_NUMERATOR!r} AS DOUBLE) / s <= {sk.HLL_SMALL_RANGE!r}
+                             AND v > 0
+                        THEN CAST({sk.HLL_M} AS DOUBLE) * ln(CAST({sk.HLL_M} AS DOUBLE) / v)
+                        ELSE CAST({sk.HLL_NUMERATOR!r} AS DOUBLE) / s END AS e
+            FROM agg2),
+    exact AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY event_type)
+    SELECT x.event_type, x.n_exact, round(e.e, 2) AS n_hll,
+           round(abs(e.e - x.n_exact) / x.n_exact, 6) AS rel_err
+    FROM exact x JOIN est e ON x.event_type = e.event_type"""
+
+
+@register("events_hll_distinct", _sql_hll_distinct())
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type next to the exact count
+    (operators/sketches.py): md5-hashed, 256 integer buckets, exact-BIGINT
+    harmonic sum — the 100 TB answer to COUNT(DISTINCT) with 2 KB of
+    map-side-combinable state per group, here hash-audited against the
+    exact expand so the oracle verifies the ESTIMATE, not just row counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return sk.hll_distinct(ev, key_col="user_id", group_cols=["event_type"])
+
+
+@register(
+    "text_countmin_heavyhitters",
+    f"""WITH tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM
+      (SELECT unnest({SQL_TOKS}) AS term FROM documents) GROUP BY term),
+    jb AS (SELECT term, cf, j,
+                  CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT)
+                  % {sk.CMS_WIDTH} AS b
+           FROM tf, unnest(range(0, {sk.CMS_DEPTH})) AS u(j)),
+    sketch AS (SELECT j, b, SUM(cf) AS bucket_n FROM jb GROUP BY j, b),
+    top AS (SELECT term, cf AS exact_n FROM (
+        SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term) AS r FROM tf)
+        WHERE r <= 20),
+    probe AS (SELECT t.term, t.exact_n, j2.j,
+                     CAST(('0x' || substring(md5(CAST(j2.j AS VARCHAR) || ':' || t.term), 1, 15)) AS BIGINT)
+                     % {sk.CMS_WIDTH} AS b
+              FROM top t, unnest(range(0, {sk.CMS_DEPTH})) AS j2(j))
+    SELECT p.term, p.exact_n, CAST(MIN(s.bucket_n) AS BIGINT) AS cms_n,
+           CAST(MIN(s.bucket_n) - p.exact_n AS BIGINT) AS overestimate
+    FROM probe p JOIN sketch s ON p.j = s.j AND p.b = s.b
+    GROUP BY p.term, p.exact_n""",
+)
+def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact counts for the top-20
+    corpus terms (operators/sketches.py): 4x64 integer buckets built off the
+    vocabulary-sized cf frame, broadcast back to the heavy hitters; the
+    overestimate column is the realized one-sided collision error."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sk.cms_heavy_hitters(docs, top_n=20)

@@ -1,0 +1,158 @@
+"""Lexical retrieval (BM25, inverted index, RRF hybrid), exact-substring
+dedup, and sketch (HLL / Count-Min) operator tests on hand-built corpora
+with hand-checkable expectations."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from k8s_vectordb_sync_spark.operators import dedup as dd
+from k8s_vectordb_sync_spark.operators import retrieval as ret
+from k8s_vectordb_sync_spark.operators import sketches as sk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --- BM25 ------------------------------------------------------------------
+
+
+def test_doc_term_freqs_counts_occurrences(spark):
+    df = _docs(spark, [(0, "a b a"), (1, "b")])
+    tf = {(r.doc_id, r.term): r.tf for r in ret.doc_term_freqs(df).collect()}
+    assert tf == {(0, "a"): 2, (0, "b"): 1, (1, "b"): 1}
+
+
+def test_bm25_matches_hand_formula(spark):
+    # Corpus: doc0 'x x y', doc1 'x z', doc2 'y y'. Query terms {x} only.
+    df = _docs(spark, [(0, "x x y"), (1, "x z"), (2, "y y")])
+    qterms = spark.createDataFrame([(9, "x")], "query_id bigint, term string")
+    out = {r.neighbor_id: r.score for r in ret.bm25_scored(df, qterms).collect()}
+    # N=3, avgdl = (3+2+2)/3; df(x)=2 -> idf = round(ln(1 + 1.5/2.5), 6)
+    idf = round(math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5)), 6)
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (7 / 3))), 6)
+    assert out == {0: s(2, 3), 1: s(1, 2)}  # doc2 has no 'x', absent
+
+
+def test_bm25_topk_self_retrieval(spark, sf_dir):
+    # A query doc's own top terms should retrieve the doc itself highly.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = ret.doc_term_freqs(docs)
+    qterms = ret.derive_query_terms(postings, n_queries=2, terms_per_query=5)
+    top = ret.bm25_topk(docs, qterms, k=10).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid, neighbors in by_q.items():
+        assert qid in neighbors
+
+
+def test_inverted_index_caps_postings(spark):
+    rows = [(i, "common word" if i < 150 else "rare item") for i in range(160)]
+    df = _docs(spark, rows)
+    idx = {r.term: r for r in ret.inverted_index(df, max_postings=100).collect()}
+    assert idx["common"].df == 150  # df counts ALL docs
+    assert len(idx["common"].postings) == 100  # list capped
+    assert idx["common"].postings == sorted(idx["common"].postings)
+    assert idx["rare"].df == 10
+    assert len(idx["rare"].postings) == 10
+
+
+def test_rrf_fuse_hand_check(spark):
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id bigint, neighbor_id bigint, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id bigint, neighbor_id bigint, rank int"
+    )
+    out = {r.neighbor_id: r for r in ret.rrf_fuse(lex, vec, k=10).collect()}
+    # doc 11 appears in both rankings -> highest fused score
+    assert out[11].rank == 1
+    assert out[11].rrf_score == round(1.0 / 62 + 1.0 / 61, 6)
+    assert out[10].lex_rank == 1 and out[10].vec_rank is None
+    assert out[12].vec_rank == 2 and out[12].lex_rank is None
+    assert out[10].rrf_score == round(1.0 / 61, 6)
+
+
+# --- exact-substring dedup -------------------------------------------------
+
+
+def test_substring_spans_finds_planted_copy(spark):
+    shared = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (0, f"intro {shared} tail0"),
+            (1, f"other {shared} tail1"),
+            (2, "totally different words with no overlap at all here"),
+        ],
+    )
+    spans = dd.substring_spans(df, n=8, min_docs=2).collect()
+    assert any(r.span == shared and r.n_docs == 2 for r in spans)
+    # no span from doc2 is shared
+    assert all("totally" not in r.span for r in spans)
+
+
+def test_substring_spans_short_docs_empty(spark):
+    df = _docs(spark, [(0, "a b c"), (1, "a b c")])
+    assert dd.substring_spans(df, n=8).count() == 0
+
+
+def test_substring_dup_rate_all_docs_emitted(spark):
+    shared = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (0, shared),  # every span (exactly 1) duplicated -> rate 1.0
+            (1, f"{shared} and some extra trailing words beyond"),
+            (2, "totally different words with no overlap at all here"),
+            (3, "short"),  # zero spans -> rate 0.0
+        ],
+    )
+    out = {r.doc_id: r for r in dd.substring_dup_rate(df, n=8).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].n_spans == 1 and out[0].dup_rate == 1.0
+    assert out[1].dup_spans == 1  # only the aligned window matches
+    assert 0.0 < out[1].dup_rate < 1.0
+    assert out[2].dup_spans == 0 and out[2].dup_rate == 0.0
+    assert out[3].n_spans == 0 and out[3].dup_rate == 0.0
+
+
+# --- sketches --------------------------------------------------------------
+
+
+def test_hll_estimate_within_error(spark):
+    # 2000 distinct keys in one group: HLL with m=256 has ~6.5% std error;
+    # assert a generous 3-sigma bound. Deterministic hashing -> stable value.
+    rows = [("g", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, k bigint")
+    (r,) = sk.hll_distinct(df, key_col="k", group_cols=["grp"]).collect()
+    assert r.n_exact == 2000
+    assert r.rel_err < 0.2
+    # run twice -> identical estimate (pure deterministic arithmetic)
+    (r2,) = sk.hll_distinct(df, key_col="k", group_cols=["grp"]).collect()
+    assert r2.n_hll == r.n_hll
+
+
+def test_hll_small_range_correction_exactish(spark):
+    # 5 distinct keys: linear-counting regime, estimate lands near 5.
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5)], "grp string, k bigint"
+    )
+    (r,) = sk.hll_distinct(df, key_col="k", group_cols=["grp"]).collect()
+    assert r.n_exact == 5
+    assert abs(r.n_hll - 5) < 1
+
+
+def test_cms_overestimates_only(spark):
+    rows = [(0, " ".join(f"w{i % 37}" for i in range(300)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sk.cms_heavy_hitters(df, top_n=20).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.cms_n >= r.exact_n  # one-sided error
+        assert r.overestimate == r.cms_n - r.exact_n
