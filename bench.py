@@ -105,6 +105,15 @@ BENCH_QUERIES = [
     "events_session_windows",
     "cdc_last_state_wins_salted",
     "embeddings_cluster_sizes",
+    "documents_bm25_topk",
+    "documents_inverted_index",
+    "hybrid_search_rrf",
+    "dedup_substring_spans",
+    "dedup_substring_doc_rate",
+    "events_hll_distinct",
+    "text_countmin_heavyhitters",
+    "lineitem_bloom_prejoin",
+    "text_bpe_pair_counts",
 ]
 
 RUNS_PER_QUERY = 2

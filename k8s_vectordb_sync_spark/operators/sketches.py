@@ -59,18 +59,16 @@ def hll_rho(w: Column) -> Column:
     return F.least(rho, F.lit(HLL_RHO_CAP))
 
 
-def hll_distinct(
+def hll_bucket_maxes(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
-    """Per-group HyperLogLog distinct estimate next to the exact count.
-
-    Returns (group_cols..., n_exact, n_hll, rel_err). The exact side is the
-    audit column (feasible at test scale; the point of the sketch is that
-    at 100 TB you'd keep only the 256-long state). rel_err is the realized
-    |estimate - exact| / exact.
-    """
+    """The sketch STATE: per-(group, bucket) max rho. This is the mergeable
+    part — a plain MAX aggregation, so it runs map-side-combined in batch
+    AND as an incremental stateful aggregation under Structured Streaming
+    (the streaming form of distinct counting: 256 state rows per group
+    instead of one row per key)."""
     h = md5_prefix_long(F.col(key_col).cast("string"))
-    buckets = (
+    return (
         df.select(
             *group_cols,
             F.pmod(h, F.lit(HLL_M)).alias("__bucket"),
@@ -79,6 +77,10 @@ def hll_distinct(
         .groupBy(*group_cols, "__bucket")
         .agg(F.max("__rho").alias("__maxrho"))
     )
+
+
+def hll_estimate(buckets: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize bucket-max state into (group_cols..., __est)."""
     # Exact BIGINT harmonic sum: present buckets contribute 2^(CAP - maxrho),
     # each absent bucket contributes 2^CAP (rho = 0).
     per_group = buckets.groupBy(*group_cols).agg(
@@ -95,7 +97,20 @@ def hll_distinct(
         (e_raw <= F.lit(HLL_SMALL_RANGE)) & (v > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
     ).otherwise(e_raw)
-    est = per_group.select(*group_cols, estimate.alias("__est"))
+    return per_group.select(*group_cols, estimate.alias("__est"))
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate next to the exact count.
+
+    Returns (group_cols..., n_exact, n_hll, rel_err). The exact side is the
+    audit column (feasible at test scale; the point of the sketch is that
+    at 100 TB you'd keep only the 256-long state). rel_err is the realized
+    |estimate - exact| / exact.
+    """
+    est = hll_estimate(hll_bucket_maxes(df, key_col, group_cols), group_cols)
 
     exact = df.groupBy(*group_cols).agg(
         F.countDistinct(key_col).alias("n_exact")

@@ -5077,3 +5077,116 @@ def text_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     overestimate column is the realized one-sided collision error."""
     docs = load_table(spark, sf_dir, "documents")
     return sk.cms_heavy_hitters(docs, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter pattern (bloom pre-join) + tokenizer statistics (round 5)
+# ---------------------------------------------------------------------------
+
+from .operators import bloom as bl  # noqa: E402
+
+BLOOM_PRICE_THRESHOLD = 480000.0
+
+
+def _sql_bloom_prejoin() -> str:
+    """DuckDB mirror of operators/bloom.py: identical md5 bit positions,
+    BIGINT-word bit_or build, unrolled AND-of-K probe."""
+    k, bits, words = bl.BLOOM_K, bl.BLOOM_BITS, bl.BLOOM_WORDS
+    pos_build = ", ".join(
+        f"CAST(('0x' || substring(md5('{j}:' || CAST(__k AS VARCHAR)), 1, 15)) AS BIGINT) % {bits}"
+        for j in range(k)
+    )
+    checks = []
+    for j in range(k):
+        pos = (
+            f"(CAST(('0x' || substring(md5('{j}:' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {bits})"
+        )
+        checks.append(
+            f"((w.words[({pos} // 32) + 1] & (1::BIGINT << CAST({pos} % 32 AS INT))) <> 0)"
+        )
+    hit = " AND ".join(checks)
+    return f"""WITH keys AS (
+      SELECT DISTINCT o_orderkey AS __k FROM orders WHERE o_totalprice > {BLOOM_PRICE_THRESHOLD}),
+    pos AS (SELECT unnest([{pos_build}]) AS p FROM keys),
+    bloom AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+              FROM pos GROUP BY p // 32),
+    warr AS (SELECT list(COALESCE(b.bits, 0) ORDER BY g.w) AS words
+             FROM (SELECT unnest(range(0, {words})) AS w) g
+             LEFT JOIN bloom b ON b.word = g.w),
+    probed AS (SELECT l.l_orderkey,
+                      ({hit}) AS hit,
+                      (k.__k IS NOT NULL) AS is_member
+               FROM lineitem l CROSS JOIN warr w
+               LEFT JOIN keys k ON l.l_orderkey = k.__k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           round(CAST(SUM(CASE WHEN hit AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)), 6) AS fp_rate
+    FROM probed"""
+
+
+@register("lineitem_bloom_prejoin", _sql_bloom_prejoin())
+def lineitem_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime-filter audit (operators/bloom.py): an 8 KB md5-bit
+    bloom built from high-value orders pre-filters the lineitem scan; the
+    single-row readout counts candidates, true semi-join matches, and the
+    realized non-member false-positive rate. The portable twin of Spark's
+    runtime bloom filter (SPARK-32268), with the filter itself
+    oracle-verified."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    keys = o.filter(F.col("o_totalprice") > BLOOM_PRICE_THRESHOLD).select(
+        "o_orderkey"
+    )
+    return bl.bloom_prejoin_audit(l, keys, "l_orderkey", "o_orderkey")
+
+
+@register(
+    "text_bpe_pair_counts",
+    f"""WITH vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+      (SELECT unnest({SQL_TOKS}) AS term FROM documents) GROUP BY term),
+    pairs AS (
+      SELECT substring(term, i, 2) AS pair, cnt
+      FROM vocab, unnest(range(1, length(term))) AS u(i)),
+    agg AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs GROUP BY pair),
+    ranked AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM agg)
+    SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 20""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics: adjacent character-pair counts
+    weighted by word frequency — the top pair is the first merge a BPE
+    tokenizer trained on this corpus would learn (Sennrich et al., ACL'16).
+
+    Scale shape: the corpus collapses to the vocabulary ONCE (map-side
+    combined); pair explosion happens on the vocab frame (distinct words),
+    not on token occurrences — at 100 TB that is millions of rows, not
+    trillions. The top-20 cut is a global window over the tiny pair-count
+    frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokens as tokens_expr
+
+    vocab = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Guard single-char words: sequence(1, 0) would generate DESCENDING in
+    # Spark; CaseWhen evaluates lazily so the bad branch never runs.
+    pair_arr = F.when(
+        F.length("term") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("term") - F.lit(1)),
+            lambda i: F.col("term").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select(F.explode(pair_arr).alias("pair"), "cnt")
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -156,3 +156,90 @@ def test_cms_overestimates_only(spark):
     for r in out:
         assert r.cms_n >= r.exact_n  # one-sided error
         assert r.overestimate == r.cms_n - r.exact_n
+
+
+# --- bloom pre-join --------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_audit(spark):
+    from k8s_vectordb_sync_spark.operators import bloom as bl
+
+    keys = spark.createDataFrame([(i * 7,) for i in range(50)], "k bigint")
+    fact = spark.createDataFrame([(i,) for i in range(400)], "fk bigint")
+    (r,) = bl.bloom_prejoin_audit(fact, keys, "fk", "k").collect()
+    assert r.n_fact == 400
+    # members of fact: multiples of 7 under 350 -> 50 keys, all < 400? 49*7=343
+    assert r.n_true == 50
+    # Bloom filters NEVER miss a member: candidates cover all true matches.
+    assert r.n_candidates >= r.n_true
+    assert r.n_false_pos == r.n_candidates - r.n_true
+    # 150 bits set at most in 65536 -> fp rate must be tiny here
+    assert r.fp_rate < 0.01
+
+
+def test_bloom_words_dense_array(spark):
+    from k8s_vectordb_sync_spark.operators import bloom as bl
+
+    keys = spark.createDataFrame([(1,), (2,)], "k bigint")
+    (row,) = bl.build_bloom(keys, "k").collect()
+    assert len(row.words) == bl.BLOOM_WORDS
+    # exactly <= K*2 bits set across all words
+    set_bits = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in row.words)
+    assert 1 <= set_bits <= bl.BLOOM_K * 2
+
+
+# --- BPE pair counts -------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_check(spark, sf_dir):
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    out = QUERIES["text_bpe_pair_counts"](spark, sf_dir).collect()
+    assert len(out) == 20
+    assert out[0].rnk == 1
+    # counts descend, ties broken by pair text
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)
+
+
+# --- streaming HLL sketch --------------------------------------------------
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The HLL bucket-max state is a plain MAX aggregation, so it runs as an
+    incremental stateful aggregation under Structured Streaming; finalizing
+    the memory-sink state gives EXACTLY the batch estimate (the sketch is
+    deterministic arithmetic, so streaming == batch bit-for-bit)."""
+    import pyspark.sql.functions as F
+
+    rows = [("a", i % 700) for i in range(2000)] + [("b", i % 37) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, k bigint")
+    src = f"{tmp_path}/src"
+    df.repartition(4).write.parquet(src)
+
+    batch = {
+        r.grp: r.n_hll
+        for r in sk.hll_distinct(
+            spark.read.parquet(src), "k", ["grp"]
+        ).collect()
+    }
+
+    raw = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sk.hll_bucket_maxes(raw, "k", ["grp"])
+        .writeStream.format("memory")
+        .queryName("hll_state")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.sql("SELECT * FROM hll_state")
+    est = {
+        r.grp: r.n_hll
+        for r in sk.hll_estimate(state, ["grp"])
+        .select("grp", F.round("__est", 2).alias("n_hll"))
+        .collect()
+    }
+    assert est == batch
