@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "text_countmin_heavyhitters",
     "lineitem_bloom_prejoin",
     "text_bpe_pair_counts",
+    "dedup_graph_pagerank",
 ]
 
 RUNS_PER_QUERY = 2

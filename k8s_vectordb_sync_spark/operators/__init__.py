@@ -1,7 +1,9 @@
 from . import (  # noqa: F401
+    bloom,
     debounce,
     dedup,
     filters,
+    graph,
     multimodal,
     retrieval,
     similarity,

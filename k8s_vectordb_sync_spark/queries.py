@@ -5190,3 +5190,59 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics (round 5): PageRank over the near-dup graph
+# ---------------------------------------------------------------------------
+
+from .operators import graph as gr  # noqa: E402
+
+
+def _sql_pagerank(iterations: int, damping: float) -> str:
+    """Unrolled PageRank CTE chain over the minhash near-dup pairs. The
+    damping constants are the SAME Python floats the Spark operator uses
+    (1 - 0.85 != 0.15 in IEEE double)."""
+    base = 1.0 - damping
+    ctes = [
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+        "pr0 AS (SELECT src AS doc_id, deg, CAST(1.0 AS DOUBLE)/n AS pr "
+        "FROM deg CROSS JOIN nt)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS doc_id, "
+            f"CAST(round(p.pr/p.deg, 9) AS DECIMAL(28,9)) AS c "
+            f"FROM edges e JOIN pr{t-1} p ON e.src = p.doc_id)"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS csum "
+            f"FROM c{t} GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"pr{t} AS (SELECT d.src AS doc_id, d.deg, "
+            f"CAST({base!r} AS DOUBLE)/n + CAST({damping!r} AS DOUBLE) * COALESCE(s.csum, 0.0) AS pr "
+            f"FROM deg d CROSS JOIN nt LEFT JOIN s{t} s ON d.src = s.doc_id)"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {_sql_minhash_ctes(0.5)},
+    {body}
+    SELECT doc_id, deg AS degree, round(pr, 6) AS pagerank FROM pr{iterations}"""
+
+
+@register(
+    "dedup_graph_pagerank",
+    _sql_pagerank(gr.PAGERANK_ITERATIONS, gr.PAGERANK_DAMPING),
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash near-duplicate graph
+    (operators/graph.py): the canonical-copy selection signal inside
+    duplicate clusters — the hub of a boilerplate template family outranks
+    its variations. 3 unrolled damped iterations, DECIMAL-summed neighbor
+    contributions, every constant shared with the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    return gr.pagerank(pairs)

@@ -243,3 +243,31 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         .collect()
     }
     assert est == batch
+
+
+# --- pagerank --------------------------------------------------------------
+
+
+def test_pagerank_hand_computed_path_graph(spark):
+    """Path graph 1-2-3: node 2 (the hub) must outrank the leaves, and the
+    values must equal the formula replayed in plain Python with the same
+    rounding discipline."""
+    from k8s_vectordb_sync_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a bigint, doc_b bigint")
+    out = {r.doc_id: r for r in pagerank(pairs, iterations=3, damping=0.85).collect()}
+    assert out[1].degree == 1 and out[2].degree == 2 and out[3].degree == 1
+
+    deg = {1: 1, 2: 2, 3: 1}
+    nbrs = {1: [2], 2: [1, 3], 3: [2]}
+    pr = {k: 1.0 / 3 for k in deg}
+    base = 1.0 - 0.85
+    for _ in range(3):
+        pr = {
+            k: base / 3
+            + 0.85 * sum(round(pr[u] / deg[u], 9) for u in nbrs[k])
+            for k in deg
+        }
+    for k in deg:
+        assert out[k].pagerank == round(pr[k], 6)
+    assert out[2].pagerank > out[1].pagerank == out[3].pagerank
