@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "lineitem_bloom_prejoin",
     "text_bpe_pair_counts",
     "dedup_graph_pagerank",
+    "documents_train_split",
+    "documents_weighted_sample",
 ]
 
 RUNS_PER_QUERY = 2

@@ -163,3 +163,64 @@ def mixture_weights(
         .otherwise(F.lit(0.0))
         .alias("epochs"),
     )
+
+
+SPLIT_SALT = "split"
+SPLIT_BOUNDS = (80, 90)  # train < 80, val < 90, test otherwise (percent)
+
+
+def train_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a pure per-row hash predicate
+    (zero shuffle, pushes into the scan), reproducible across engines, runs
+    and cluster sizes — the property a 100 TB split MUST have so val/test
+    membership never drifts when the corpus is re-partitioned or appended.
+    Salting the hash decorrelates the split from every sampling operator
+    that hashes the same key."""
+    pct = F.pmod(
+        md5_prefix_long(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(pct < bounds[0], F.lit("train"))
+        .when(pct < bounds[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis, IPL'06):
+    each row draws a deterministic uniform u from its hashed key and gets
+    priority ln(u)/w — the top-n priorities are an exact weighted sample.
+    ln(u)/w is the monotone log form of the classic u^(1/w) key, avoiding
+    pow()'s cross-platform wobble; priorities are rounded to 9 decimals
+    before ranking so both engines order identically.
+
+    Scale shape: the priority is per-row codegen; the top-n cut is a global
+    TakeOrderedAndProject (no global sort). Zero-weight rows draw priority
+    -inf and can never be selected ahead of a weighted row.
+    """
+    u = (
+        md5_prefix_long(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))  # u in (0, 1]
+    w = F.col(weight_col).cast("double")
+    priority = F.when(
+        w > 0, F.round(F.log(u) / w, 9)
+    ).otherwise(F.lit(float("-inf")))
+    return (
+        df.withColumn("priority", priority)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(n)
+    )

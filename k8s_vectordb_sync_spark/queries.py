@@ -5246,3 +5246,50 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
     return gr.pagerank(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Split assignment + weighted sampling (round 5)
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as smp  # noqa: E402
+
+
+@register(
+    "documents_train_split",
+    """SELECT doc_id, lang, source,
+           CASE WHEN (CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 80 THEN 'train'
+                WHEN (CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents""",
+)
+def documents_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment
+    (operators/sampling.py::train_split): a salted per-row hash predicate —
+    zero shuffle, engine/run/partitioning independent, so val/test
+    membership never drifts on a growing 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.train_split(docs).select("doc_id", "lang", "source", "split")
+
+
+@register(
+    "documents_weighted_sample",
+    f"""WITH pri AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN CAST(n_chars AS DOUBLE) > 0
+                  THEN round(ln((CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                                / CAST({float(1 << 60)!r} AS DOUBLE))
+                             / CAST(n_chars AS DOUBLE), 9)
+                  ELSE CAST('-infinity' AS DOUBLE) END AS priority
+      FROM documents)
+    SELECT doc_id, n_chars, priority
+    FROM pri ORDER BY priority DESC, doc_id LIMIT 50""",
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis priorities,
+    length-weighted): deterministic hashed uniforms, log-form keys rounded
+    to 9 decimals, global top-50 via TakeOrderedAndProject — the
+    size-proportional document picker for mixture assembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = smp.weighted_sample(docs, weight_col="n_chars", n=50)
+    return out.select("doc_id", "n_chars", "priority")

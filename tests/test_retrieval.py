@@ -271,3 +271,37 @@ def test_pagerank_hand_computed_path_graph(spark):
     for k in deg:
         assert out[k].pagerank == round(pr[k], 6)
     assert out[2].pagerank > out[1].pagerank == out[3].pagerank
+
+
+# --- split + weighted sampling ---------------------------------------------
+
+
+def test_train_split_deterministic_and_proportional(spark):
+    from k8s_vectordb_sync_spark.operators.sampling import train_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    a = {r.doc_id: r.split for r in train_split(df).collect()}
+    b = {r.doc_id: r.split for r in train_split(df.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.07 < c["val"] / 2000 < 0.13
+    assert 0.07 < c["test"] / 2000 < 0.13
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from k8s_vectordb_sync_spark.operators.sampling import weighted_sample
+
+    # 100 heavy rows (w=1000) vs 900 light rows (w=1): heavy rows should
+    # dominate a 50-row sample, and zero-weight rows never appear.
+    rows = [(i, 1000 if i < 100 else (0 if i >= 990 else 1)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = weighted_sample(df, weight_col="w", n=50, key_col="doc_id").collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.doc_id < 100)
+    assert heavy > 35
+    assert all(r.doc_id < 990 for r in got)  # zero-weight excluded
+    again = weighted_sample(df.repartition(5), weight_col="w", n=50).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)
