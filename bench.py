@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "dedup_graph_pagerank",
     "documents_train_split",
     "documents_weighted_sample",
+    "events_pivot_hourly",
+    "events_cumulative_new_users",
+    "events_zorder_key",
 ]
 
 RUNS_PER_QUERY = 2

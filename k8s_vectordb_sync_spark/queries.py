@@ -5293,3 +5293,114 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = smp.weighted_sample(docs, weight_col="n_chars", n=50)
     return out.select("doc_id", "n_chars", "priority")
+
+
+# ---------------------------------------------------------------------------
+# Pivot + cumulative time-series shapes (round 5)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_hourly",
+    f"""SELECT CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hour,
+           {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY 1""",
+)
+def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type contingency table via pivot with an EXPLICIT
+    value list — without it Spark runs a blocking distinct scan to discover
+    columns AND the output schema becomes data-dependent, both wrong at
+    100 TB. With the list the plan is one map-side-combined aggregate.
+    Epoch-ms arithmetic avoids session-timezone coupling (the repo-wide
+    timestamp discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.pmod(F.floor(F.unix_millis("ts") / F.lit(3600000)), F.lit(24))
+    out = (
+        ev.select(hour.cast("bigint").alias("hour"), "event_type")
+        .groupBy("hour")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves null for empty cells; the oracle's SUM(CASE) yields 0
+    return out.select(
+        "hour",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@register(
+    "events_cumulative_new_users",
+    """WITH first_seen AS (
+      SELECT user_id, CAST(min(epoch_ms(ts)) // 86400000 AS BIGINT) AS day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily""",
+)
+def events_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts with a running total — the classic growth
+    readout. The distinct-users-to-date problem is reduced to first-seen
+    date per user (one map-side-combined min) + a cumulative window over the
+    O(#days) daily frame, NEVER a distinct-over-expanding-window on the raw
+    stream (quadratic at 100 TB). The unpartitioned window runs on the tiny
+    pre-aggregated frame — the audited scan-free pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.floor(F.min(F.unix_millis("ts")) / F.lit(86400000))
+        .cast("bigint")
+        .alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (round 5)
+# ---------------------------------------------------------------------------
+
+from .sources.writers import zorder_key, zorder_key_sql  # noqa: E402
+
+_ZX_SQL = "CAST(user_id % 65536 AS BIGINT)"
+_ZY_SQL = "CAST(LEAST(GREATEST(CAST(floor(value * 100) AS BIGINT), 0), 65535) AS BIGINT)"
+
+
+@register(
+    "events_zorder_key",
+    f"""SELECT event_id, {_ZX_SQL} AS zx, {_ZY_SQL} AS zy,
+           {zorder_key_sql(_ZX_SQL, _ZY_SQL)} AS zkey
+    FROM events""",
+)
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, value) — the layout
+    key for multi-dimensional data skipping (sources/writers.py::zorder_key;
+    test_writers proves the file-pruning win over a linear sort). Pure
+    integer bit-interleave, zero shuffle; range-partitioning a 100 TB table
+    by this key is what makes BOX predicates on both columns prune files."""
+    ev = load_table(spark, sf_dir, "events")
+    zx = F.pmod(F.col("user_id"), F.lit(65536)).cast("bigint")
+    zy = (
+        F.least(
+            F.greatest(F.floor(F.col("value") * 100).cast("bigint"), F.lit(0)),
+            F.lit(65535),
+        )
+    ).cast("bigint")
+    return ev.select(
+        "event_id",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        zorder_key(zx, zy).alias("zkey"),
+    )
