@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import text as T
 from . import similarity as sim
@@ -109,22 +110,24 @@ def derive_query_terms(
 
 
 def bm25_scored(
-    documents: DataFrame,
+    postings: DataFrame,
     query_terms: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
     """(query_id, neighbor_id, score): BM25 score of every matching document
-    against every query's term set.
+    against every query's term set, over a PREBUILT posting frame
+    (doc_term_freqs output). The posting frame is the reused asset — real
+    engines materialize it as the index — so callers build it once,
+    persist it, and pass it to every retrieval operator (plain column
+    pruning makes the per-branch subtrees non-identical, so Catalyst's
+    ReuseExchange cannot dedupe repeated rebuilds on its own).
 
     query_terms (query_id, term) is broadcast — it is tiny by construction.
     The idf table is vocabulary-sized and also broadcast. The per-document
     combine sums DECIMAL(28,6)-rounded contributions, so the result is
     independent of partitioning and matches the DuckDB oracle bit-for-bit.
     """
-    postings = doc_term_freqs(documents, text_col, id_col)
     lengths = doc_lengths(postings)
     stats = corpus_stats(lengths)
     idf = idf_table(postings, stats)
@@ -158,22 +161,34 @@ def bm25_scored(
 
 
 def bm25_topk(
-    documents: DataFrame,
+    postings: DataFrame,
     query_terms: DataFrame,
     k: int = 10,
-    text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-k BM25 matches per query: two-phase rank via topk_per_query, so
     the plan shape survives a corpus 1000x wider."""
-    scored = bm25_scored(documents, query_terms, text_col, id_col)
+    scored = bm25_scored(postings, query_terms)
     return sim.topk_per_query(scored, k)
 
 
-def inverted_index(
+def build_postings(
     documents: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    storage_level: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Build-and-pin the posting frame: the single corpus scan every
+    retrieval operator shares. Caller owns the cache lifecycle (same
+    contract as the dedup miners); pass storage_level=None to skip pinning
+    (e.g. when the postings are about to be written out as a table)."""
+    postings = doc_term_freqs(documents, text_col, id_col)
+    if storage_level is not None:
+        postings = postings.persist(storage_level)
+    return postings
+
+
+def inverted_index(
+    postings: DataFrame,
     max_postings: int = 100,
 ) -> DataFrame:
     """(term, df, cf, postings): document frequency, collection frequency,
@@ -185,7 +200,6 @@ def inverted_index(
     engines shard long posting lists; the cap models that truncation
     explicitly rather than OOMing.
     """
-    postings = doc_term_freqs(documents, text_col, id_col)
     stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )

@@ -4883,11 +4883,11 @@ def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting frame (operators/retrieval.py — one corpus scan, broadcast
     idf/query joins, DECIMAL-exact score combine, two-phase top-k)."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = ret.doc_term_freqs(docs)
+    postings = ret.build_postings(docs)
     qterms = ret.derive_query_terms(
         postings, RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY
     )
-    out = ret.bm25_topk(docs, qterms, k=BM25_TOPK)
+    out = ret.bm25_topk(postings, qterms, k=BM25_TOPK)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -4909,7 +4909,7 @@ def documents_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 doc ids BEFORE collection (windowed rank), so a stopword's posting
     list at 100 TB never materializes on one reducer."""
     docs = load_table(spark, sf_dir, "documents")
-    return ret.inverted_index(docs, max_postings=100)
+    return ret.inverted_index(ret.build_postings(docs), max_postings=100)
 
 
 def _sql_hybrid_rrf() -> str:
@@ -4950,11 +4950,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-bounded per query so the fusion join is tiny at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    postings = ret.doc_term_freqs(docs)
+    postings = ret.build_postings(docs)
     qterms = ret.derive_query_terms(
         postings, RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY
     )
-    lex = ret.bm25_topk(docs, qterms, k=HYBRID_POOL_K)
+    lex = ret.bm25_topk(postings, qterms, k=HYBRID_POOL_K)
     vqueries = emb.filter(F.col("vec_id") < RETRIEVAL_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -30,7 +30,10 @@ def test_bm25_matches_hand_formula(spark):
     # Corpus: doc0 'x x y', doc1 'x z', doc2 'y y'. Query terms {x} only.
     df = _docs(spark, [(0, "x x y"), (1, "x z"), (2, "y y")])
     qterms = spark.createDataFrame([(9, "x")], "query_id bigint, term string")
-    out = {r.neighbor_id: r.score for r in ret.bm25_scored(df, qterms).collect()}
+    out = {
+        r.neighbor_id: r.score
+        for r in ret.bm25_scored(ret.doc_term_freqs(df), qterms).collect()
+    }
     # N=3, avgdl = (3+2+2)/3; df(x)=2 -> idf = round(ln(1 + 1.5/2.5), 6)
     idf = round(math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5)), 6)
     def s(tf, dl):
@@ -41,9 +44,9 @@ def test_bm25_matches_hand_formula(spark):
 def test_bm25_topk_self_retrieval(spark, sf_dir):
     # A query doc's own top terms should retrieve the doc itself highly.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    postings = ret.doc_term_freqs(docs)
+    postings = ret.build_postings(docs)
     qterms = ret.derive_query_terms(postings, n_queries=2, terms_per_query=5)
-    top = ret.bm25_topk(docs, qterms, k=10).collect()
+    top = ret.bm25_topk(postings, qterms, k=10).collect()
     by_q = {}
     for r in top:
         by_q.setdefault(r.query_id, []).append(r.neighbor_id)
@@ -54,7 +57,12 @@ def test_bm25_topk_self_retrieval(spark, sf_dir):
 def test_inverted_index_caps_postings(spark):
     rows = [(i, "common word" if i < 150 else "rare item") for i in range(160)]
     df = _docs(spark, rows)
-    idx = {r.term: r for r in ret.inverted_index(df, max_postings=100).collect()}
+    idx = {
+        r.term: r
+        for r in ret.inverted_index(
+            ret.doc_term_freqs(df), max_postings=100
+        ).collect()
+    }
     assert idx["common"].df == 150  # df counts ALL docs
     assert len(idx["common"].postings) == 100  # list capped
     assert idx["common"].postings == sorted(idx["common"].postings)
