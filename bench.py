@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "events_pivot_hourly",
     "events_cumulative_new_users",
     "events_zorder_key",
+    "events_quantile_sketch",
+    "events_hll_union",
 ]
 
 RUNS_PER_QUERY = 2

@@ -192,3 +192,122 @@ def cms_heavy_hitters(
             (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
         )
     )
+
+
+# --- histogram quantile sketch ---------------------------------------------
+
+QSK_BINS = 256
+QSK_LO = 0.0
+QSK_HI = 512.0  # fixed domain -> mergeable without re-binning
+QSK_WIDTH = (QSK_HI - QSK_LO) / QSK_BINS
+
+
+def quantile_sketch_estimates(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float],
+) -> DataFrame:
+    """Single-pass mergeable quantile estimation: a fixed-domain equi-width
+    histogram (256 integer buckets — map-side-combinable, mergeable across
+    partitions/days without re-binning) inverted by linear interpolation
+    within the target bin. The 100 TB answer to percentiles: exact
+    percentile needs a per-group sort; the sketch needs one aggregation.
+
+    Returns (group_cols..., q, est, exact, abs_err) with the exact value
+    computed alongside as the audit column. All estimator arithmetic is
+    integer counts + literal quantiles, so the oracle replays it exactly.
+    """
+    v = F.col(value_col)
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(QSK_LO)) / F.lit(QSK_WIDTH)), F.lit(0)),
+        F.lit(QSK_BINS - 1),
+    ).cast("bigint")
+    hist = (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    qf = F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q")
+    targeted = cum.select(*group_cols, "bin", "cnt", "cum", "n", qf).withColumn(
+        "target", F.col("q") * F.col("n")
+    )
+    # the unique bin whose cumulative range covers the target rank
+    hit = targeted.filter(
+        (F.col("cum") >= F.col("target"))
+        & ((F.col("cum") - F.col("cnt")) < F.col("target"))
+    )
+    est = (
+        F.lit(QSK_LO)
+        + F.col("bin") * F.lit(QSK_WIDTH)
+        + F.lit(QSK_WIDTH)
+        * (F.col("target") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    sketch = hit.select(*group_cols, "q", F.round(est, 6).alias("est"))
+
+    exact = (
+        df.groupBy(*group_cols)
+        .agg(*[
+            F.expr(f"percentile({value_col}, {q!r})").alias(f"__p{i}")
+            for i, q in enumerate(quantiles)
+        ])
+        .select(
+            *group_cols,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"__p{i}").alias("exact")
+                    )
+                    for i, q in enumerate(quantiles)
+                ])
+            ).alias("qe"),
+        )
+        .select(*group_cols, F.col("qe.q").alias("q"), F.col("qe.exact").alias("exact"))
+    )
+    return sketch.join(exact, [*group_cols, "q"]).select(
+        *group_cols,
+        "q",
+        "est",
+        F.round("exact", 6).alias("exact"),
+        F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+    )
+
+
+def hll_union(
+    df: DataFrame, key_col: str, group_col: str, groups: list[str]
+) -> DataFrame:
+    """Union cardinality from MERGED sketches: per-bucket MAX across the
+    selected groups' bucket-max states — the mergeability property that
+    makes HLL the distributed distinct counter (states union with max, no
+    raw data revisited). Returns one row: n_exact (exact union distinct),
+    n_hll (estimate from the merged state), rel_err."""
+    sub = df.filter(F.col(group_col).isin(groups))
+    tagged = sub.withColumn("__all", F.lit("union"))
+    merged = hll_bucket_maxes(tagged, key_col, ["__all"])
+    est = hll_estimate(merged, ["__all"])
+    exact = tagged.groupBy("__all").agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    return exact.join(est, "__all").select(
+        "n_exact",
+        F.round("__est", 2).alias("n_hll"),
+        F.round(
+            F.abs(F.col("__est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )

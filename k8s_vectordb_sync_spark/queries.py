@@ -5404,3 +5404,108 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         zy.alias("zy"),
         zorder_key(zx, zy).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch + HLL merge (round 5)
+# ---------------------------------------------------------------------------
+
+QSK_QUANTILES = [0.5, 0.95, 0.99]
+HLL_UNION_TYPES = ["click", "view"]
+
+
+def _sql_quantile_sketch() -> str:
+    w = sk.QSK_WIDTH
+    nb = sk.QSK_BINS
+    qs = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in QSK_QUANTILES)
+    case = " ".join(
+        f"WHEN CAST({q!r} AS DOUBLE) THEN p{i}"
+        for i, q in enumerate(QSK_QUANTILES[:-1])
+    )
+    exacts = ", ".join(
+        f"quantile_cont(value, {q!r}) AS p{i}" for i, q in enumerate(QSK_QUANTILES)
+    )
+    return f"""WITH hist AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(CAST(floor((value - CAST({sk.QSK_LO!r} AS DOUBLE)) / CAST({w!r} AS DOUBLE)) AS BIGINT), 0), {nb - 1}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist),
+    qs AS (SELECT unnest([{qs}]) AS q),
+    targeted AS (SELECT c.*, q.q, q.q * c.n AS target FROM cum c CROSS JOIN qs q),
+    hit AS (
+      SELECT event_type, q,
+             round(CAST({sk.QSK_LO!r} AS DOUBLE) + bin * CAST({w!r} AS DOUBLE)
+                   + CAST({w!r} AS DOUBLE) * (target - (cum - cnt)) / cnt, 6) AS est
+      FROM targeted WHERE cum >= target AND (cum - cnt) < target),
+    exact AS (SELECT event_type, {exacts} FROM events GROUP BY event_type),
+    exact_l AS (
+      SELECT event_type, qq.q,
+             CASE qq.q {case} ELSE p{len(QSK_QUANTILES) - 1} END AS exact
+      FROM exact CROSS JOIN (SELECT unnest([{qs}]) AS q) qq)
+    SELECT h.event_type, h.q, h.est, round(e.exact, 6) AS exact,
+           round(abs(h.est - round(e.exact, 6)), 6) AS abs_err
+    FROM hit h JOIN exact_l e ON h.event_type = e.event_type AND h.q = e.q"""
+
+
+@register("events_quantile_sketch", _sql_quantile_sketch())
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable quantile estimation (operators/sketches.py):
+    fixed-domain 256-bin histogram inverted by in-bin linear interpolation,
+    with the exact percentile as the audit column. The 100 TB shape: exact
+    per-group percentiles need a sort; the sketch is one map-side-combined
+    aggregation whose state merges across partitions and days."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sk.quantile_sketch_estimates(
+        ev, "value", ["event_type"], QSK_QUANTILES
+    )
+    return out.select(
+        "event_type",
+        "q",
+        "est",
+        F.round("exact", 6).alias("exact"),
+        F.round(F.abs(F.col("est") - F.round("exact", 6)), 6).alias("abs_err"),
+    )
+
+
+def _sql_hll_union() -> str:
+    cap = sk.HLL_RHO_CAP
+    wb1 = sk.HLL_W_BITS + 1
+    types = ", ".join(f"'{t}'" for t in HLL_UNION_TYPES)
+    return f"""WITH h AS (SELECT
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type IN ({types})),
+    b AS (SELECT h % {sk.HLL_M} AS bucket,
+                 CASE WHEN (h >> {sk.HLL_P}) > 0
+                      THEN least({wb1} - length(bin(h >> {sk.HLL_P})), {cap})
+                      ELSE {cap} END AS rho
+          FROM h),
+    mx AS (SELECT bucket, MAX(rho) AS maxrho FROM b GROUP BY bucket),
+    agg AS (SELECT SUM(1::BIGINT << ({cap} - maxrho)) AS s_present, COUNT(*) AS present FROM mx),
+    agg2 AS (SELECT s_present + ({sk.HLL_M} - present) * (1::BIGINT << {cap}) AS s,
+                    {sk.HLL_M} - present AS v FROM agg),
+    est AS (SELECT CASE WHEN CAST({sk.HLL_NUMERATOR!r} AS DOUBLE) / s <= {sk.HLL_SMALL_RANGE!r}
+                             AND v > 0
+                        THEN CAST({sk.HLL_M} AS DOUBLE) * ln(CAST({sk.HLL_M} AS DOUBLE) / v)
+                        ELSE CAST({sk.HLL_NUMERATOR!r} AS DOUBLE) / s END AS e
+            FROM agg2),
+    exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events WHERE event_type IN ({types}))
+    SELECT x.n_exact, round(e.e, 2) AS n_hll,
+           round(abs(e.e - x.n_exact) / x.n_exact, 6) AS rel_err
+    FROM exact x CROSS JOIN est e"""
+
+
+@register("events_hll_union", _sql_hll_union())
+def events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union cardinality from MERGED HLL states (per-bucket MAX across
+    groups) — the mergeability that makes the sketch distributed: union two
+    populations without revisiting raw data. Estimate hash-verified against
+    the oracle's replay; exact union distinct as the audit column."""
+    ev = load_table(spark, sf_dir, "events")
+    return sk.hll_union(ev, "user_id", "event_type", HLL_UNION_TYPES)

@@ -313,3 +313,26 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     assert all(r.doc_id < 990 for r in got)  # zero-weight excluded
     again = weighted_sample(df.repartition(5), weight_col="w", n=50).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)
+
+
+def test_quantile_sketch_bounded_error(spark):
+    """Uniform values on [0, 500): the 256-bin sketch over a 512-wide domain
+    has bin width 2, so interpolation error is bounded by one bin width."""
+    rows = [("g", (i * 37) % 500 + 0.5) for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = sk.quantile_sketch_estimates(df, "v", ["grp"], [0.5, 0.95])
+    for r in out.collect():
+        assert r.abs_err <= 2.0 * sk.QSK_WIDTH
+
+
+def test_hll_union_at_least_max_side(spark):
+    rows = [("a", i) for i in range(800)] + [("b", i + 400) for i in range(800)]
+    df = spark.createDataFrame(rows, "grp string, k bigint")
+    (r,) = sk.hll_union(df, "k", "grp", ["a", "b"]).collect()
+    assert r.n_exact == 1200  # 800 + 800 - 400 overlap
+    assert r.rel_err < 0.2
+    # merged estimate must be >= each side's estimate (monotone union)
+    sides = {
+        x.grp: x.n_hll for x in sk.hll_distinct(df, "k", ["grp"]).collect()
+    }
+    assert r.n_hll >= max(sides.values()) * 0.99
