@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "events_zorder_key",
     "events_quantile_sketch",
     "events_hll_union",
+    "dedup_graph_triangles",
+    "events_key_skew_audit",
 ]
 
 RUNS_PER_QUERY = 2

@@ -95,3 +95,71 @@ def pagerank(
         F.col("deg").alias("degree"),
         F.round("pr", 6).alias("pagerank"),
     )
+
+
+def triangle_stats(
+    pairs: DataFrame, src_col: str = "doc_a", dst_col: str = "doc_b"
+) -> DataFrame:
+    """Global triangle count + clustering coefficient of the undirected pair
+    graph, via DEGREE-ORDERED edge orientation (the standard distributed
+    trick: orienting each edge from its lower-degree endpoint bounds every
+    node's out-degree by O(sqrt(E)), so the wedge self-join — the quadratic
+    step — is bounded by sum(out_deg^2) = O(E^1.5) instead of the raw
+    sum(deg^2), which a single celebrity node would otherwise blow up).
+
+    Returns one row: (n_edges, n_wedges, n_triangles, clustering) where
+    n_wedges counts open+closed 2-paths (sum deg*(deg-1)/2) and clustering
+    = 3*T / wedges — the global transitivity readout for the near-dup
+    graph: high transitivity means duplicates arrive as dense template
+    families, low means chains of pairwise drift.
+    """
+    und = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # orient a -> b iff (deg_a, a) < (deg_b, b)
+    da = deg.select(F.col("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    o1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    o2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges2 = o1.join(o2, "u").filter(F.col("v") < F.col("w"))
+    canon = pairs.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+    ).distinct()
+    tri = wedges2.join(
+        canon,
+        (F.col("v") == F.col("x")) & (F.col("w") == F.col("y")),
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    totals = deg.agg(
+        (F.sum("deg") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - F.lit(1)) / F.lit(2))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return totals.crossJoin(n_tri).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )

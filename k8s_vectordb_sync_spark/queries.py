@@ -5509,3 +5509,88 @@ def events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's replay; exact union distinct as the audit column."""
     ev = load_table(spark, sf_dir, "events")
     return sk.hll_union(ev, "user_id", "event_type", HLL_UNION_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Triangle census + key-skew audit (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""WITH {_sql_minhash_ctes(0.5)},
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY a),
+    oriented AS (
+      SELECT u.a, u.b FROM und u
+      JOIN deg da ON u.a = da.a JOIN deg db ON u.b = db.a
+      WHERE da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)),
+    wedges2 AS (
+      SELECT o1.a AS u, o1.b AS v, o2.b AS w
+      FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a WHERE o1.b < o2.b),
+    canon AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS x, GREATEST(doc_a, doc_b) AS y FROM pairs),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM wedges2 JOIN canon ON v = x AND w = y),
+    totals AS (SELECT CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+                      CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+               FROM deg)
+    SELECT n_edges, n_wedges, n_triangles,
+           round(CASE WHEN n_wedges > 0
+                      THEN CAST(3.0 AS DOUBLE) * n_triangles / n_wedges
+                      ELSE CAST(0.0 AS DOUBLE) END, 6) AS clustering
+    FROM totals CROSS JOIN tri""",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global transitivity of the near-dup graph
+    (operators/graph.py::triangle_stats, degree-ordered orientation): high
+    clustering = duplicates arrive as dense template families (dedup by
+    cluster representative); low = chains of pairwise drift (dedup needs
+    the transitive closure). Complements dedup_minhash_clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    return gr.triangle_stats(pairs)
+
+
+@register(
+    "events_key_skew_audit",
+    """WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_n FROM per_key),
+    ranked AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+               FROM per_key)
+    SELECT r.user_id, r.n, CAST(r.rnk AS BIGINT) AS rnk,
+           round(CAST(r.n AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(t.max_n AS DOUBLE) / (CAST(t.total AS DOUBLE) / t.n_keys), 6) AS skew_factor
+    FROM ranked r CROSS JOIN tot t WHERE r.rnk <= 10""",
+)
+def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew readout: the 10 heaviest keys with their share of the
+    stream and the global skew factor (max key frequency over the mean) —
+    the metric that decides whether a keyed aggregation needs salting
+    (debounce.salted_last_state_wins) or AQE skew-join handling. One
+    map-side-combined aggregate + a rank over the per-key frame; the
+    global stats ride a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    ranked = per_key.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= 10
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n",
+        "rnk",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("max_n").cast("double")
+            / (F.col("total").cast("double") / F.col("n_keys")),
+            6,
+        ).alias("skew_factor"),
+    )

@@ -336,3 +336,33 @@ def test_hll_union_at_least_max_side(spark):
         x.grp: x.n_hll for x in sk.hll_distinct(df, "k", ["grp"]).collect()
     }
     assert r.n_hll >= max(sides.values()) * 0.99
+
+
+def test_triangle_stats_hand_checked(spark):
+    from k8s_vectordb_sync_spark.operators.graph import triangle_stats
+
+    # K3 plus a pendant: triangles(1,2,3); wedges = C(2,2)*3 for the
+    # triangle nodes with deg 2,2,3 -> 1+1+3 = 5; clustering = 3*1/5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    (r,) = triangle_stats(pairs).collect()
+    assert r.n_edges == 4
+    assert r.n_triangles == 1
+    assert r.n_wedges == 5
+    assert r.clustering == round(3.0 * 1 / 5, 6)
+
+
+def test_triangle_stats_celebrity_star_no_triangles(spark):
+    from k8s_vectordb_sync_spark.operators.graph import triangle_stats
+
+    # star graph: hub with 50 spokes -> 0 triangles, C(50,2) wedges, and the
+    # degree-ordered orientation keeps the hub's out-degree at 0 (all edges
+    # orient INTO the hub), so the wedge join stays empty -> linear.
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "doc_a bigint, doc_b bigint"
+    )
+    (r,) = triangle_stats(pairs).collect()
+    assert r.n_triangles == 0
+    assert r.n_wedges == 50 * 49 // 2
+    assert r.clustering == 0.0
