@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "events_hll_union",
     "dedup_graph_triangles",
     "events_key_skew_audit",
+    "dedup_containment_pairs",
 ]
 
 RUNS_PER_QUERY = 2

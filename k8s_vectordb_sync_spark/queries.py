@@ -5594,3 +5594,28 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""WITH {_sql_minhash_ctes(0.5)},
+    cont AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 4) AS containment_a,
+             round(len(list_intersect(a.s, b.s))::DOUBLE / len(b.s), 4) AS containment_b
+      FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
+    SELECT doc_a, doc_b, containment_a, containment_b
+    FROM cont WHERE containment_a >= 0.7 OR containment_b >= 0.7""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder SEQUENCES'97): catches
+    subset-duplicates — a doc pasted whole into a larger host — that
+    Jaccard dilutes below threshold. Same LSH band blocking as the MinHash
+    miner (operators/dedup.py::containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, threshold=0.7)

@@ -366,3 +366,35 @@ def test_triangle_stats_celebrity_star_no_triangles(spark):
     assert r.n_triangles == 0
     assert r.n_wedges == 50 * 49 // 2
     assert r.clustering == 0.0
+
+
+def test_containment_catches_subset_duplicate_jaccard_misses(spark):
+    """A doc pasted whole into a larger host (still band-colliding): the
+    symmetric Jaccard miner at 0.9 misses it, but the small side's
+    containment is exactly 1.0 — the subset-duplicate signal."""
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    host = small + " " + " ".join(f"pad{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(0, small), (1, host)], "doc_id bigint, text string"
+    )
+    assert dd.minhash_lsh_pairs(df, threshold=0.9).collect() == []
+    cont = dd.containment_pairs(df, threshold=0.7).collect()
+    assert len(cont) == 1
+    (r,) = cont
+    assert r.doc_a == 0 and r.doc_b == 1
+    assert r.containment_a == 1.0  # small side fully contained
+    assert r.containment_b < 0.7  # host side below threshold (asymmetry)
+
+
+def test_containment_blocking_recall_caveat_documented(spark):
+    """The documented LSH-blocking caveat: a tiny doc inside a MUCH larger
+    host shares no band (the host's shingles dominate the signature), so
+    the blocked miner finds nothing — the reason production adds a second
+    small-side blocking pass. This test pins the behavior the docstring
+    promises rather than pretending the miner has full recall."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    host = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, small), (1, host)], "doc_id bigint, text string"
+    )
+    assert dd.containment_pairs(df, threshold=0.7).collect() == []
