@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "dedup_graph_triangles",
     "events_key_skew_audit",
     "dedup_containment_pairs",
+    "documents_term_pmi",
 ]
 
 RUNS_PER_QUERY = 2

@@ -4,7 +4,8 @@
 Usage:
   python -m k8s_vectordb_sync_spark sync   --events-dir DIR [--once] [--target PATH]
   python -m k8s_vectordb_sync_spark resync --events-dir DIR --target PATH
-  python -m k8s_vectordb_sync_spark bench-queries --sf-dir DIR
+  python -m k8s_vectordb_sync_spark bench-queries
+  python -m k8s_vectordb_sync_spark run-query NAME [--sf-dir DIR] [--limit N]
 
 `sync` starts the standing instance-sync query (plus the CRD/capabilities
 query when CAPABILITIES_ENDPOINT is set, cmd/main.go:147-171); `--once`
@@ -155,6 +156,26 @@ def cmd_bench_queries(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_run_query(args: argparse.Namespace) -> int:
+    """Run one registered query and print its rows as JSON lines — the ad
+    hoc analyst surface over the same registry the driver/bench use."""
+    from .queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(json.dumps({"error": "unknown query", "name": args.name}))
+        return 2
+    spark = build_spark(app_name=f"kvs-query-{args.name}")
+    try:
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.limit:
+            df = df.limit(args.limit)
+        for row in df.toJSON().toLocalIterator():
+            print(row)
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="k8s_vectordb_sync_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -179,6 +200,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p_bq = sub.add_parser("bench-queries", help="list registered queries")
     p_bq.set_defaults(fn=cmd_bench_queries)
+
+    p_rq = sub.add_parser("run-query", help="run one registered query, JSON-lines output")
+    p_rq.add_argument("name")
+    p_rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_rq.add_argument("--limit", type=int, default=0, help="cap printed rows (0 = all)")
+    p_rq.set_defaults(fn=cmd_run_query)
 
     args = parser.parse_args(argv)
     return args.fn(args)

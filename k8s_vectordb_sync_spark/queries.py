@@ -5619,3 +5619,91 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner (operators/dedup.py::containment_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.containment_pairs(docs, threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (round 5)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_CO = 5
+PMI_TOPK = 20
+
+
+@register(
+    "documents_term_pmi",
+    f"""WITH dt AS (
+      SELECT DISTINCT doc_id, term FROM
+      (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+    co AS (
+      SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term),
+    pmi AS (
+      SELECT c.term_a, c.term_b, c.n_co,
+             round(ln(CAST(c.n_co AS DOUBLE) * n.n_docs / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+      FROM co c JOIN dfreq da ON c.term_a = da.term
+                JOIN dfreq db ON c.term_b = db.term CROSS JOIN n
+      WHERE c.n_co >= {PMI_MIN_CO}),
+    ranked AS (SELECT *, row_number() OVER
+               (ORDER BY pmi DESC, term_a, term_b) AS rnk FROM pmi)
+    SELECT term_a, term_b, n_co, pmi, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {PMI_TOPK}""",
+)
+def documents_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over doc-level
+    co-occurrence: PMI = ln(co*N / (df_a*df_b)) on exact integer counts
+    (deterministic ln, rounded). The within-doc pair join is bounded by
+    per-doc DISTINCT vocabulary — at 100 TB you prune to the broadcast
+    top-V vocabulary first; document frequencies ride broadcast joins; the
+    top-20 cut is a window over the collocation frame."""
+    from .functions.text import tokens as tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .persist()
+    )
+    n = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = dt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= PMI_MIN_CO)
+    )
+    da = dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("da"))
+    db = dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("db"))
+    pmi = (
+        co.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "n_co",
+            F.round(
+                F.log(
+                    F.col("n_co").cast("double")
+                    * F.col("n_docs")
+                    # double product: BIGINT df_a*df_b would overflow at
+                    # web-scale corpus sizes (10^10 docs) in BOTH engines
+                    / (F.col("da").cast("double") * F.col("db"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+    return (
+        pmi.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= PMI_TOPK)
+        .select("term_a", "term_b", "n_co", "pmi", "rnk")
+    )
