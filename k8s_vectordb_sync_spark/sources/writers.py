@@ -83,3 +83,32 @@ def zorder_key_sql(x_sql: str, y_sql: str, bits: int = ZORDER_BITS) -> str:
             f" + ((({y_sql}) >> {i}) & 1) * {1 << (2 * i + 1)}"
         )
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    `target_files` files (atomic via temp-dir + rename). Streaming sinks
+    and frequent MERGEs accrete small files that poison scan parallelism
+    and NameNode/listing pressure at 100 TB; periodic compaction is the
+    standing maintenance job every table format schedules (Delta OPTIMIZE,
+    Iceberg rewrite_data_files). Returns (files_before, files_after).
+
+    coalesce() (not repartition) avoids a shuffle: compaction is IO-bound
+    rewriting, and narrow coalesce keeps it a single map-only stage.
+    """
+    import glob
+    import os
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(path, "part-*")))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = len(glob.glob(os.path.join(path, "part-*")))
+    return files_before, files_after

@@ -398,3 +398,51 @@ def test_containment_blocking_recall_caveat_documented(spark):
         [(0, small), (1, host)], "doc_id bigint, text string"
     )
     assert dd.containment_pairs(df, threshold=0.7).collect() == []
+
+
+def test_streaming_cms_state_matches_batch(spark, tmp_path):
+    """The CMS bucket sums are plain SUM aggregations, so the sketch builds
+    incrementally under Structured Streaming; finalized bucket state equals
+    the batch sketch exactly (deterministic integer arithmetic)."""
+    rows = [(i, " ".join(f"w{(i + j) % 23}" for j in range(20))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = f"{tmp_path}/cms_src"
+    df.repartition(4).write.parquet(src)
+
+    from k8s_vectordb_sync_spark.functions.text import tokens
+
+    def bucket_sums(frame):
+        occ = frame.select(F.explode(tokens(F.col("text"))).alias("term"))
+        rows_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), sk.cms_bucket(F.col("term"), j).alias("b")
+                )
+                for j in range(sk.CMS_DEPTH)
+            ]
+        )
+        return (
+            occ.select(F.explode(rows_arr).alias("rb"))
+            .groupBy(F.col("rb.j").alias("j"), F.col("rb.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+        )
+
+    batch = {
+        (r.j, r.b): r.bucket_n
+        for r in bucket_sums(spark.read.parquet(src)).collect()
+    }
+    raw = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        bucket_sums(raw)
+        .writeStream.format("memory")
+        .queryName("cms_state")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/cms_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.j, r.b): r.bucket_n for r in spark.sql("SELECT * FROM cms_state").collect()
+    }
+    assert got == batch

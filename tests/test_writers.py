@@ -247,3 +247,16 @@ def test_zorder_layout_prunes_box_queries_better_than_linear_sort(spark, tmp_pat
     # z-order touches strictly fewer files, and a small fraction overall
     assert z_hit / z_total < x_hit / x_total
     assert z_hit / z_total <= 0.25
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from k8s_vectordb_sync_spark.sources.writers import compact_parquet
+
+    path = f"{tmp_path}/frag"
+    spark.range(2000).repartition(40).write.parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    nb, na = compact_parquet(spark, path, target_files=4)
+    assert nb == 40 and na <= 4
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert sorted(r.id for r in after.collect()) == list(range(2000))
