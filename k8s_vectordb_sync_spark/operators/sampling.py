@@ -224,3 +224,40 @@ def weighted_sample(
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(n)
     )
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-group quota: keep the top ``cap`` rows of each group by
+    (order_col desc, tiebreak_col asc), with a ``rnk`` column 1..cap.
+
+    The pretraining-corpus shape: cap documents per domain/source so one
+    crawler-friendly site cannot dominate the mixture (the C4/RefinedWeb
+    per-domain quota), keeping the highest-quality documents within the
+    budget.
+
+    Two-phase rank (the topk_per_query pattern from operators.similarity):
+    phase 1 ranks within (group, input-partition) and keeps cap, so the
+    phase-2 exchange receives at most cap x #partitions rows per group —
+    a mega-domain holding 1% of a 100 TB corpus never lands on one reducer.
+    Identical results to the single-window form: both phases share one total
+    order and each partition's local top-cap is a superset of its
+    contribution to the group's global top-cap.
+    """
+    order = [F.col(order_col).desc(), F.col(tiebreak_col).asc()]
+    wp = Window.partitionBy(group_col, "__part").orderBy(*order)
+    pruned = (
+        df.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wp))
+        .filter(F.col("__lr") <= cap)
+        .drop("__part", "__lr")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return pruned.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= cap
+    )

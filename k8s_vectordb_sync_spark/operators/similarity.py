@@ -1095,3 +1095,87 @@ def pq_topk_adc(
         F.when(denom > 0, dotsum / denom).otherwise(F.lit(0.0)).alias("score"),
     )
     return topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming search — the cheapest serving tier:
+# 1 bit per dimension. A 64-dim float vector (256 B) becomes two 32-bit sign
+# words (16 B as longs), and distance is bit_count(xor) — pure integer codegen,
+# no floating point at all on the scan side. This is the "binary quantization"
+# mode modern vector stores ship for the first-pass candidate cut.
+# ---------------------------------------------------------------------------
+
+BQ_WORD_BITS = 32  # 32 bits per word keeps every shifted literal far from
+# the signed-64 boundary on both engines (bit 63 of a 64-bit pack would
+# overflow DuckDB's signed BIGINT literal arithmetic).
+
+
+def sign_code_word(vec, lo: int, bits: int = BQ_WORD_BITS):
+    """One sign word: bit j set iff vec[lo + j] >= 0.
+
+    Unrolled literal when-sum (shift amounts must be Python ints for
+    shiftleft, and unrolling keeps the whole thing inside whole-stage
+    codegen as a flat integer expression).
+    """
+    word = F.lit(0).cast("long")
+    for j in range(bits):
+        word = word + F.when(
+            F.element_at(vec, lo + j + 1) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return word
+
+
+def sign_codes(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, out_id: str = "vec_id"
+) -> DataFrame:
+    """(id, w0..w{n-1}) sign-quantized codes, one long per 32 dims."""
+    n_words = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    return df.select(
+        F.col(id_col).alias(out_id),
+        *[
+            sign_code_word(F.col(vec_col), w * BQ_WORD_BITS).alias(f"w{w}")
+            for w in range(n_words)
+        ],
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k by Hamming distance between sign codes.
+
+    Both sides are quantized to sign words; the (small) query side is
+    broadcast; the corpus scan emits only (query_id, neighbor_id, hamming)
+    integer triples and the tail is the shared two-phase topk_per_query —
+    no per-query key ever sees the full corpus. At 100 TB the scan side is
+    16 B/vector instead of 256 B and the distance kernel is two XOR+POPCNT
+    per pair, which is why this tier exists.
+
+    Output: (query_id, neighbor_id, hamming, rank), rank 1..k per query by
+    (hamming asc, neighbor_id asc) — deterministic, engine-independent.
+    """
+    dim = _probe_dim(embeddings, vec_col) or LSH_DIM
+    n_words = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    base = sign_codes(embeddings, id_col, vec_col, dim, out_id="neighbor_id")
+    q = sign_codes(queries, query_id_col, query_vec_col, dim, out_id="query_id")
+    q = q.select("query_id", *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)])
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}")))
+        ham = term if ham is None else ham + term
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", (-ham).cast("double").alias("score")
+    )
+    out = topk_per_query(scored, k)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (-F.col("score")).cast("bigint").alias("hamming"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -5707,3 +5707,143 @@ def documents_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PMI_TOPK)
         .select("term_a", "term_b", "n_co", "pmi", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 2: binary-quantized ANN, domain quotas, quality calibration,
+# n-gram novelty, EWMA smoothing, fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+def _sql_sign_codes(dim: int = 64) -> str:
+    """Sign-quantized code words: one BIGINT per 32 dims, bit j of word w set
+    iff v[w*32 + j] >= 0 — mirror of operators.similarity.sign_codes (32-bit
+    words keep every shifted literal inside signed-64 on both engines)."""
+    n_words = (dim + 31) // 32
+    words = ", ".join(
+        f"CAST(list_sum(list_transform(range(0, 32), "
+        f"j -> CASE WHEN v[{w * 32} + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) "
+        f"AS BIGINT) AS w{w}"
+        for w in range(n_words)
+    )
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (SELECT vec_id, {words} FROM e)"""
+
+
+def _sql_hamming_topk(dim: int = 64) -> str:
+    n_words = (dim + 31) // 32
+    ham = " + ".join(f"bit_count(xor(q.w{w}, c.w{w}))" for w in range(n_words))
+    return f"""WITH {_sql_sign_codes(dim)},
+    q AS (SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM codes
+          WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST({ham} AS BIGINT) AS hamming
+      FROM q CROSS JOIN codes c),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, hamming, CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= {ANN_K}"""
+
+
+@register("ann_hamming_topk", _sql_hamming_topk())
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN tier (operators.similarity.hamming_topk): sign
+    bits packed into 32-bit words, distance = XOR+POPCNT — the 1-bit/dim
+    first-pass candidate cut vector stores serve before an exact re-rank. The
+    corpus scan side carries 16 B/vector instead of 256 B and zero floating
+    point; the tail is the shared two-phase per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.hamming_topk(emb, _queries_df(spark, sf_dir), k=ANN_K)
+
+
+# quality-scored documents CTE (rounded to 4 so rank ties are identical on
+# both engines) — shared by the domain-cap and percentile-calibration queries
+_SQL_QDOCS = f"""qdocs AS (
+  SELECT doc_id, source,
+    round((least(length(text) / 500.0, 1.0)
+           + (1.0 - least(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                  THEN length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[a-zA-Z0-9]', '', 'g'))
+                       / length(regexp_replace(text, '\\s+', '', 'g'))
+                  ELSE 0.0 END * 4.0, 1.0))
+           + least(CASE WHEN len({SQL_TOKS}) > 0
+                  THEN len(list_filter({SQL_TOKS}, t -> t IN ({_SQL_STOPS}))) / len({SQL_TOKS})
+                  ELSE 0.0 END * 5.0, 1.0)) / 3.0, 4) AS quality
+  FROM documents)"""
+
+_DOMAIN_CAP = 40
+
+
+@register(
+    "documents_domain_cap",
+    f"""WITH {_SQL_QDOCS},
+    ranked AS (
+      SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rnk
+      FROM qdocs)
+    SELECT source, doc_id, quality, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_DOMAIN_CAP}""",
+)
+def documents_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (operators.sampling.group_cap): keep the top
+    40 documents per source by quality — the C4/RefinedWeb-style guard
+    against one crawler-friendly domain dominating the training mixture.
+    Two-phase rank: a mega-domain's candidates are pruned per input
+    partition before any single reducer sees the group, so the plan survives
+    a domain holding 1% of a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+    return smp.group_cap(scored, "source", "quality", "doc_id", _DOMAIN_CAP).select(
+        "source", "doc_id", "quality", "rnk"
+    )
+
+
+@register(
+    "documents_quality_percentile",
+    f"""WITH {_SQL_QDOCS}
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4) AS pct
+    FROM qdocs""",
+)
+def documents_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quality percentile (quantile normalization): maps each
+    document's composite quality score to its percent_rank inside its source,
+    so thresholds compare fairly ACROSS sources with different score
+    distributions (the CCNet trick: per-bucket calibration, not one global
+    cutoff). percent_rank gives tied scores tied percentiles — identical in
+    both engines by definition (rank-1)/(n-1). Scale note: one window sort
+    per source; at 100 TB you swap in the approx-quantile boundary table
+    (events_value_percentiles shows that shape) — this is the exact form."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    return scored.withColumn("pct", F.round(F.percent_rank().over(w), 4))
+
+
+@register(
+    "documents_ngram_novelty",
+    f"""WITH sh AS (
+      SELECT doc_id, unnest({_sql_shingles(SQL_NTOKS)}) AS s FROM documents),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(SUM(CASE WHEN dfreq.df = 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS novelty
+    FROM sh JOIN dfreq USING (s)
+    GROUP BY sh.doc_id""",
+)
+def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty score (operators.dedup.ngram_novelty): fraction
+    of each doc's distinct 3-shingles appearing in no other document — the
+    aggregate-overlap curation signal pairwise dedup misses. One explode,
+    one combinable df aggregate, one shingle equi-join, one per-doc
+    aggregate; no pair expansion anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_novelty(docs)
