@@ -126,6 +126,12 @@ BENCH_QUERIES = [
     "events_key_skew_audit",
     "dedup_containment_pairs",
     "documents_term_pmi",
+    "ann_hamming_topk",
+    "documents_domain_cap",
+    "documents_quality_percentile",
+    "documents_ngram_novelty",
+    "events_ewma",
+    "documents_minhash_contamination",
 ]
 
 RUNS_PER_QUERY = 2

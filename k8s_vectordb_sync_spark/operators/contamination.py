@@ -76,3 +76,63 @@ def ngram_contamination(
             .alias("contamination"),
         )
     )
+
+
+def minhash_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy decontamination: training documents NEAR-duplicating an eval
+    document, found via the MinHash LSH band machinery instead of exact
+    gram membership.
+
+    ngram_contamination catches verbatim benchmark leakage; this catches the
+    paraphrased/reformatted copies that still share most of their shingles
+    (the contamination mode exact-gram filters miss — see the GPT-3 appendix
+    on fuzzy dedup of benchmarks). A train doc is flagged when it shares an
+    LSH band bucket with an eval doc AND the signature-agreement estimate
+    clears ``threshold``.
+
+    Scale shape: signatures for both sides come from the shared
+    explode+min aggregation (operators.dedup.minhash_signature — 16 longs
+    per doc); the eval side (benchmarks: thousands of docs) rides BROADCAST
+    joins for both the bucket match and the signature compare, so the
+    corpus-side plan is scan -> map-side join -> one groupBy(doc_id) of
+    pre-combined counts. Nothing pairwise ever shuffles.
+
+    Returns (doc_id, n_eval_matches, max_est): one row per flagged train doc.
+    """
+    from ..operators.dedup import NUM_MINHASHES, minhash_band_buckets, minhash_signature
+
+    tr_sigs = minhash_signature(train, text_col=text_col, id_col=id_col)
+    ev_sigs = minhash_signature(eval_set, text_col=text_col, id_col=id_col)
+    tr_buckets = minhash_band_buckets(tr_sigs)
+    ev_buckets = minhash_band_buckets(ev_sigs).select(
+        F.col("doc_id").alias("eval_id"), "band", "bucket"
+    )
+    cand = (
+        tr_buckets.join(F.broadcast(ev_buckets), ["band", "bucket"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sa = tr_sigs.select("doc_id", F.col("sig").alias("sig_a"))
+    sb = ev_sigs.select(F.col("doc_id").alias("eval_id"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    ) / F.lit(NUM_MINHASHES)
+    scored = (
+        cand.join(sa, "doc_id")
+        .join(F.broadcast(sb), "eval_id")
+        .withColumn("est", est)
+        .filter(F.col("est") >= F.lit(threshold))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+        F.round(F.max("est"), 4).alias("max_est"),
+    )

@@ -5847,3 +5847,106 @@ def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; no pair expansion anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_novelty(docs)
+
+
+_EWMA_W = 0.7  # decay: s_t weights the current value 0.3, the history 0.7
+_EWMA_SPAN = 20  # truncation horizon: weights below 0.7^20 ~ 8e-4 are dropped
+
+
+@register(
+    "events_ewma",
+    f"""WITH e AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, epoch_us(ts) AS ts_us, value
+      FROM events),
+    fr AS (
+      SELECT event_id, user_id, ts_ms, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING
+                                        AND CURRENT ROW) AS vals
+      FROM e)
+    SELECT event_id, user_id, ts_ms, value,
+           round(list_sum(list_transform(vals,
+                     (v, i) -> v * pow({_EWMA_W}, len(vals) - i)))
+                 / ((1 - pow({_EWMA_W}, len(vals))) / {1 - _EWMA_W}), 4) AS ewma
+    FROM fr""",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of `value` per user, truncated
+    to the trailing 20 events and renormalized (a windowed EWMA): the
+    smoothing signal behind rate/latency trend monitors. True EWMA is a
+    recursion Spark can't express as a window aggregate; the truncated form
+    is a BOUNDED-frame weighted mean — weights below 0.7^20 (~1e-3 of the
+    mass) are dropped and the remaining weights renormalize, so the result
+    is exact over its horizon, deterministic, and oracle-checkable. The
+    collect_list frame is capped at 20 rows per output row regardless of
+    user history length (the per-key unbounded-state trap this avoids);
+    weight products and the final divide round to 4 dp on both engines.
+    Ordering ties broken by event_id (repo-wide discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    fr = ev.select("event_id", "user_id", "ts_ms", "value", vals.alias("vals"))
+    num = F.aggregate(
+        F.transform(
+            F.col("vals"),
+            lambda v, i: v * F.pow(F.lit(_EWMA_W), F.size(F.col("vals")) - 1 - i),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(_EWMA_W), F.size(F.col("vals")))) / F.lit(
+        1 - _EWMA_W
+    )
+    return fr.select(
+        "event_id", "user_id", "ts_ms", "value", F.round(num / den, 4).alias("ewma")
+    )
+
+
+from .operators import contamination as ctm  # noqa: E402
+
+
+def _sql_minhash_contamination(threshold: float = 0.5) -> str:
+    """Oracle for the fuzzy-decontamination report: the shared minhash CTE
+    head (sh/hx/sigs/buckets — cut before candidate pairing, the
+    _sql_minhash_sig_pairs technique) split into eval (doc_id % 20 = 0, the
+    documents_contamination convention) and train sides."""
+    base = _sql_minhash_ctes(threshold)
+    head = base[: base.index("cand AS")].rstrip().rstrip(",")
+    return f"""WITH {head},
+    ev AS (SELECT doc_id AS eval_id, band, bucket FROM buckets WHERE doc_id % 20 = 0),
+    tb AS (SELECT doc_id, band, bucket FROM buckets WHERE doc_id % 20 <> 0),
+    cand AS (SELECT DISTINCT tb.doc_id, ev.eval_id
+             FROM tb JOIN ev USING (band, bucket)),
+    est AS (
+      SELECT c.doc_id, c.eval_id,
+             len(list_filter(range(1, {NUM_MINHASHES} + 1),
+                             i -> a.sig[i] = b.sig[i]))::DOUBLE / {NUM_MINHASHES} AS est
+      FROM cand c JOIN sigs a ON c.doc_id = a.doc_id
+                  JOIN sigs b ON c.eval_id = b.doc_id)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+           round(MAX(est), 4) AS max_est
+    FROM est WHERE est >= {threshold} GROUP BY doc_id"""
+
+
+@register("documents_minhash_contamination", _sql_minhash_contamination())
+def documents_minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators.contamination.minhash_contamination):
+    train docs near-duplicating an eval doc via shared LSH band buckets +
+    signature-agreement >= 0.5 — catches the paraphrased benchmark leakage
+    exact-gram contamination misses. Eval side (doc_id % 20 = 0, the
+    documents_contamination split) is broadcast end-to-end; the corpus side
+    never joins anything bigger than 16 longs/doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return ctm.minhash_contamination(tr, ev, threshold=0.5)

@@ -245,3 +245,54 @@ def test_events_anomaly_mad_crafted(spark):
     assert p["n_outliers"] == 1  # only the 1000
     v = out["view"]
     assert v["mad"] == 0.0 and v["n_outliers"] == 0  # all equal: nothing flagged
+
+
+def test_group_cap_two_phase_equals_single_window(spark):
+    """group_cap (partition-local prune then global rank) returns exactly the
+    naive single-window top-cap, on a skewed frame spread over partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators.sampling import group_cap
+
+    rows = [(f"g{(i % 3) if i < 90 else 0}", i, float((i * 37) % 50)) for i in range(120)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, quality double").repartition(7)
+    got = sorted(
+        (r["source"], r["doc_id"], r["rnk"])
+        for r in group_cap(df, "source", "quality", "doc_id", 5).collect()
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    naive = sorted(
+        (r["source"], r["doc_id"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    assert got == naive
+    assert len(got) == 15
+
+
+def test_ewma_truncated_matches_python(spark, sf_dir):
+    """events_ewma equals a per-user Python recompute of the truncated,
+    renormalized exponential weights."""
+    from k8s_vectordb_sync_spark.queries import QUERIES, _EWMA_SPAN, _EWMA_W
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in QUERIES["events_ewma"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["ts_us"], r["event_id"])):
+        hist = by_user.setdefault(r["user_id"], [])
+        hist.append(r["value"])
+        tail = hist[-_EWMA_SPAN:]
+        num = sum(v * _EWMA_W ** (len(tail) - 1 - i) for i, v in enumerate(tail))
+        den = (1 - _EWMA_W ** len(tail)) / (1 - _EWMA_W)
+        assert abs(out[r["event_id"]] - num / den) < 1e-3, r["event_id"]

@@ -753,3 +753,97 @@ def test_topk_per_query_two_phase_plan_and_equivalence(spark):
     # two Window nodes (partial then final) and the bounding local-rank filter
     assert plan.count("Window") >= 2
     assert "__lr" in plan and "SPARK_PARTITION_ID" in plan.upper()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 2: binary quantization, novelty, fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_sign_codes_and_hamming_crafted(spark):
+    """Sign words match a direct per-dimension sign comparison; hamming(v, v)
+    = 0 and hamming(v, -v) = dim."""
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators.similarity import hamming_topk, sign_codes
+
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    vecs.append([-x for x in vecs[0]])  # id 4 = negation of id 0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    codes = {r["vec_id"]: (r["w0"], r["w1"]) for r in sign_codes(df, "vec_id", "embedding", 64).collect()}
+    for i, v in enumerate(vecs):
+        expect = [sum((1 << j) for j in range(32) if v[w * 32 + j] >= 0) for w in range(2)]
+        assert codes[i] == tuple(expect)
+
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = {r["neighbor_id"]: r["hamming"] for r in hamming_topk(df, q, k=5).collect()}
+    assert out[0] == 0
+    assert out[4] == 64
+
+
+def test_hamming_topk_matches_python_oracle(spark):
+    """Rank order equals a Python-computed sign-mismatch count ranking."""
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators.similarity import hamming_topk
+
+    import random
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["hamming"])
+        for r in hamming_topk(df, q, k=4).collect()
+    ]
+    for qid in (0, 1):
+        qv = vecs[qid][1]
+        hams = sorted(
+            (sum((a >= 0) != (b >= 0) for a, b in zip(qv, v)), i) for i, v in vecs
+        )
+        expect = [(qid, rk + 1, i, h) for rk, (h, i) in enumerate(hams[:4])]
+        assert sorted(x for x in got if x[0] == qid) == expect
+
+
+def test_ngram_novelty_bounds(spark):
+    """A doc duplicated verbatim scores 0 novelty; a fully unique doc 1.0."""
+    from k8s_vectordb_sync_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "completely different unique words appear nowhere else here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[3]["n_unique"] == out[3]["n_shingles"]
+
+
+def test_minhash_contamination_flags_near_dup_only(spark):
+    """A train doc identical to an eval doc is flagged at est 1.0; an
+    unrelated train doc is absent from the report."""
+    from k8s_vectordb_sync_spark.operators.contamination import minhash_contamination
+
+    eval_rows = [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    train_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "nothing in common with the benchmark text at all whatsoever"),
+    ]
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in minhash_contamination(tr, ev).collect()}
+    assert set(out) == {1}
+    assert out[1]["max_est"] == 1.0
+    assert out[1]["n_eval_matches"] == 1
