@@ -209,19 +209,35 @@ def load_ivf_pq_index(
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
-    cent_rows = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("cluster")
-        .collect()
+    # Artifacts are a few KB: read them driver-side with pyarrow instead of
+    # launching Spark jobs. A probe against a warm session previously spent
+    # ~1-2 s on these two scan-collect jobs alone (scheduler + task overhead,
+    # not data); the pyarrow read is single-digit milliseconds.
+    cent_rows = sorted(
+        _read_artifact_rows(os.path.join(path, "centroids")),
+        key=lambda r: r["cluster"],
     )
     centroids = [[float(v) for v in r["centroid"]] for r in cent_rows]
-    book_rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    book_rows = _read_artifact_rows(os.path.join(path, "codebooks"))
     books: list[list[list[float]]] = [
         [None] * meta["n_codes"] for _ in range(meta["m"])
     ]
     for r in book_rows:
         books[r["subspace"]][r["code"]] = [float(v) for v in r["centroid"]]
     return meta, centroids, books
+
+
+def _read_artifact_rows(dir_path: str) -> list[dict]:
+    """Driver-side read of a small Spark-written parquet directory (skips
+    _SUCCESS and other non-parquet files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for f in sorted(glob.glob(os.path.join(dir_path, "*.parquet"))):
+        rows.extend(pq.read_table(f).to_pylist())
+    return rows
 
 
 def ivf_pq_probe(
@@ -244,41 +260,37 @@ def ivf_pq_probe(
     meta, centroids, books = load_ivf_pq_index(spark, path)
     m = meta["m"]
 
-    cent_df = spark.createDataFrame(
-        list(enumerate(centroids)), schema="cluster int, centroid array<double>"
-    )
-    q = queries.select(
+    # The query side is broadcast-small by contract (it was always collected
+    # to drive the literal partition predicate below); collect it ONCE and
+    # pick each query's n_probe nearest clusters driver-side. The left-to-
+    # right squared-distance fold below is the same IEEE double sequence the
+    # previous in-plan aggregate(zip_with((x-y)^2)) computed — float query
+    # components widen to double exactly — so probe selection is bit-
+    # identical, without the centroid cross-join + window + distinct-collect
+    # Spark job it replaces (~1 s of pure scheduler overhead per probe).
+    q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("query_vec"),
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r["query_vec"]]
+        dists = []
+        for c, cent in enumerate(centroids):
+            d = 0.0
+            for x, y in zip(qv, cent):
+                d += (x - y) * (x - y)
+            dists.append((d, c))
+        dists.sort()
+        for _, c in dists[:n_probe]:
+            probe_rows.append((r["query_id"], qv, c))
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, query_vec array<double>, cluster int"
     )
-    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "dist",
-        F.aggregate(
-            F.zip_with(
-                F.col("query_vec"),
-                F.col("centroid"),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cluster").asc()
-    )
-    probes = (
-        qc.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "query_vec", "cluster")
-    )
-    # The union of probed clusters is <= n_queries * n_probe ids (the query
-    # side is broadcast-small by contract) — collect it so the codes scan
-    # carries a LITERAL isin predicate, which parquet partition discovery
-    # turns into directory pruning. The per-query routing still happens in
-    # the broadcast join below.
-    probed = sorted(
-        r["cluster"] for r in probes.select("cluster").distinct().collect()
-    )
+    # literal isin over the union of probed clusters: parquet partition
+    # discovery turns it into directory pruning; per-query routing still
+    # happens in the broadcast join below
+    probed = sorted({c for _, _, c in probe_rows})
     codes = spark.read.parquet(os.path.join(path, "codes")).filter(
         F.col("cluster").isin([int(c) for c in probed])
     )
