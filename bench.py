@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "dedup_containment_pairs",
     "documents_term_pmi",
     "ann_hamming_topk",
+    "ann_hamming_rerank",
+    "ann_recall_hamming",
     "documents_domain_cap",
     "documents_quality_percentile",
     "documents_ngram_novelty",

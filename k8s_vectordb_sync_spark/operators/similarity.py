@@ -1184,3 +1184,57 @@ def hamming_topk(
         (-F.col("score")).cast("bigint").alias("hamming"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+def hamming_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Binary-coarse + exact-rerank: the standard serving pattern for sign
+    quantization (the pq_rerank_topk shape, with Hamming as the coarse
+    metric). Phase 1 cuts the corpus to k*factor candidates per query on
+    XOR+POPCNT over 16 B/vector codes; phase 2 fetches ONLY those
+    candidates' full vectors (broadcast semi-join of the candidate-id set
+    against the corpus — k*factor*n_queries ids) and ranks them by exact
+    cosine. The full-precision column is read for a vanishing fraction of
+    the corpus; everything else happens on the bit codes.
+
+    Output: (query_id, neighbor_id, score, rank) — exact cosine over the
+    binary candidate set, rank 1..k by (score desc, neighbor_id asc).
+    """
+    coarse = hamming_topk(
+        embeddings,
+        queries,
+        k=k * factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id")
+    cand_ids = coarse.select("neighbor_id").distinct()
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__nv"),
+    ).join(F.broadcast(cand_ids), "neighbor_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        norm(F.col(query_vec_col)).alias("__nq"),
+    )
+    denom = F.col("__nq") * F.col("__nv")
+    score = F.when(denom > 0, dot(F.col("__qv"), F.col("__v")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    scored = (
+        coarse.join(vecs, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    return topk_per_query(scored, k)

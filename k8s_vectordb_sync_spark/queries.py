@@ -5950,3 +5950,109 @@ def documents_minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     tr = docs.filter(F.col("doc_id") % 20 != 0)
     return ctm.minhash_contamination(tr, ev, threshold=0.5)
+
+
+_HAMMING_RERANK_FACTOR = 4
+
+
+def _sql_hamming_rerank(dim: int = 64) -> str:
+    n_words = (dim + 31) // 32
+    ham = " + ".join(f"bit_count(xor(q.w{w}, c.w{w}))" for w in range(n_words))
+    cut = ANN_K * _HAMMING_RERANK_FACTOR
+    return f"""WITH {_sql_sign_codes(dim)},
+    qc AS (SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM codes
+           WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    coarse AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {ham}, c.vec_id) AS crank
+        FROM qc q CROSS JOIN codes c) t
+      WHERE crank <= {cut}),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    ev AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rer AS (
+      SELECT co.query_id, co.neighbor_id,
+             {SQL_COS.format(a='q.v', b='e.v')} AS score
+      FROM coarse co JOIN ev e USING (neighbor_id)
+                     JOIN qv q USING (query_id)),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(score, 4) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM rer)
+    SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= {ANN_K}"""
+
+
+@register("ann_hamming_rerank", _sql_hamming_rerank())
+def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-coarse + exact-rerank serving pattern
+    (operators.similarity.hamming_rerank_topk): the XOR+POPCNT pass over
+    16 B/vector sign codes cuts the corpus to k*4 candidates per query; only
+    those candidates' full-precision vectors are fetched (broadcast semi-join
+    on the candidate-id set) and reranked by exact cosine. The full float
+    column is read for a vanishing fraction of a 100 TB corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.hamming_rerank_topk(
+        emb, _queries_df(spark, sf_dir), k=ANN_K, factor=_HAMMING_RERANK_FACTOR
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _sql_recall_hamming(dim: int = 64) -> str:
+    """Recall@k of the binary-rerank pipeline vs the exact scan: the rerank
+    CTE chain spliced in at top level (its CTE names don't collide with the
+    bf_* chain), its final ranked frame cut to (query_id, neighbor_id),
+    semi-joined against the brute-force top-k."""
+    rer = _sql_hamming_rerank(dim)
+    marker = "\n    SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank"
+    rer_ctes = rer[len("WITH ") : rer.index(marker)]
+    return f"""WITH bf_q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
+    bf_base AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bf_scored AS (
+      SELECT query_id, neighbor_id, {SQL_COS.format(a='qv', b='v')} AS score
+      FROM bf_q CROSS JOIN bf_base),
+    bf AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM bf_scored QUALIFY rank <= {ANN_K}),
+    {rer_ctes},
+    hm AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {ANN_K}),
+    hits AS (
+      SELECT bf.query_id, CAST(COUNT(hm.neighbor_id) AS BIGINT) AS hits
+      FROM bf LEFT JOIN hm
+        ON bf.query_id = hm.query_id AND bf.neighbor_id = hm.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT query_id, hits, round(hits / {ANN_K}.0, 4) AS recall FROM hits"""
+
+
+@register("ann_recall_hamming", _sql_recall_hamming())
+def ann_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the binary-quantization rerank pipeline against the exact
+    brute-force top-k — the acceptance gate before swapping the cheap tier
+    in (binary codes lose the most information of any tier here, so this is
+    the readout that decides whether k*factor coarse candidates are
+    enough). Same evaluation shape as ann_recall_lsh/ivf: two small top-k
+    frames, one semi-join, no extra corpus work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    bf = sim.brute_force_topk(emb, qdf, k=ANN_K).select("query_id", "neighbor_id")
+    hm = sim.hamming_rerank_topk(
+        emb, qdf, k=ANN_K, factor=_HAMMING_RERANK_FACTOR
+    ).select(F.col("query_id").alias("h_qid"), F.col("neighbor_id").alias("h_nid"))
+    hits = (
+        bf.join(
+            hm,
+            (F.col("query_id") == F.col("h_qid"))
+            & (F.col("neighbor_id") == F.col("h_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("h_nid").cast("bigint").alias("hits"))
+    )
+    return hits.select(
+        "query_id", "hits", F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall")
+    )
