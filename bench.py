@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "documents_ngram_novelty",
     "events_ewma",
     "documents_minhash_contamination",
+    "dedup_incremental_bloom",
 ]
 
 RUNS_PER_QUERY = 2

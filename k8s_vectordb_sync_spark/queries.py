@@ -6056,3 +6056,80 @@ def ann_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id", "hits", F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall")
     )
+
+
+def _sql_incremental_bloom() -> str:
+    """Oracle for the bloom-gated incremental dedup: the dedup_incremental
+    chain with the portable bloom (same md5 bit positions as
+    _sql_bloom_prejoin) replayed over the history fingerprints, exposing
+    the candidate bit so the CORRECTNESS hash verifies the filter
+    arithmetic itself, not just the dedup outcome."""
+    k, bits, words = bl.BLOOM_K, bl.BLOOM_BITS, bl.BLOOM_WORDS
+    pos_build = ", ".join(
+        f"CAST(('0x' || substring(md5('{j}:' || CAST(__k AS VARCHAR)), 1, 15)) AS BIGINT) % {bits}"
+        for j in range(k)
+    )
+    checks = []
+    for j in range(k):
+        pos = (
+            f"(CAST(('0x' || substring(md5('{j}:' || CAST(n.fp AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {bits})"
+        )
+        checks.append(
+            f"((w.words[({pos} // 32) + 1] & (1::BIGINT << CAST({pos} % 32 AS INT))) <> 0)"
+        )
+    hit = " AND ".join(checks)
+    return f"""WITH fp AS (
+      SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents),
+    hist AS (
+      SELECT fp, MIN(doc_id) AS matched_doc FROM fp
+      WHERE doc_id % 4 <> 0 GROUP BY fp),
+    new AS (SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 0),
+    keys AS (SELECT fp AS __k FROM hist),
+    pos AS (SELECT unnest([{pos_build}]) AS p FROM keys),
+    bloom AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+              FROM pos GROUP BY p // 32),
+    warr AS (SELECT list(COALESCE(b.bits, 0) ORDER BY g.w) AS words
+             FROM (SELECT unnest(range(0, {words})) AS w) g
+             LEFT JOIN bloom b ON b.word = g.w)
+    SELECT n.doc_id, ({hit}) AS bloom_candidate,
+           h.fp IS NOT NULL AS is_dup,
+           CAST(h.matched_doc AS BIGINT) AS matched_doc
+    FROM new n CROSS JOIN warr w LEFT JOIN hist h USING (fp)"""
+
+
+@register("dedup_incremental_bloom", _sql_incremental_bloom())
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental behind a runtime bloom filter: an 8 KB portable
+    bloom of the HISTORY fingerprints is broadcast into the new-batch scan,
+    and only bloom candidates reach the fingerprint equi-join — the rest are
+    definitively fresh (no false negatives) and skip the shuffle entirely.
+    The per-increment join cost drops from O(|new|) rows shuffled to
+    O(|new| * fp_rate + true dups); at a realistic duplicate rate of a few
+    percent that is a ~20x shuffle cut. bloom_candidate is exposed so the
+    oracle verifies the filter bits exactly; production sizing is ~10
+    bits/history-key (the 8 KB here is the testdata size class — the
+    BloomFilterAggregate runtime filter Spark builds automatically is the
+    same pattern with xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    hist = (
+        fp.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("matched_doc"))
+    )
+    new = fp.filter(F.col("doc_id") % 4 == 0)
+    bloom = bl.build_bloom(hist.select(F.col("fp").alias("__k")), "__k")
+    probed = new.crossJoin(F.broadcast(bloom)).select(
+        "doc_id", "fp", F.expr(bl.might_contain_sql("fp")).alias("bloom_candidate")
+    )
+    cand = probed.filter(F.col("bloom_candidate")).join(hist, "fp", "left")
+    fresh = probed.filter(~F.col("bloom_candidate")).withColumn(
+        "matched_doc", F.lit(None).cast("bigint")
+    )
+    return cand.unionByName(fresh).select(
+        "doc_id",
+        "bloom_candidate",
+        F.col("matched_doc").isNotNull().alias("is_dup"),
+        "matched_doc",
+    )

@@ -847,3 +847,38 @@ def test_minhash_contamination_flags_near_dup_only(spark):
     assert set(out) == {1}
     assert out[1]["max_est"] == 1.0
     assert out[1]["n_eval_matches"] == 1
+
+
+def test_bloom_incremental_no_false_negatives_crafted(spark):
+    """The invariant dedup_incremental_bloom rests on: every true duplicate
+    is a bloom candidate (no false negatives), so gating the exact join on
+    the bloom bit cannot change the dedup outcome."""
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators import bloom as bl
+
+    hist = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(200)], "fp string"
+    )
+    # 50 new keys: 25 present in history, 25 fresh
+    new = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(150, 175)] + [(f"xx{i}",) for i in range(25)],
+        "fp string",
+    )
+    bloom = bl.build_bloom(hist.select(F.col("fp").alias("__k")), "__k")
+    probed = new.crossJoin(F.broadcast(bloom)).select(
+        "fp", F.expr(bl.might_contain_sql("fp")).alias("hit")
+    )
+    rows = {r["fp"]: r["hit"] for r in probed.collect()}
+    # no false negatives: every true member is a candidate
+    assert all(rows[f"fp{i}"] for i in range(150, 175))
+    # gated join == plain join
+    hist_k = hist.select("fp", F.lit(True).alias("in_hist"))
+    plain = {
+        r["fp"]: r["in_hist"] is not None
+        for r in new.join(hist_k, "fp", "left").collect()
+    }
+    gated_cand = probed.filter("hit").join(hist_k, "fp", "left")
+    gated = {r["fp"]: r["in_hist"] is not None for r in gated_cand.collect()}
+    for fp_key, dup in plain.items():
+        assert gated.get(fp_key, False) == dup
