@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "events_ewma",
     "documents_minhash_contamination",
     "dedup_incremental_bloom",
+    "events_out_of_order_audit",
+    "documents_tokenizer_fertility",
+    "embeddings_norm_audit",
 ]
 
 RUNS_PER_QUERY = 2

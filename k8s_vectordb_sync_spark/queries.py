@@ -6133,3 +6133,160 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_doc").isNotNull().alias("is_dup"),
         "matched_doc",
     )
+
+
+_OOO_JITTER = 50  # simulated delivery delay: up to 50 sequence positions
+_OOO_SHARDS = 8  # "ingest partitions" — the per-partition watermark model
+
+
+@register(
+    "events_out_of_order_audit",
+    f"""WITH e AS (
+      SELECT event_id, user_id % {_OOO_SHARDS} AS shard, epoch_ms(ts) AS ts_ms,
+             event_id + (CAST(('0x' || substring(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % {_OOO_JITTER}) AS arrival_key
+      FROM events),
+    lag_ms AS (
+      SELECT shard,
+             GREATEST(MAX(ts_ms) OVER (PARTITION BY shard ORDER BY arrival_key, event_id
+                                       ROWS UNBOUNDED PRECEDING) - ts_ms, 0) AS late_ms
+      FROM e)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(SUM(CASE WHEN late_ms > 0 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS late_ratio,
+           CAST(round(quantile_cont(late_ms, 0.95), 0) AS BIGINT) AS p95_late_ms,
+           CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+    FROM lag_ms GROUP BY shard""",
+)
+def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit, per ingest partition: how far event time lags
+    the running event-time maximum in ARRIVAL order — the p95/max lateness
+    per shard is exactly what `withWatermark` (streaming/pipeline.py) must
+    cover; too small drops these rows, too large holds state. Streams track
+    watermarks PER SOURCE PARTITION, so the running max is per-shard
+    (user_id % 8 here) — never a global total order, which is the
+    single-partition trap at 100 TB. The testdata ships perfectly ordered
+    (verified: zero inversions in event_id order), so arrival is simulated
+    with a deterministic bounded delivery delay (md5 jitter of up to 50
+    sequence positions — the network-reorder model); on real ingest you
+    order by the source offset instead. One per-shard ordered window + one
+    grouped percentile aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(_OOO_SHARDS)).alias("shard"),
+        F.unix_millis("ts").alias("ts_ms"),
+        (
+            F.col("event_id")
+            + F.pmod(
+                T.md5_prefix_long(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))),
+                F.lit(_OOO_JITTER),
+            )
+        ).alias("arrival_key"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("arrival_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        "shard",
+        F.greatest(
+            F.max("ts_ms").over(w) - F.col("ts_ms"), F.lit(0).cast("bigint")
+        ).alias("late_ms"),
+    )
+    return late.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late_ms") > 0, 1.0).otherwise(0.0)) / F.count(F.lit(1)),
+            4,
+        ).alias("late_ratio"),
+        F.round(F.percentile(F.col("late_ms").cast("double"), F.lit(0.95)), 0)
+        .cast("bigint")
+        .alias("p95_late_ms"),
+        F.max("late_ms").cast("bigint").alias("max_late_ms"),
+    ).select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_events", "n_late", "late_ratio", "p95_late_ms", "max_late_ms",
+    )
+
+
+@register(
+    "documents_tokenizer_fertility",
+    f"""WITH t AS (
+      SELECT lang, {SQL_TOKS} AS toks, length(text) AS nc FROM documents),
+    m AS (
+      SELECT lang, len(toks) AS nw,
+             CASE WHEN len(toks) > 0 THEN CAST(nc AS DOUBLE) / len(toks) ELSE 0.0 END AS cpw
+      FROM t)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS n_words,
+           round(AVG(cpw), 4) AS mean_chars_per_word,
+           round(quantile_cont(cpw, 0.5), 4) AS p50_chars_per_word,
+           round(quantile_cont(cpw, 0.95), 4) AS p95_chars_per_word
+    FROM m GROUP BY lang""",
+)
+def documents_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility statistics per language: characters per
+    whitespace word (the upper bound on BPE fertility — how many bytes a
+    token must carry). The per-language p50/p95 drives tokenizer vocabulary
+    budgeting and flags languages whose scripts blow up the token count
+    (the multilingual-tokenizer sizing readout; pairs with
+    text_bpe_pair_counts). One scan, one grouped percentile aggregate over
+    O(#languages) groups — all map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).alias("nw"),
+        F.length("text").alias("nc"),
+    )
+    m = t.select(
+        "lang",
+        "nw",
+        F.when(
+            F.col("nw") > 0, F.col("nc").cast("double") / F.col("nw")
+        ).otherwise(F.lit(0.0)).alias("cpw"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_words"),
+        F.round(F.avg("cpw"), 4).alias("mean_chars_per_word"),
+        F.round(F.percentile("cpw", F.lit(0.5)), 4).alias("p50_chars_per_word"),
+        F.round(F.percentile("cpw", F.lit(0.95)), 4).alias("p95_chars_per_word"),
+    )
+
+
+@register(
+    "embeddings_norm_audit",
+    """WITH n AS (
+      SELECT vec_id, label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(MIN(nrm), 4) AS min_norm,
+           round(MAX(nrm), 4) AS max_norm,
+           round(AVG(nrm), 4) AS mean_norm,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM n GROUP BY label""",
+)
+def embeddings_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality audit per label: vector-norm min/max/mean and
+    the zero-vector count — the pre-flight check before any ANN build
+    (zero vectors poison cosine with 0-denominators; wildly varying norms
+    mean the encoder isn't normalized and dot != cosine). Pure map-side
+    arithmetic + one tiny grouped aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "label", vnorm(F.col("embedding")).alias("nrm")
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_vectors", "min_norm", "max_norm", "mean_norm", "n_zero",
+    )
