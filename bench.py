@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "events_out_of_order_audit",
     "documents_tokenizer_fertility",
     "embeddings_norm_audit",
+    "events_session_paths",
+    "events_markov_transitions",
 ]
 
 RUNS_PER_QUERY = 2

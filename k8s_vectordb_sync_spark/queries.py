@@ -6290,3 +6290,108 @@ def embeddings_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
         "n_vectors", "min_norm", "max_norm", "mean_norm", "n_zero",
     )
+
+
+_PATH_LEN = 5
+_PATH_TOPK = 20
+
+
+@register(
+    "events_session_paths",
+    f"""WITH marks AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    sessioned AS (
+      SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+      FROM marks),
+    rn AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts_us, event_id) AS r
+      FROM sessioned),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY r) AS path
+      FROM rn WHERE r <= {_PATH_LEN} GROUP BY user_id, session_id),
+    freq AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+             FROM paths GROUP BY path)
+    SELECT path, n_sessions, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk FROM freq)
+    WHERE rnk <= {_PATH_TOPK}""",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the top-20 most common event-type sequences
+    (first 5 events per session) — the behavioral readout product teams run
+    on every clickstream. Path assembly is bounded BEFORE aggregation (the
+    rank <= 5 cut), so no session ever materializes an unbounded event list;
+    path frequencies combine map-side; the top-20 is
+    TakeOrderedAndProject + rank-after-take on 20 rows (the
+    documents_global_topk_quality shape), never a global sort."""
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "event_ts")
+    sessioned = dbn.assign_sessions(
+        ev, key_cols=["user_id"], gap_ms=SESSION_GAP_MS, tiebreak_cols=["event_id"]
+    ).withColumn("ts_us", F.unix_micros("event_ts"))
+    wr = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+    rn = sessioned.withColumn("r", F.row_number().over(wr)).filter(
+        F.col("r") <= _PATH_LEN
+    )
+    paths = (
+        rn.groupBy("user_id", "session_id")
+        .agg(F.array_sort(F.collect_list(F.struct("r", "event_type"))).alias("seq"))
+        .select(
+            F.array_join(
+                F.transform(F.col("seq"), lambda s: s["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    freq = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    topk = freq.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(_PATH_TOPK)
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "events_markov_transitions",
+    """WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           round(CAST(p.n AS DOUBLE) / t.t, 4) AS p
+    FROM pairs p JOIN tot t USING (from_type)""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral model behind churn
+    prediction and anomalous-flow detection. One per-user lead window (the
+    partitioning every sessionization query already pays), one
+    map-side-combined pair count, and the row normalization is a broadcast
+    join against the O(#types) totals frame — the corpus never shuffles
+    twice."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 4).alias("p"),
+    )
