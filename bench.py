@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "documents_term_pmi",
     "ann_hamming_topk",
     "ann_hamming_rerank",
+    "ann_hamming_topk_indexed",
     "ann_recall_hamming",
     "documents_domain_cap",
     "documents_quality_percentile",

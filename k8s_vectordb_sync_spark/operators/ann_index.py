@@ -317,3 +317,77 @@ def ivf_pq_probe(
         cosine(F.col("query_vec"), F.col("rv")).alias("score"),
     )
     return topk_per_query(scored, k)
+
+
+def build_sign_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the binary-quantization code table for the Hamming tier
+    (operators.similarity.sign_codes): (vec_id, w0..w{n-1}) longs, 16 B per
+    64-dim vector instead of 260 B of floats. No training — sign encoding
+    is parameter-free — so "build" is ONE shuffle-free encode scan + write;
+    the artifact exists purely so probes never touch the float column.
+    Hamming admits no partition pruning (unlike IVF's cluster dirs); the
+    whole point of this tier is that a FULL scan of 16 B rows is cheaper
+    than a pruned scan of full vectors.
+    """
+    from .similarity import BQ_WORD_BITS, sign_codes
+
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        raise ValueError("cannot build an ANN index over an empty corpus")
+    marker = os.path.join(path, MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    codes = sign_codes(embeddings, id_col, vec_col, dim, out_id="vec_id")
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    meta = {"dim": dim, "word_bits": BQ_WORD_BITS}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return meta
+
+
+def sign_index_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k by Hamming distance served from a persisted sign-code table:
+    encode the (broadcast-small) query side on the fly, scan ONLY the codes
+    parquet — the float corpus is never read — and two-phase-top-k.
+    Bit-identical to similarity.hamming_topk because encoding is
+    deterministic and parameter-free."""
+    from .similarity import BQ_WORD_BITS, sign_codes
+
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_words = (meta["dim"] + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    base = spark.read.parquet(os.path.join(path, "codes")).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    q = sign_codes(queries, query_id_col, query_vec_col, meta["dim"], out_id="query_id")
+    q = q.select("query_id", *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)])
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}")))
+        ham = term if ham is None else ham + term
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", (-ham).cast("double").alias("score")
+    )
+    out = topk_per_query(scored, k)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (-F.col("score")).cast("bigint").alias("hamming"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -6395,3 +6395,43 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 4).alias("p"),
     )
+
+
+def _sign_index_dir(sf_dir: str) -> str:
+    """Repo-local cache path for the persisted sign-code table (same keying
+    discipline as _ivf_pq_index_dir: corpus identity + tier tag)."""
+    import hashlib
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        "|".join(
+            [
+                os.path.abspath(sf_dir), str(st.st_size), str(int(st.st_mtime)),
+                "sign32",
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ann_index"
+    )
+    return os.path.join(root, key)
+
+
+@register("ann_hamming_topk_indexed", _sql_hamming_topk())
+def ann_hamming_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hamming tier served from a PERSISTED sign-code table
+    (operators/ann_index.py::build_sign_index): the first invocation writes
+    the 16 B/vector codes parquet; every later probe scans ONLY that table —
+    the float embedding column is never read again. Sign encoding is
+    parameter-free and deterministic, so results are bit-identical to
+    ann_hamming_topk and the same oracle covers both. This is the cheapest
+    end of the serving spectrum: at 100 TB of embeddings the code table is
+    ~6 TB, and a probe is a single flat integer scan of it."""
+    from .operators import ann_index as ai
+
+    path = _sign_index_dir(sf_dir)
+    if not ai.index_is_built(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ai.build_sign_index(emb, path)
+    return ai.sign_index_probe(spark, path, _queries_df(spark, sf_dir), k=ANN_K)

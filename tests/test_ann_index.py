@@ -148,3 +148,37 @@ def test_incremental_probe_includes_added_rows(spark, sf_dir, tmp_path):
     )
     hits = ai.ivf_pq_probe(spark, p, q, k=10, n_probe=4).collect()
     assert any(r["neighbor_id"] == 7 for r in hits)
+
+
+def test_sign_index_probe_matches_inline_and_never_reads_floats(
+    spark, sf_dir, tmp_path
+):
+    """build_sign_index + sign_index_probe returns exactly hamming_topk's
+    rows, and the probe plan scans ONLY the codes parquet — the float
+    embedding table must not appear in the plan."""
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+    from k8s_vectordb_sync_spark.operators.similarity import hamming_topk
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "signidx")
+    meta = ai.build_sign_index(emb, path)
+    assert meta["dim"] == 64 and ai.index_is_built(path)
+
+    probe = ai.sign_index_probe(spark, path, q, k=5)
+    inline = hamming_topk(emb, q, k=5)
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, inline.collect()))
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side scan reads the code words table
+    assert "w0:bigint" in plan
+    # the ONLY float-vector scan is the 4-row query side (its vec_id filter
+    # is pushed down); the corpus float column is never read. The AQE plan
+    # string prints initial+final sections, so assert per scan line.
+    float_scans = [ln for ln in plan.splitlines() if "array<float>" in ln]
+    assert float_scans and all("LessThan(vec_id,4)" in ln for ln in float_scans)
