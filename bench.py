@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "embeddings_norm_audit",
     "events_session_paths",
     "events_markov_transitions",
+    "lineitem_rollup_incremental",
+    "dedup_edit_distance_pairs",
 ]
 
 RUNS_PER_QUERY = 2

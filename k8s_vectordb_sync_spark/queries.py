@@ -6435,3 +6435,86 @@ def ann_hamming_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         ai.build_sign_index(emb, path)
     return ai.sign_index_probe(spark, path, _queries_df(spark, sf_dir), k=ANN_K)
+
+
+_ROLLUP_CUTOFF = "1997-01-01"
+
+
+@register(
+    "lineitem_rollup_incremental",
+    f"""SELECT l_returnflag, CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY 1, 2""",
+)
+def lineitem_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the (returnflag, month) rollup is
+    computed as HISTORY PARTIAL (shipdate < {cut}) merged with DELTA PARTIAL
+    (>= {cut}) — re-aggregating two partial-state frames, never rescanning
+    history. The oracle computes the rollup directly over everything, so the
+    hash gate PROVES the merge is lossless: sums/counts are mergeable state
+    (the same algebra every map-side combine relies on, applied across
+    jobs). This is how a daily 100 TB fact rollup actually updates: history
+    partials live as a table keyed by group, each day's delta partial is
+    one partition scan, and the merge touches only affected groups.
+    DECIMAL(18,2) money sums keep the merge bit-exact in any order.""".replace(
+        "{cut}", _ROLLUP_CUTOFF
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+
+    def partial(df):
+        return df.groupBy("l_returnflag", month).agg(
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    hist = partial(li.filter(F.col("l_shipdate") < F.lit(_ROLLUP_CUTOFF)))
+    delta = partial(li.filter(F.col("l_shipdate") >= F.lit(_ROLLUP_CUTOFF)))
+    merged = hist.unionByName(delta).groupBy("l_returnflag", "ship_month").agg(
+        F.sum("p_qty").cast("bigint").alias("sum_qty"),
+        F.sum("p_rev").cast("double").alias("revenue"),
+        F.sum("p_n").cast("bigint").alias("n_items"),
+    )
+    return merged
+
+
+_EDIT_MAX_DIST = 3
+_EDIT_BLOCK_TOKENS = 2
+_EDIT_SNIPPET = 60
+_EDIT_BLOCK_CAP = 100
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    f"""WITH base AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice({SQL_NTOKS}, 1, {_EDIT_BLOCK_TOKENS}), ' ')) AS block,
+             substring({SQL_NORM}, 1, {_EDIT_SNIPPET}) AS snip
+      FROM documents),
+    capped AS (
+      SELECT doc_id, block, snip FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY block) AS bn FROM base) t
+      WHERE bn <= {_EDIT_BLOCK_CAP})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.snip, b.snip) AS BIGINT) AS dist
+    FROM capped a JOIN capped b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.snip, b.snip) <= {_EDIT_MAX_DIST}""",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup (operators.dedup.edit_distance_pairs): Levenshtein
+    over 60-char normalized snippets within leading-2-token prefix blocks —
+    the record-linkage family for short/near-identical texts where shingle
+    measures miss single-character edits. Blocks over 100 docs are dropped
+    before the self-join (the bucket-cap guard), so the DP never goes
+    quadratic on a boilerplate opening."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.edit_distance_pairs(
+        docs,
+        max_dist=_EDIT_MAX_DIST,
+        block_tokens=_EDIT_BLOCK_TOKENS,
+        snippet_len=_EDIT_SNIPPET,
+        max_block_size=_EDIT_BLOCK_CAP,
+    )

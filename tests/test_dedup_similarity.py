@@ -882,3 +882,36 @@ def test_bloom_incremental_no_false_negatives_crafted(spark):
     gated = {r["fp"]: r["in_hist"] is not None for r in gated_cand.collect()}
     for fp_key, dup in plain.items():
         assert gated.get(fp_key, False) == dup
+
+
+def test_edit_distance_pairs_crafted(spark):
+    """Single-character edits are found; a head-edited pair (different
+    leading tokens) is the documented blocking recall gap; identical docs
+    score 0."""
+    from k8s_vectordb_sync_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dogs"),  # 1 edit
+        (3, "the quick brown fox jumps over the lazy dog"),  # identical to 1
+        (4, "teh quick brown fox jumps over the lazy dog"),  # HEAD edit -> other block
+        (5, "completely unrelated text about something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["dist"] for r in edit_distance_pairs(df).collect()}
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 0 and out[(2, 3)] == 1
+    # head edit lands in a different block: not a candidate (recall caveat)
+    assert (1, 4) not in out
+    assert not any(5 in pair for pair in out)
+
+
+def test_edit_distance_block_cap_drops_degenerate_block(spark):
+    """A block larger than max_block_size produces no pairs — the quadratic
+    guard for boilerplate openings."""
+    from k8s_vectordb_sync_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, f"same opening words here variant {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert edit_distance_pairs(df, max_block_size=10).count() == 0
+    assert edit_distance_pairs(df, max_block_size=100, max_dist=2).count() > 0
