@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "events_markov_transitions",
     "lineitem_rollup_incremental",
     "dedup_edit_distance_pairs",
+    "documents_ccnet_buckets",
 ]
 
 RUNS_PER_QUERY = 2

@@ -6518,3 +6518,53 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         snippet_len=_EDIT_SNIPPET,
         max_block_size=_EDIT_BLOCK_CAP,
     )
+
+
+# CCNet-style bucket keep rates: head keeps all, middle half, tail a tenth
+_CCNET_RATES = {0: 1.0, 1: 0.5, 2: 0.1}  # 0 = head (best third)
+
+
+@register(
+    "documents_ccnet_buckets",
+    f"""WITH {_SQL_QDOCS},
+    pct AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source ORDER BY quality DESC) AS pr
+      FROM qdocs),
+    bucketed AS (
+      SELECT doc_id, source, quality,
+             CAST(LEAST(CAST(floor(pr * 3) AS BIGINT), 2) AS BIGINT) AS bucket
+      FROM pct)
+    SELECT doc_id, source, quality, bucket,
+           (CAST(('0x' || substring(md5('ccnet' || CAST(bucket AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000)
+             < CAST(CASE bucket WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.1 END * 10000 AS BIGINT) AS kept
+    FROM bucketed""",
+)
+def documents_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality-bucketed reweighting: rank documents within each
+    source by quality, split into head/middle/tail thirds (percent_rank on
+    quality DESC -> bucket 0/1/2), and keep each bucket at a different
+    deterministic rate (head 100%, middle 50%, tail 10%) via the salted-hash
+    coin flip (operators.sampling.sample_hash). This is the canonical
+    perplexity-bucket curation recipe re-expressed over the composite
+    quality score: per-source calibration (no single global cutoff), exact
+    reproducibility (no rand()), and the keep decision is a pure per-row
+    predicate once the percentile window has run."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc())
+    bucketed = scored.withColumn(
+        "bucket",
+        F.least(F.floor(F.percent_rank().over(w) * 3).cast("bigint"), F.lit(2)),
+    )
+    rate = (
+        F.when(F.col("bucket") == 0, F.lit(_CCNET_RATES[0]))
+        .when(F.col("bucket") == 1, F.lit(_CCNET_RATES[1]))
+        .otherwise(F.lit(_CCNET_RATES[2]))
+    )
+    kept = smp.sample_hash(
+        F.concat(F.lit("ccnet"), F.col("bucket").cast("string")), F.col("doc_id")
+    ) < (rate * smp.GRAIN).cast("bigint")
+    return bucketed.withColumn("kept", kept)
