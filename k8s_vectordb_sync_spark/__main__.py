@@ -176,6 +176,55 @@ def cmd_run_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_build_index(args: argparse.Namespace) -> int:
+    """Build a persistent ANN index over an embeddings parquet — the
+    corpus-scale job of the build-once / probe-many lifecycle
+    (operators/ann_index.py)."""
+    from .operators import ann_index as ai
+    from .sources.tables import load_table
+
+    spark = build_spark(app_name="kvs-build-index")
+    try:
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        if args.kind == "ivfpq":
+            meta = ai.build_ivf_pq_index(
+                emb, args.path, n_clusters=args.clusters,
+                sample_hex=args.train_sample or None,
+            )
+        else:
+            meta = ai.build_sign_index(emb, args.path)
+        print(json.dumps({"built": args.kind, "path": args.path, "meta": meta}))
+    finally:
+        spark.stop()
+    return 0
+
+
+def cmd_probe_index(args: argparse.Namespace) -> int:
+    """Probe a persisted ANN index with query vectors taken from the same
+    embeddings table (vec_id < --queries) — the latency-sensitive serving
+    job; prints the top-k as JSON lines."""
+    from pyspark.sql import functions as F
+
+    from .operators import ann_index as ai
+    from .sources.tables import load_table
+
+    spark = build_spark(app_name="kvs-probe-index")
+    try:
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < args.queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        if args.kind == "ivfpq":
+            out = ai.ivf_pq_probe(spark, args.path, q, k=args.k, n_probe=args.n_probe)
+        else:
+            out = ai.sign_index_probe(spark, args.path, q, k=args.k)
+        for row in out.toJSON().toLocalIterator():
+            print(row)
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="k8s_vectordb_sync_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -206,6 +255,23 @@ def main(argv: list[str] | None = None) -> int:
     p_rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_rq.add_argument("--limit", type=int, default=0, help="cap printed rows (0 = all)")
     p_rq.set_defaults(fn=cmd_run_query)
+
+    p_bi = sub.add_parser("build-index", help="build a persistent ANN index")
+    p_bi.add_argument("kind", choices=["ivfpq", "sign"])
+    p_bi.add_argument("--path", required=True, help="index directory")
+    p_bi.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_bi.add_argument("--clusters", type=int, default=8)
+    p_bi.add_argument("--train-sample", default="", help="hash-sample hex threshold")
+    p_bi.set_defaults(fn=cmd_build_index)
+
+    p_pi = sub.add_parser("probe-index", help="probe a persisted ANN index")
+    p_pi.add_argument("kind", choices=["ivfpq", "sign"])
+    p_pi.add_argument("--path", required=True)
+    p_pi.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_pi.add_argument("--queries", type=int, default=8, help="use vec_id < N as queries")
+    p_pi.add_argument("--k", type=int, default=5)
+    p_pi.add_argument("--n-probe", type=int, default=2)
+    p_pi.set_defaults(fn=cmd_probe_index)
 
     args = parser.parse_args(argv)
     return args.fn(args)
