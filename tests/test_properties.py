@@ -205,3 +205,84 @@ def test_bigram_count_is_tokens_minus_one(spark, rows):
     ).collect()
     for r in got:
         assert r["nb"] == max(r["nt"] - 1, 0)
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(vecs=vec_strategy)
+@SETTINGS
+def test_hamming_is_a_metric_on_sign_codes(spark, vecs):
+    """Hamming over sign codes: zero iff same sign pattern, symmetric,
+    triangle inequality — checked against the Spark-computed codes."""
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators.similarity import sign_codes
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    codes = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in sign_codes(df, "vec_id", "embedding", 64).collect()
+    }
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    ids = sorted(codes)
+    for i in ids:
+        assert ham(codes[i], codes[i]) == 0
+        for j in ids:
+            assert ham(codes[i], codes[j]) == ham(codes[j], codes[i])
+            for l in ids:
+                assert ham(codes[i], codes[l]) <= ham(codes[i], codes[j]) + ham(
+                    codes[j], codes[l]
+                )
+            expect = sum((x >= 0) != (y >= 0) for x, y in zip(vecs[i], vecs[j]))
+            assert ham(codes[i], codes[j]) == expect
+
+
+grouped_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=10_000),
+        st.floats(min_value=0, max_value=10, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=grouped_rows, cap=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_group_cap_equals_naive_window_on_random_frames(spark, rows, cap):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators.sampling import group_cap
+
+    data = [(g, i, v) for i, (g, _, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "grp string, rid long, val double"
+    ).repartition(5)
+    got = sorted(
+        (r["grp"], r["rid"], r["rnk"])
+        for r in group_cap(df, "grp", "val", "rid", cap).collect()
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("val").desc(), F.col("rid"))
+    naive = sorted(
+        (r["grp"], r["rid"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= cap)
+        .collect()
+    )
+    assert got == naive
