@@ -915,3 +915,29 @@ def test_edit_distance_block_cap_drops_degenerate_block(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert edit_distance_pairs(df, max_block_size=10).count() == 0
     assert edit_distance_pairs(df, max_block_size=100, max_dist=2).count() > 0
+
+
+def test_round5_ops_handle_empty_inputs(spark):
+    """Empty frames flow through the new operators without errors — the
+    pre-ingestion / filtered-out-partition state."""
+    from pyspark.sql import functions as F
+
+    from k8s_vectordb_sync_spark.operators.dedup import (
+        edit_distance_pairs,
+        ngram_novelty,
+    )
+    from k8s_vectordb_sync_spark.operators.sampling import group_cap
+    from k8s_vectordb_sync_spark.operators.similarity import hamming_topk
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_novelty(empty_docs).count() == 0
+    assert edit_distance_pairs(empty_docs).count() == 0
+
+    empty_scored = spark.createDataFrame([], "source string, doc_id long, quality double")
+    assert group_cap(empty_scored, "source", "quality", "doc_id", 5).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [0.5] * 64)], "query_id long, query_vec array<double>"
+    )
+    assert hamming_topk(empty_emb, q, k=5).count() == 0
