@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "lineitem_rollup_incremental",
     "dedup_edit_distance_pairs",
     "documents_ccnet_buckets",
+    "pipeline_funnel_report",
 ]
 
 RUNS_PER_QUERY = 2

@@ -2596,7 +2596,24 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is a min-window over the fingerprint partition rather than a
     groupBy + self-join (one shuffle, single evaluation of the scored frame).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    kept = _corpus_clean_kept(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("fp")
+    return (
+        kept.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _corpus_scored(docs: DataFrame) -> DataFrame:
+    """Shared corpus-clean scoring frame: (doc_id, source, ntok, fp, q,
+    is_en) — one materialized token array feeding the quality ratios and
+    language scores (see pipeline_corpus_clean docstring for the plan
+    rationale). Used by the end-to-end clean and its funnel report."""
     tk = F.col("tk")
     base = docs.select(
         "doc_id", "source", "text", T.tokens(F.col("text")).alias("tk")
@@ -2627,18 +2644,21 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             is_en = is_en & (scores["en"] > scores[o])
         elif o > "en":
             is_en = is_en & (scores["en"] >= scores[o])
-    kept = base.filter((q >= 0.55) & is_en).select(
-        "doc_id", "source", ntok.alias("ntok"), T.fingerprint(F.col("text")).alias("fp")
+    return base.select(
+        "doc_id",
+        "source",
+        ntok.alias("ntok"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        q.alias("q"),
+        is_en.alias("is_en"),
     )
-    w = Window.partitionBy("fp")
-    return (
-        kept.withColumn("keep_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("ntok").cast("bigint").alias("n_tokens"),
-        )
+
+
+def _corpus_clean_kept(docs: DataFrame) -> DataFrame:
+    """Rows surviving the quality + language gates, with dedup fingerprint."""
+    s = _corpus_scored(docs)
+    return s.filter((F.col("q") >= 0.55) & F.col("is_en")).select(
+        "doc_id", "source", "ntok", "fp"
     )
 
 
@@ -6568,3 +6588,82 @@ def documents_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("ccnet"), F.col("bucket").cast("string")), F.col("doc_id")
     ) < (rate * smp.GRAIN).cast("bigint")
     return bucketed.withColumn("kept", kept)
+
+
+@register(
+    "pipeline_funnel_report",
+    f"""WITH base AS (
+      SELECT doc_id, source, text, {SQL_TOKS} AS toks,
+             regexp_replace(text, '\\s+', '', 'g') AS nospace
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, toks, text,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
+             ELSE 0.0 END AS stop_ratio,
+        CASE WHEN length(nospace) > 0
+             THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
+             ELSE 0.0 END AS punct_ratio,
+        length(text) AS n_chars_text,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['en']}))) AS s_en,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['de']}))) AS s_de,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['es']}))) AS s_es,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['fr']}))) AS s_fr,
+        len(list_filter(toks, t -> t IN ({_SQL_MARK['zh']}))) AS s_zh
+      FROM base),
+    scored AS (
+      SELECT doc_id, source, toks, text,
+             (least(n_chars_text / 500.0, 1.0)
+              + (1.0 - least(punct_ratio * 4.0, 1.0))
+              + least(stop_ratio * 5.0, 1.0)) / 3.0 AS q,
+             (s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh) AS is_en
+      FROM m),
+    kept AS (
+      SELECT doc_id, source, {SQL_H15.format(x=SQL_NORM)} AS fp
+      FROM scored WHERE q >= 0.55 AND is_en),
+    reps AS (SELECT fp, MIN(doc_id) AS keep_id FROM kept GROUP BY fp),
+    dedup_counts AS (
+      SELECT k.source, CAST(COUNT(*) AS BIGINT) AS n_dedup
+      FROM kept k JOIN reps r ON k.doc_id = r.keep_id GROUP BY k.source),
+    stage12 AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN q >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(SUM(CASE WHEN q >= 0.55 AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+      FROM scored GROUP BY source)
+    SELECT s.source, s.n_total, s.n_quality, s.n_lang,
+           COALESCE(d.n_dedup, 0) AS n_dedup
+    FROM stage12 s LEFT JOIN dedup_counts d USING (source)""",
+)
+def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: per source, survivor counts through
+    every stage of the cleaning pipeline — total -> quality gate -> language
+    gate -> exact dedup. This is the report every data team keeps on a
+    dashboard: WHERE documents die decides which knob to tune (a source
+    losing 80% at the quality gate needs a different fix than one losing
+    it to dedup). Shares the scored frame with pipeline_corpus_clean
+    (_corpus_scored), so the funnel can never drift from the pipeline it
+    reports on; the stage counts are conditional sums over ONE scan plus
+    the dedup representative count."""
+    scored = _corpus_scored(load_table(spark, sf_dir, "documents"))
+    kept = scored.filter((F.col("q") >= 0.55) & F.col("is_en"))
+    w = Window.partitionBy("fp")
+    dedup_counts = (
+        kept.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dedup"))
+    )
+    stage12 = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("q") >= 0.55, 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.sum(F.when((F.col("q") >= 0.55) & F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang"),
+    )
+    return stage12.join(F.broadcast(dedup_counts), "source", "left").select(
+        "source",
+        "n_total",
+        "n_quality",
+        "n_lang",
+        F.coalesce(F.col("n_dedup"), F.lit(0).cast("bigint")).alias("n_dedup"),
+    )
