@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "dedup_edit_distance_pairs",
     "documents_ccnet_buckets",
     "pipeline_funnel_report",
+    "embeddings_kmeans_inertia",
 ]
 
 RUNS_PER_QUERY = 2

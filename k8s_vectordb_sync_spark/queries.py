@@ -6667,3 +6667,64 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lang",
         F.coalesce(F.col("n_dedup"), F.lit(0).cast("bigint")).alias("n_dedup"),
     )
+
+
+def _sql_kmeans_inertia() -> str:
+    """Per-cluster compactness oracle: the IVF chain through `af`, joined
+    back to the final centroids for the within-cluster squared distances.
+    The SUM over per-row d2 is order-sensitive FP in principle, but the
+    accumulated error (~n*eps*total ~ 1e-8 here) sits far below the 4 dp
+    rounding, so the hash compare is stable."""
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # through af
+    body = ",\n    ".join(parts)
+    d2 = (
+        "list_sum(list_transform(range(1, len(a.v) + 1),"
+        " i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
+    )
+    return f"""WITH {body}
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(SUM({d2}), 4) AS sse,
+           round(AVG({d2}), 6) AS mean_d2
+    FROM af a JOIN c5 c ON a.cluster = c.cluster
+    GROUP BY a.cluster"""
+
+
+@register("embeddings_kmeans_inertia", _sql_kmeans_inertia())
+def embeddings_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means compactness diagnostics: per-cluster SSE (inertia) and mean
+    squared distance to the assigned centroid — the convergence/quality
+    readout next to embeddings_cluster_sizes' balance audit (rising mean_d2
+    with flat shares says the cluster count is too low; one dominant
+    high-SSE cluster says the space has an unmodeled mode). Same sampled
+    training + one assignment pass; the distance fold runs map-side against
+    broadcast centroid literals and the aggregate combines map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = sim.kmeans_centroids(
+        emb, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX
+    )
+    cent_mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in centroids]
+    )
+    assigned = sim.assign_clusters(emb, [c for _, c in centroids])
+    cvec = F.element_at(cent_mat, F.col("cluster").cast("int") + 1)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assigned.withColumn("d2", d2)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.sum("d2"), 4).alias("sse"),
+            F.round(F.avg("d2"), 6).alias("mean_d2"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_vectors", "sse", "mean_d2",
+        )
+    )
