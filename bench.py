@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "documents_ccnet_buckets",
     "pipeline_funnel_report",
     "embeddings_kmeans_inertia",
+    "documents_zipf_fit",
+    "customer_rfm_segments",
 ]
 
 RUNS_PER_QUERY = 2

@@ -6728,3 +6728,105 @@ def embeddings_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors", "sse", "mean_d2",
         )
     )
+
+
+_ZIPF_TOP = 500
+
+
+@register(
+    "documents_zipf_fit",
+    f"""WITH toks AS (
+      SELECT unnest({SQL_TOKS}) AS term FROM documents),
+    cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+    top AS (SELECT term, n FROM cf ORDER BY n DESC, term LIMIT {_ZIPF_TOP}),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM top)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+           round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_intercept
+    FROM ranked""",
+)
+def documents_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-500 terms: the log-log regression slope of
+    frequency vs rank — the corpus-health canary (natural language sits near
+    -1; template/spam/boilerplate-heavy corpora flatten or steepen it, and a
+    drift between crawl snapshots flags a pipeline change). Token counts
+    combine map-side to the vocab frame; the top-500 cut is
+    TakeOrderedAndProject; the rank window and the regression aggregates run
+    over 500 rows — the audited scan-free unpartitioned-window pattern."""
+    from .functions.text import tokens as tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    cf = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    top = cf.orderBy(F.col("n").desc(), F.col("term")).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 4).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(epoch_ms(o_orderdate)) AS last_order_ms,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, last_order_ms, frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY last_order_ms DESC, custkey) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_score
+      FROM rfm)
+    SELECT custkey, frequency, monetary, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+    FROM scored""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary quintiles
+    (ntile(5), 1 = best) concatenated into the classic 3-digit segment code
+    — the standard CRM cohort cut. One grouped aggregate to the
+    O(#customers) frame, then three ntile windows over it (deterministic
+    tie-break on custkey makes ntile's equal-split assignment identical in
+    both engines). Scale note: the windows run on the aggregated frame, not
+    the fact table; at 10^9 customers you'd swap ntile for broadcast
+    percentile boundaries (the documents_ccnet_buckets shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        # o_orderdate arrives TIMESTAMP_NTZ; cast to the (UTC-pinned) session
+        # timestamp so unix_millis matches DuckDB's naive-as-UTC epoch_ms
+        F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias("last_order_ms"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order_ms").desc(), F.col("custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("custkey"))
+    scored = (
+        rfm.withColumn("r_score", F.ntile(5).over(wr).cast("bigint"))
+        .withColumn("f_score", F.ntile(5).over(wf).cast("bigint"))
+        .withColumn("m_score", F.ntile(5).over(wm).cast("bigint"))
+    )
+    return scored.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
