@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "embeddings_kmeans_inertia",
     "documents_zipf_fit",
     "customer_rfm_segments",
+    "events_autocorr_lag1",
+    "documents_source_jsd",
+    "orders_pareto_share",
 ]
 
 RUNS_PER_QUERY = 2

@@ -6830,3 +6830,162 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+@register(
+    "events_autocorr_lag1",
+    """WITH seq AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events)
+    SELECT event_tot.n_users, event_tot.n_pairs, event_tot.autocorr FROM (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             round(corr(value, prev), 4) AS autocorr
+      FROM seq WHERE prev IS NOT NULL) event_tot""",
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of per-user event values: Pearson corr between
+    each value and its predecessor — the quick serial-dependence test that
+    decides whether the EWMA/anomaly models need a trend term or i.i.d.
+    assumptions hold. One per-user lag window (the shared sessionization
+    partitioning) + a single corr aggregate; corr's running sums combine
+    map-side and the 4 dp rounding absorbs order-of-summation noise."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return seq.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("value", "prev"), 4).alias("autocorr"),
+    )
+
+
+_JSD_TOP = 200
+
+
+@register(
+    "documents_source_jsd",
+    f"""WITH toks AS (
+      SELECT source, unnest({SQL_TOKS}) AS term FROM documents),
+    top AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+        ORDER BY n DESC, term LIMIT {_JSD_TOP})),
+    sc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks JOIN top USING (term) GROUP BY source, term),
+    stot AS (SELECT source, SUM(n) AS t FROM sc GROUP BY source),
+    ctot AS (SELECT SUM(n) AS t FROM sc),
+    cf AS (SELECT term, SUM(n) AS n FROM sc GROUP BY term),
+    probs AS (
+      SELECT s.source, s.term,
+             CAST(s.n AS DOUBLE) / st.t AS p,
+             CAST(c.n AS DOUBLE) / (SELECT t FROM ctot) AS q
+      FROM sc s JOIN stot st USING (source) JOIN cf c USING (term)),
+    terms AS (
+      SELECT source, term, p, q, (p + q) / 2 AS m FROM probs)
+    SELECT source,
+           round(SUM(CASE WHEN p > 0 THEN p * ln(p / m) / 2 ELSE 0 END)
+                 + SUM(CASE WHEN q > 0 THEN q * ln(q / m) / 2 ELSE 0 END), 4) AS jsd
+    FROM terms GROUP BY source""",
+)
+def documents_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: Jensen-Shannon divergence between each
+    source's unigram distribution and the corpus-wide distribution, over the
+    shared top-200 vocabulary — the mixture-rebalancing signal (a source
+    drifting from the corpus either needs a weight change or is
+    contaminated/templated). Restricting both distributions to the SAME
+    top-V support keeps the sum finite and the frames vocab-sized: one
+    token-count aggregate, broadcast totals, and an O(#sources * V)
+    divergence sum. Note the per-source absent-term case: p=0 contributes 0
+    to the p-side sum (lim x->0 x ln x = 0) while the q-side still pays —
+    both engines write it as the same CASE."""
+    from .functions.text import tokens as tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_expr(F.col("text"))).alias("term"))
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(_JSD_TOP)
+        .select("term")
+    )
+    sc = (
+        toks.join(F.broadcast(top), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("n").alias("t"))
+    ctot = sc.agg(F.sum("n").alias("ct"))
+    cf = sc.groupBy("term").agg(F.sum("n").alias("cn"))
+    probs = (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "term",
+            (F.col("n").cast("double") / F.col("t")).alias("p"),
+            (F.col("cn").cast("double") / F.col("ct")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return probs.groupBy("source").agg(
+        F.round(
+            F.sum(F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m) / 2).otherwise(0.0))
+            + F.sum(F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m) / 2).otherwise(0.0)),
+            4,
+        ).alias("jsd")
+    )
+
+
+@register(
+    "orders_pareto_share",
+    """WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT o_custkey, rev,
+             CAST(ntile(5) OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS quintile
+      FROM cust)
+    SELECT quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           round(CAST(SUM(rev) AS DOUBLE)
+                 / (SELECT CAST(SUM(rev) AS DOUBLE) FROM cust), 4) AS share
+    FROM q GROUP BY quintile""",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration readout: customer revenue quintiles
+    and each quintile's share of total — the 80/20 check behind both
+    business prioritization and data-skew planning (the same heavy-key
+    curve events_key_skew_audit measures on stream keys). DECIMAL customer
+    sums make the quintile ordering exact; windows run on the O(#customers)
+    aggregated frame; the grand total is a broadcast scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    q = cust.withColumn("quintile", F.ntile(5).over(w).cast("bigint"))
+    tot = cust.agg(F.sum("rev").cast("double").alias("tot"))
+    return (
+        q.groupBy("quintile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quintile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("tot"), 4).alias("share"),
+        )
+    )
