@@ -6989,3 +6989,431 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") / F.col("tot"), 4).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 5: market-basket affinity, time-series regularization,
+# change-point detection, experiment analysis, trend regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_brand_affinity",
+    """WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM baskets),
+    marg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM baskets GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand),
+    scored AS (
+      SELECT brand_a, brand_b, pair_n,
+             round(CAST(pair_n AS DOUBLE) / n_orders, 6) AS support,
+             round(CAST(pair_n AS DOUBLE) / ma.n_b, 6) AS confidence,
+             round(CAST(pair_n AS DOUBLE) * n_orders
+                   / (CAST(ma.n_b AS DOUBLE) * mb.n_b), 6) AS lift
+      FROM pairs
+      JOIN marg ma ON ma.brand = pairs.brand_a
+      JOIN marg mb ON mb.brand = pairs.brand_b
+      CROSS JOIN n)
+    SELECT * FROM scored
+    ORDER BY lift DESC, pair_n DESC, brand_a, brand_b
+    LIMIT 20""",
+)
+def orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over order baskets: support / confidence /
+    lift for brand co-occurrence, top-20 by lift. The curation analog of
+    association-rule mining (Agrawal & Srikant, VLDB'94) restricted to
+    pairs — the shape a recommendation or mixture-design pass runs over
+    trillions of baskets.
+
+    Scale shape: the part dim is broadcast into the lineitem scan (small
+    dim at any scale); baskets reduce to DISTINCT (order, brand) map-side;
+    the pair self-join keys on the order id, so per-order fan-out is
+    bounded by basket size squared (TPC-H baskets are <=7 items), never
+    corpus x corpus; marginals are brand-cardinality-sized and broadcast;
+    the final top-20 compiles to TakeOrderedAndProject. All counts are
+    exact integers until the final rounded divisions, so the oracle
+    matches bit-for-bit.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("okey").cast("bigint").alias("n_orders")
+    )
+    marg = baskets.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    a = baskets.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+    )
+    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))
+    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    scored = (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            F.round(F.col("pair_n").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_n").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("pair_n").desc(), "brand_a", "brand_b"
+    ).limit(20)
+
+
+@register(
+    "events_hourly_gap_fill",
+    """WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.event_type, g.hr
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds) g),
+    joined AS (
+      SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n,
+             CASE WHEN h.n IS NOT NULL
+                  THEN round(CAST(h.sv AS DOUBLE) / h.n, 4) END AS avg_value
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hr = h.hr)
+    SELECT event_type, epoch_ms(hr) AS hour_ms, n,
+           CASE WHEN n = 0 THEN 1 ELSE 0 END AS is_gap,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM joined""",
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: a dense (event_type, hour) spine over the
+    observed range, observed hours carrying their exact count and mean
+    value, missing hours emitted as explicit gap rows with the last
+    observed mean carried forward. Regular grids are what every downstream
+    forecaster/anomaly model consumes; at 100 TB the raw stream never ships
+    to the driver — the grid is built FROM a 1-row bounds aggregate.
+
+    Scale shape: the hourly pre-aggregate combines map-side (the only
+    corpus-sized shuffle); the spine is sequence() over a broadcast 1-row
+    frame cross-joined with the broadcast type dim (#types x #hours rows —
+    thousands, not billions); the carry-forward window runs per type over
+    that same tiny frame. The mean is DECIMAL-sum / count, so both engines
+    derive the identical double.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = events.select("event_type").distinct()
+    spine = F.broadcast(types).crossJoin(F.broadcast(hours))
+    joined = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        F.when(
+            F.col("n").isNotNull(),
+            F.round(F.col("sv").cast("double") / F.col("n"), 4),
+        ).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.unix_millis("hr").alias("hour_ms"),
+        "n",
+        F.when(F.col("n") == 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("is_gap"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    """WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(x) AS DOUBLE) AS t,
+             CAST(COUNT(*) AS BIGINT) AS d
+      FROM daily GROUP BY event_type),
+    walked AS (
+      SELECT daily.event_type, day,
+             CAST(SUM(x) OVER (PARTITION BY daily.event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               - (row_number() OVER (PARTITION BY daily.event_type ORDER BY day))
+                 * (t / d) AS s,
+             d
+      FROM daily JOIN tot ON daily.event_type = tot.event_type)
+    SELECT event_type, epoch_ms(day) AS change_day_ms,
+           round(s, 4) AS cusum_peak, d AS n_days
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY abs(s) DESC, day) AS r
+          FROM walked)
+    WHERE r = 1""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type (Page 1954): the
+    cumulative sum of deviations of the daily total from the series mean,
+    reporting the day where |CUSUM| peaks — where the level most plausibly
+    shifted. The drift-monitoring primitive a 100 TB ingest runs per
+    source/type to catch upstream behavior changes.
+
+    Scale shape: one map-side-combined daily aggregate is the only
+    corpus-sized shuffle; the walk, the per-type totals, and the peak rank
+    all run on the O(#types x #days) frame. The cumulative sum is exact
+    DECIMAL; the mean subtraction k*(T/D) is written as the identical
+    double expression in both engines, so the peak selection is
+    deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    widx = Window.partitionBy("event_type").orderBy("day")
+    walked = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        (
+            F.sum("x").over(wcum).cast("double")
+            - F.row_number().over(widx) * (F.col("t") / F.col("d"))
+        ).alias("s"),
+        "d",
+    )
+    wpeak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("day")
+    )
+    return (
+        walked.withColumn("r", F.row_number().over(wpeak))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.unix_millis("day").alias("change_day_ms"),
+            F.round("s", 4).alias("cusum_peak"),
+            F.col("d").alias("n_days"),
+        )
+    )
+
+
+@register(
+    "events_ab_test",
+    f"""WITH assigned AS (
+      SELECT user_id,
+             {SQL_H15.format(x="CAST(user_id AS VARCHAR)")} % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM assigned GROUP BY variant),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+      FROM arms)
+    SELECT n_a, conv_a, round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           n_b, conv_b, round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             round(
+               (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 4)
+           END AS z_score
+    FROM wide""",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users are deterministically
+    hash-bucketed into two arms (the md5 idiom every sampler in this repo
+    uses — assignment is reproducible across runs and engines), conversion
+    is 'made a high-value purchase' (value > 200 — 'ever purchased'
+    saturates at 1.0 on this workload, which degenerates the pooled
+    variance), and the pooled two-proportion z-score tests the rate
+    difference. This is the analysis loop run over every A/B flag at
+    production scale.
+
+    Scale shape: per-user conversion reduces map-side (MAX of an
+    indicator); the arm rollup is a 2-row aggregate; the z-score is pure
+    scalar arithmetic on a 1-row frame. All counts exact integers; the
+    z expression is written identically in both engines, and both emit
+    NULL when the pooled rate is degenerate (0 or 1) instead of dividing
+    by a zero variance.
+    """
+    from .functions.text import md5_prefix_long
+
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted")
+    ).select(
+        (md5_prefix_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "converted",
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_b - rate_a) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    total_conv = F.col("conv_a") + F.col("conv_b")
+    total_n = F.col("n_a") + F.col("n_b")
+    return wide.select(
+        "n_a",
+        "conv_a",
+        F.round(rate_a, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(rate_b, 6).alias("rate_b"),
+        F.when((total_conv > 0) & (total_conv < total_n), F.round(z, 4)).alias(
+            "z_score"
+        ),
+    )
+
+
+@register(
+    "events_daily_trend_ols",
+    """WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(date_trunc('day', ts)) / 86400000 AS BIGINT) AS x,
+             SUM(CAST(value AS DECIMAL(18,6))) AS y
+      FROM events GROUP BY 1, 2),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n AS n_days,
+           round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sx) / n, 6)
+             AS intercept,
+           round(pow(n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS r2
+    FROM sums""",
+)
+def events_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily total value: closed-form OLS slope /
+    intercept / R^2 from the five sufficient statistics (n, Sx, Sxx, Sy,
+    Sxy, Syy). The trend monitor behind capacity planning and drift
+    alerts — and the canonical example of an 'iterative-looking' analysis
+    that is really one aggregation pass.
+
+    Scale shape: the daily rollup combines map-side; the sufficient
+    statistics are a second tiny aggregate over O(#types x #days) rows;
+    everything downstream is scalar math. x is an exact integer epoch-day,
+    y an exact DECIMAL daily sum — so Sx/Sxx/Sy/Sxy/Syy are all exact and
+    order-independent, and the final doubles match the oracle bit-for-bit.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (F.unix_millis(F.date_trunc("day", "ts")) / 86400000)
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    denom = n * sxx - sx * F.col("sx")
+    num = n * sxy - F.col("sx") * sy
+    slope = num / denom
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(num, F.lit(2)) / (denom * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
