@@ -319,6 +319,60 @@ def ivf_pq_probe(
     return topk_per_query(scored, k)
 
 
+def build_kmeans_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_hex: str | None = None,
+) -> dict:
+    """Train Lloyd centroids ONCE and persist only the centroid artifact —
+    the build half of the clustering lifecycle shared by SemDeDup blocking,
+    cluster-balance audits, and inertia diagnostics, which all retrain the
+    same centroids inline otherwise (3-5 s of Lloyd iterations per
+    invocation at sf0.1, pure waste for consumers that only need the
+    ASSIGNMENT). Mirrors build_ivf_pq_index's artifact discipline: marker
+    removed first, written last, so a concurrent loader sees "not built"
+    rather than a torn read. Training is deterministic (min-id seeds, fixed
+    iterations, 6 dp centroid rounding — similarity.py::kmeans_centroids),
+    so consumers probing the stored centroids are bit-identical to inline
+    retraining and share the inline forms' oracles."""
+    spark = embeddings.sparkSession
+    marker = os.path.join(path, MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    centroids = kmeans_centroids(
+        embeddings, n_clusters, iterations, vec_col=vec_col, id_col=id_col,
+        sample_hex=sample_hex,
+    )
+    spark.createDataFrame(
+        list(centroids), schema="cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    meta = {
+        "n_clusters": n_clusters, "iterations": iterations,
+        "sample_hex": sample_hex or "",
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return meta
+
+
+def load_kmeans_centroids(path: str) -> list[list[float]]:
+    """Driver-side pyarrow load of the persisted centroid list (a few KB —
+    no Spark jobs; same rationale as load_ivf_pq_index)."""
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete k-means index at {path} (missing {MARKER})")
+    rows = sorted(
+        _read_artifact_rows(os.path.join(path, "centroids")),
+        key=lambda r: r["cluster"],
+    )
+    return [[float(v) for v in r["centroid"]] for r in rows]
+
+
 def build_sign_index(
     embeddings: DataFrame,
     path: str,

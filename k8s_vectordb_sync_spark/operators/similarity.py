@@ -556,10 +556,16 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     sample_hex: str | None = None,
     max_cluster_size: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
     embedding space, then compare vectors ONLY within their cluster and keep
     pairs with cosine >= threshold.
+
+    ``centroids`` skips training entirely and blocks on the given (already
+    trained, e.g. persisted — operators/ann_index.py::build_kmeans_index)
+    centroid list: the serving/lifecycle path, one assignment scan and no
+    Lloyd iterations.
 
     This is the scale answer to all-pairs semantic dedup: the cluster id is a
     blocking key, so the self-join is an equi-join shuffled once on
@@ -581,11 +587,15 @@ def semantic_dedup_pairs(
 
     Returns (vec_a, vec_b, cluster, cosine) with cosine rounded to 4.
     """
-    centroids = kmeans_centroids(
-        embeddings, n_clusters, iterations, vec_col=vec_col, id_col=id_col,
-        sample_hex=sample_hex,
-    )
-    assigned = assign_clusters(embeddings, [c for _, c in centroids], vec_col).select(
+    if centroids is None:
+        centroids = [
+            c
+            for _, c in kmeans_centroids(
+                embeddings, n_clusters, iterations, vec_col=vec_col,
+                id_col=id_col, sample_hex=sample_hex,
+            )
+        ]
+    assigned = assign_clusters(embeddings, centroids, vec_col).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         norm(F.col(vec_col)).alias("__n"),

@@ -4831,7 +4831,13 @@ def embeddings_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = sim.kmeans_centroids(
         emb, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX
     )
-    assigned = sim.assign_clusters(emb, [c for _, c in centroids])
+    return _cluster_sizes_body(emb, [c for _, c in centroids])
+
+
+def _cluster_sizes_body(emb: DataFrame, centroids: list) -> DataFrame:
+    """Assignment-only half of the cluster-balance audit (shared by the
+    inline-training and persisted-index forms)."""
+    assigned = sim.assign_clusters(emb, centroids)
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
@@ -6703,10 +6709,16 @@ def embeddings_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = sim.kmeans_centroids(
         emb, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX
     )
+    return _kmeans_inertia_body(emb, [c for _, c in centroids])
+
+
+def _kmeans_inertia_body(emb: DataFrame, centroids: list) -> DataFrame:
+    """Assignment + distance-fold half of the inertia diagnostic (shared by
+    the inline-training and persisted-index forms)."""
     cent_mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in centroids]
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
-    assigned = sim.assign_clusters(emb, [c for _, c in centroids])
+    assigned = sim.assign_clusters(emb, centroids)
     cvec = F.element_at(cent_mat, F.col("cluster").cast("int") + 1)
     d2 = F.aggregate(
         F.zip_with(
@@ -6774,48 +6786,89 @@ def documents_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quintile_score_sql(v: str, b: str) -> str:
+    """SQL: 1 (best = above the 0.8 boundary) .. 5, by boundary comparison."""
+    return (
+        f"CAST(1 + (CASE WHEN {v} < {b}80 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {v} < {b}60 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {v} < {b}40 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {v} < {b}20 THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
+def _quintile_score_col(v, b_prefix: str):
+    """Spark: 1 (best) .. 5 via broadcast boundary comparisons — no window."""
+    score = F.lit(1)
+    for cut in ("80", "60", "40", "20"):
+        score = score + F.when(v < F.col(f"{b_prefix}{cut}"), 1).otherwise(0)
+    return score.cast("bigint")
+
+
 @register(
     "customer_rfm_segments",
-    """WITH rfm AS (
+    f"""WITH rfm AS (
       SELECT o_custkey AS custkey,
-             MAX(epoch_ms(o_orderdate)) AS last_order_ms,
+             CAST(MAX(epoch_ms(o_orderdate)) AS DOUBLE) AS last_order_ms,
              CAST(COUNT(*) AS BIGINT) AS frequency,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
       FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT quantile_cont(last_order_ms, 0.2) AS r20, quantile_cont(last_order_ms, 0.4) AS r40,
+             quantile_cont(last_order_ms, 0.6) AS r60, quantile_cont(last_order_ms, 0.8) AS r80,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20, quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60, quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
+             quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+             quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+      FROM rfm),
     scored AS (
-      SELECT custkey, last_order_ms, frequency, monetary,
-             CAST(ntile(5) OVER (ORDER BY last_order_ms DESC, custkey) AS BIGINT) AS r_score,
-             CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
-             CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_score
-      FROM rfm)
+      SELECT custkey, frequency, monetary,
+             {_quintile_score_sql("last_order_ms", "r")} AS r_score,
+             {_quintile_score_sql("CAST(frequency AS DOUBLE)", "f")} AS f_score,
+             {_quintile_score_sql("monetary", "m")} AS m_score
+      FROM rfm CROSS JOIN b)
     SELECT custkey, frequency, monetary, r_score, f_score, m_score,
            CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
     FROM scored""",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary quintiles
-    (ntile(5), 1 = best) concatenated into the classic 3-digit segment code
-    — the standard CRM cohort cut. One grouped aggregate to the
-    O(#customers) frame, then three ntile windows over it (deterministic
-    tie-break on custkey makes ntile's equal-split assignment identical in
-    both engines). Scale note: the windows run on the aggregated frame, not
-    the fact table; at 10^9 customers you'd swap ntile for broadcast
-    percentile boundaries (the documents_ccnet_buckets shape)."""
+    (1 = best) concatenated into the classic 3-digit segment code — the
+    standard CRM cohort cut. One grouped aggregate to the O(#customers)
+    frame, then the 12 exact quintile boundaries reduce to a broadcast
+    1-row frame and each score is a pure comparison chain — no global
+    window, so the customer frame never single-partitions (the scale shape
+    the ntile form lacks; boundary semantics assign all ties to one bucket
+    instead of ntile's equal split, and the oracle uses the same rule).
+    Boundary floats are safe cross-engine: adjacent order statistics differ
+    by >= one cent / one day, dwarfing interpolation ulp noise, and both
+    engines return the tied value exactly when the quantile lands in a
+    tie run."""
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         # o_orderdate arrives TIMESTAMP_NTZ; cast to the (UTC-pinned) session
         # timestamp so unix_millis matches DuckDB's naive-as-UTC epoch_ms
-        F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias("last_order_ms"),
+        F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .cast("double")
+        .alias("last_order_ms"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_order_ms").desc(), F.col("custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("custkey"))
-    scored = (
-        rfm.withColumn("r_score", F.ntile(5).over(wr).cast("bigint"))
-        .withColumn("f_score", F.ntile(5).over(wf).cast("bigint"))
-        .withColumn("m_score", F.ntile(5).over(wm).cast("bigint"))
+    cuts = [0.2, 0.4, 0.6, 0.8]
+    bounds = rfm.agg(
+        *[F.percentile("last_order_ms", F.lit(c)).alias(f"r{int(c * 100)}") for c in cuts],
+        *[
+            F.percentile(F.col("frequency").cast("double"), F.lit(c)).alias(f"f{int(c * 100)}")
+            for c in cuts
+        ],
+        *[F.percentile("monetary", F.lit(c)).alias(f"m{int(c * 100)}") for c in cuts],
+    )
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        "frequency",
+        "monetary",
+        _quintile_score_col(F.col("last_order_ms"), "r").alias("r_score"),
+        _quintile_score_col(F.col("frequency").cast("double"), "f").alias("f_score"),
+        _quintile_score_col(F.col("monetary"), "m").alias("m_score"),
     )
     return scored.select(
         "custkey",
@@ -6946,14 +6999,20 @@ def documents_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_pareto_share",
-    """WITH cust AS (
+    f"""WITH cust AS (
       SELECT o_custkey,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT quantile_cont(CAST(rev AS DOUBLE), 0.2) AS v20,
+             quantile_cont(CAST(rev AS DOUBLE), 0.4) AS v40,
+             quantile_cont(CAST(rev AS DOUBLE), 0.6) AS v60,
+             quantile_cont(CAST(rev AS DOUBLE), 0.8) AS v80
+      FROM cust),
     q AS (
       SELECT o_custkey, rev,
-             CAST(ntile(5) OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS quintile
-      FROM cust)
+             {_quintile_score_sql("CAST(rev AS DOUBLE)", "v")} AS quintile
+      FROM cust CROSS JOIN b)
     SELECT quintile,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(rev) AS DOUBLE) AS revenue,
@@ -6963,17 +7022,29 @@ def documents_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / revenue-concentration readout: customer revenue quintiles
-    and each quintile's share of total — the 80/20 check behind both
-    business prioritization and data-skew planning (the same heavy-key
-    curve events_key_skew_audit measures on stream keys). DECIMAL customer
-    sums make the quintile ordering exact; windows run on the O(#customers)
-    aggregated frame; the grand total is a broadcast scalar."""
+    (1 = top spenders) and each quintile's share of total — the 80/20 check
+    behind both business prioritization and data-skew planning (the same
+    heavy-key curve events_key_skew_audit measures on stream keys). DECIMAL
+    customer sums make the ordering exact; the four exact quintile
+    boundaries reduce to a broadcast 1-row frame and bucket assignment is a
+    comparison chain — no global window anywhere, so the O(#customers)
+    frame never single-partitions. Boundary semantics put revenue ties in
+    one bucket (vs ntile's equal split); the oracle uses the same rule."""
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    q = cust.withColumn("quintile", F.ntile(5).over(w).cast("bigint"))
+    cuts = [0.2, 0.4, 0.6, 0.8]
+    bounds = cust.agg(
+        *[
+            F.percentile(F.col("rev").cast("double"), F.lit(c)).alias(f"v{int(c * 100)}")
+            for c in cuts
+        ]
+    )
+    q = cust.crossJoin(F.broadcast(bounds)).select(
+        "rev",
+        _quintile_score_col(F.col("rev").cast("double"), "v").alias("quintile"),
+    )
     tot = cust.agg(F.sum("rev").cast("double").alias("tot"))
     return (
         q.groupBy("quintile")
@@ -7357,18 +7428,25 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(x) AS sx, SUM(x * x) AS sxx,
              SUM(y) AS sy, SUM(x * y) AS sxy,
              SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
-      FROM daily GROUP BY event_type)
+      FROM daily GROUP BY event_type),
+    d AS (
+      SELECT event_type, n, sx, sxx, sy, sxy, syy,
+             n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS den,
+             n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+      FROM sums)
     SELECT event_type, n AS n_days,
-           round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6) AS slope,
-           round((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sx) / n, 6)
-             AS intercept,
-           round(pow(n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE), 2)
-                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                 6) AS r2
-    FROM sums""",
+           CASE WHEN den <> 0 THEN
+             round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)) / den, 6)
+           END AS slope,
+           CASE WHEN den <> 0 THEN
+             round((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                   / den * sx) / n, 6)
+           END AS intercept,
+           CASE WHEN den <> 0 AND deny <> 0 THEN
+             round(pow(n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE), 2)
+                   / (den * deny), 6)
+           END AS r2
+    FROM d""",
 )
 def events_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type linear trend of daily total value: closed-form OLS slope /
@@ -7405,15 +7483,97 @@ def events_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     syy = F.col("syy").cast("double")
     denom = n * sxx - sx * F.col("sx")
+    deny = n * syy - sy * sy
     num = n * sxy - F.col("sx") * sy
     slope = num / denom
+    # Degenerate-series guard (ANSI mode raises DIVIDE_BY_ZERO otherwise):
+    # a type with a single day has den == 0; zero y-variance zeroes deny.
+    # Both engines emit NULL for those rows instead of crashing/diverging.
+    ok = denom != F.lit(0.0)
     return sums.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * F.col("sx")) / n, 6).alias("intercept"),
-        F.round(
-            F.pow(num, F.lit(2)) / (denom * (n * syy - sy * sy)),
-            6,
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round((sy - slope * F.col("sx")) / n, 6)).alias("intercept"),
+        F.when(
+            ok & (deny != F.lit(0.0)),
+            F.round(F.pow(num, F.lit(2)) / (denom * deny), 6),
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: persisted k-means lifecycle for the clustering consumers
+# (build once via operators/ann_index.build_kmeans_index, assign-only probes)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_index_dir(sf_dir: str) -> str:
+    """Repo-local cache path for the persisted k-means centroids over a
+    corpus — keyed on corpus identity + every training parameter, same
+    contract as _ivf_pq_index_dir."""
+    import hashlib
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        "|".join(
+            [
+                os.path.abspath(sf_dir), str(st.st_size), str(int(st.st_mtime)),
+                "kmeans", "8", "5", _TRAIN_SAMPLE_HEX,
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ann_index"
+    )
+    return os.path.join(root, key)
+
+
+def _kmeans_centroids_cached(spark: SparkSession, sf_dir: str) -> list:
+    """Centroids from the persisted index, building it on first use. Every
+    later invocation is a pyarrow artifact load (no training jobs)."""
+    from .operators import ann_index as ai
+
+    path = _kmeans_index_dir(sf_dir)
+    if not ai.index_is_built(path):
+        ai.build_kmeans_index(
+            load_table(spark, sf_dir, "embeddings"), path, n_clusters=8,
+            iterations=5, sample_hex=_TRAIN_SAMPLE_HEX,
+        )
+    return ai.load_kmeans_centroids(path)
+
+
+@register("dedup_semantic_indexed", _sql_semantic())
+def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs served from the PERSISTED centroid index: one
+    assignment scan + the in-cluster pair join, zero Lloyd iterations.
+    Training is deterministic, so this is bit-identical to dedup_semantic
+    and shares its oracle — the lifecycle mirror of ann_ivf_pq_topk_indexed
+    (a recurring curation pipeline reclusters weekly at most; every daily
+    dedup pass probes the stored centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs(
+        emb, threshold=_SEMANTIC_THRESHOLD,
+        centroids=_kmeans_centroids_cached(spark, sf_dir),
+    )
+
+
+@register("embeddings_cluster_sizes_indexed", _sql_cluster_sizes())
+def embeddings_cluster_sizes_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balance audit probing the persisted centroids: assignment +
+    one map-side-combined aggregate, no training. Same oracle as the inline
+    form (bit-identical by training determinism)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _cluster_sizes_body(emb, _kmeans_centroids_cached(spark, sf_dir))
+
+
+@register("embeddings_kmeans_inertia_indexed", _sql_kmeans_inertia())
+def embeddings_kmeans_inertia_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inertia/compactness diagnostic probing the persisted centroids:
+    assignment + map-side distance fold, no training. Same oracle as the
+    inline form. The pair (cluster_sizes, inertia) over one stored index is
+    the standing data-quality dashboard a 100 TB embedding corpus runs
+    nightly — the 3-5 s/invocation Lloyd retrain amortizes to zero."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _kmeans_inertia_body(emb, _kmeans_centroids_cached(spark, sf_dir))

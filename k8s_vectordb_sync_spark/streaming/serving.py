@@ -1,0 +1,83 @@
+"""Streaming ANN serving: a stream of query vectors probing a PERSISTED
+index (operators/ann_index.py) — the topology a deployed vector-sync system
+actually runs. The reference ships changes TO a vector store and delegates
+query serving to it (README.md:3-9); this module is that serving half,
+Spark-native.
+
+Shape: queries arrive as a (micro-batched) stream; the index is the static
+side. Each micro-batch probes via the SAME batch probe functions the CLI and
+the `_indexed` queries use (`ivf_pq_probe` / `sign_index_probe`), so a
+streamed query returns bit-identical top-k to a batch probe of the same
+vector — one code path, no serving/offline skew. foreachBatch is the right
+Spark construct here rather than a raw stream-static join: the probe needs
+the per-query top-k tail (aggregation over the candidate set), which in a
+single declarative streaming plan would force watermark/output-mode
+machinery onto a latency path, while the per-micro-batch form keeps each
+probe a small bounded batch job against broadcast artifacts (the query side
+of a probe is serving-sized by contract — thousands of vectors, not
+corpus-sized).
+
+At 100 TB the static side is the cluster-partitioned codes table; partition
+pruning limits each micro-batch's scan to the probed clusters, and the
+centroid/codebook artifacts are loaded once per executor from a few-KB
+parquet, not per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import ann_index as ai
+
+
+def start_ann_probe_stream(
+    spark: SparkSession,
+    index_path: str,
+    query_stream: DataFrame,
+    emit: Callable[[DataFrame, int], None],
+    k: int = 10,
+    n_probe: int = 2,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+    tier: str = "ivfpq",
+) -> StreamingQuery:
+    """Start a standing top-k serving query over a persisted index.
+
+    query_stream: streaming DataFrame with (query_id, query_vec) columns.
+    emit: receives the per-micro-batch top-k frame
+          (query_id, neighbor_id, score|distance..., rank) and the batch id.
+    tier: "ivfpq" (ADC scoring via ivf_pq_probe) or "sign"
+          (Hamming coarse + exact rerank via sign_index_probe).
+
+    The index must be complete (``_INDEX_OK``) before the stream starts —
+    probes never observe a torn build (build_* removes the marker first and
+    writes it last).
+    """
+    if tier not in ("ivfpq", "sign"):
+        raise ValueError(f"unknown ANN serving tier {tier!r}")
+    if not ai.index_is_built(index_path):
+        raise FileNotFoundError(
+            f"no complete ANN index at {index_path}; build it before serving"
+        )
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if tier == "ivfpq":
+            out = ai.ivf_pq_probe(spark, index_path, batch_df, k=k, n_probe=n_probe)
+        else:
+            out = ai.sign_index_probe(spark, index_path, batch_df, k=k)
+        emit(out, batch_id)
+
+    writer = (
+        query_stream.writeStream.outputMode("append")
+        .foreachBatch(probe_batch)
+        .queryName(f"ann-serving-{tier}")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

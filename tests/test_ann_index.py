@@ -182,3 +182,53 @@ def test_sign_index_probe_matches_inline_and_never_reads_floats(
     # string prints initial+final sections, so assert per scan line.
     float_scans = [ln for ln in plan.splitlines() if "array<float>" in ln]
     assert float_scans and all("LessThan(vec_id,4)" in ln for ln in float_scans)
+
+
+# --- k-means centroid index (clustering-consumer lifecycle, round 6) ---
+
+
+@pytest.fixture(scope="module")
+def built_kmeans_index(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kmeans") / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = ai.build_kmeans_index(
+        emb, path, n_clusters=8, iterations=5, sample_hex=SAMPLE_HEX
+    )
+    return path, meta
+
+
+def test_kmeans_index_build_and_load(spark, sf_dir, built_kmeans_index):
+    path, meta = built_kmeans_index
+    for part in ("centroids", "meta.json", ai.MARKER):
+        assert os.path.exists(os.path.join(path, part)), part
+    assert meta["n_clusters"] == 8 and meta["iterations"] == 5
+    loaded = ai.load_kmeans_centroids(path)
+    trained = sim.kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings"), 8, 5, sample_hex=SAMPLE_HEX
+    )
+    assert loaded == [c for _, c in trained]  # bit-identical: 6 dp discipline
+
+
+def test_kmeans_index_load_requires_marker(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ai.load_kmeans_centroids(str(tmp_path / "nowhere"))
+
+
+def test_semantic_pairs_from_stored_centroids_match_inline(
+    spark, sf_dir, built_kmeans_index
+):
+    path, _ = built_kmeans_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = {
+        tuple(r)
+        for r in sim.semantic_dedup_pairs(
+            emb, threshold=0.4, centroids=ai.load_kmeans_centroids(path)
+        ).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in sim.semantic_dedup_pairs(
+            emb, threshold=0.4, n_clusters=8, iterations=5, sample_hex=SAMPLE_HEX
+        ).collect()
+    }
+    assert stored == inline and len(stored) > 0

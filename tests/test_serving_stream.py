@@ -1,0 +1,88 @@
+"""Streaming ANN serving (streaming/serving.py): a file stream of query
+vectors probing a persisted index returns, micro-batch by micro-batch, the
+exact top-k the batch probe returns — one code path, no serving/offline
+skew — for both the IVF-PQ (ADC) and sign-code (Hamming) tiers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from k8s_vectordb_sync_spark.operators import ann_index as ai
+from k8s_vectordb_sync_spark.sources.tables import load_table
+from k8s_vectordb_sync_spark.streaming.serving import start_ann_probe_stream
+
+SAMPLE_HEX = "0123"
+
+
+@pytest.fixture(scope="module")
+def serving_setup(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_path = str(root / "ivfpq")
+    ai.build_ivf_pq_index(emb, ivf_path, n_clusters=8, sample_hex=SAMPLE_HEX)
+    sign_path = str(root / "sign")
+    ai.build_sign_index(emb, sign_path)
+    # two "arrivals" of query vectors staged as separate files in one dir
+    qdir = str(root / "queries")
+    os.makedirs(qdir)
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    q.filter(F.col("query_id") < 3).coalesce(1).write.mode("append").parquet(qdir)
+    q.filter((F.col("query_id") >= 3) & (F.col("query_id") < 6)).coalesce(1).write.mode(
+        "append"
+    ).parquet(qdir)
+    return ivf_path, sign_path, qdir, q.filter(F.col("query_id") < 6)
+
+
+def _run_stream(spark, tier, path, qdir, tmp_path, **kw):
+    stream = spark.readStream.schema(
+        spark.read.parquet(qdir).schema
+    ).option("maxFilesPerTrigger", 1).parquet(qdir)
+    got: list = []
+    q = start_ann_probe_stream(
+        spark,
+        path,
+        stream,
+        emit=lambda df, bid: got.extend(tuple(r) for r in df.collect()),
+        checkpoint_dir=str(tmp_path / f"ckpt-{tier}"),
+        tier=tier,
+        **kw,
+    )
+    assert q.awaitTermination(300), "serving stream did not finish"
+    return set(got)
+
+
+def test_streaming_ivfpq_probe_matches_batch(spark, serving_setup, tmp_path):
+    ivf_path, _, qdir, qbatch = serving_setup
+    streamed = _run_stream(spark, "ivfpq", ivf_path, qdir, tmp_path, k=5, n_probe=2)
+    batch = {
+        tuple(r) for r in ai.ivf_pq_probe(spark, ivf_path, qbatch, k=5, n_probe=2).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_sign_probe_matches_batch(spark, serving_setup, tmp_path):
+    _, sign_path, qdir, qbatch = serving_setup
+    streamed = _run_stream(spark, "sign", sign_path, qdir, tmp_path, k=5)
+    batch = {
+        tuple(r) for r in ai.sign_index_probe(spark, sign_path, qbatch, k=5).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_serving_refuses_unbuilt_index(spark, serving_setup, tmp_path):
+    *_, qdir, _q = serving_setup
+    stream = spark.readStream.schema(spark.read.parquet(qdir).schema).parquet(qdir)
+    with pytest.raises(FileNotFoundError):
+        start_ann_probe_stream(
+            spark, str(tmp_path / "missing"), stream, emit=lambda df, bid: None
+        )
+    with pytest.raises(ValueError):
+        start_ann_probe_stream(
+            spark, str(tmp_path / "missing"), stream,
+            emit=lambda df, bid: None, tier="nope",
+        )
