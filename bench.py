@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "dedup_semantic_indexed",
     "embeddings_cluster_sizes_indexed",
     "embeddings_kmeans_inertia_indexed",
+    "events_rolling_7d",
+    "events_dow_seasonality",
+    "events_type_value_iqr",
 ]
 
 RUNS_PER_QUERY = 2

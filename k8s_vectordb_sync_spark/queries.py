@@ -7577,3 +7577,205 @@ def embeddings_kmeans_inertia_indexed(spark: SparkSession, sf_dir: str) -> DataF
     nightly — the 3-5 s/invocation Lloyd retrain amortizes to zero."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _kmeans_inertia_body(emb, _kmeans_centroids_cached(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: time-series profiles (RANGE-frame rolling window, seasonality,
+# grouped exact-quartile boxplot audit) — windows only on pre-aggregated
+# O(#types x #days) frames, never on the raw stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_7d",
+    """WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(date_trunc('day', ts)) / 86400000 AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sv6
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, day_num, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+             CAST(SUM(sv6) OVER w AS BIGINT) AS sv6_7d
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day_num * 86400000 AS day_ms, n, n_7d,
+           CAST((2 * sv6_7d * 10000 + n_7d * 1000000)
+                // (2 * n_7d * 1000000) AS DOUBLE) / 10000 AS avg_value_7d
+    FROM win""",
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling volume and mean value per event type — the
+    smoothing every ops dashboard and drift monitor applies before eyeballing
+    a daily series. The frame is RANGE over an integer epoch-day (not ROWS):
+    a day missing from the series correctly falls out of the trailing window
+    instead of silently stretching it — the distinction that matters on
+    sparse/gappy types.
+
+    Scale shape: the daily rollup combines map-side (the only corpus-sized
+    shuffle); the RANGE window is partitioned per type over the
+    O(#types x #days) frame.
+
+    The rolling mean rounds at 4 dp IN EXACT INTEGER ARITHMETIC — micro-unit
+    daily sums (value is positive, <= 6 dp) windowed as bigints, then
+    round-half-up as (2a + b) div (2b) — because a sum of 6-dp decimals
+    divided by a count lands exactly on .00005 boundaries often enough that
+    float round() diverges between engines (Spark rounds the shortest
+    decimal repr, DuckDB rounds the binary double; observed on this corpus).
+    int64 headroom: 2 * sv6 * 1e4 needs the 7-day micro-unit sum below
+    ~4.6e14 (~4.6e8 in value units); a deployment beyond that widens the
+    same expressions to DECIMAL(38,0)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (F.unix_millis(F.date_trunc("day", "ts")) / 86400000)
+        .cast("bigint")
+        .alias("day_num"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("bigint")
+        .alias("sv6"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "day_num",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("n_7d"),
+        F.sum("sv6").over(w).cast("bigint").alias("sv6_7d"),
+    )
+    return win.select(
+        "event_type",
+        (F.col("day_num") * 86400000).alias("day_ms"),
+        "n",
+        "n_7d",
+        (
+            F.expr(
+                "(2 * sv6_7d * 10000 + n_7d * 1000000) div (2 * n_7d * 1000000)"
+            ).cast("double")
+            / 10000
+        ).alias("avg_value_7d"),
+    )
+
+
+@register(
+    "events_dow_seasonality",
+    """WITH base AS (
+      SELECT event_type, dayofweek(ts) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(sv) AS DOUBLE) / SUM(n) AS mean_all
+      FROM base GROUP BY event_type)
+    SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, b.n,
+           round(CAST(b.sv AS DOUBLE) / b.n, 4) AS mean_value,
+           round((CAST(b.sv AS DOUBLE) / b.n) / t.mean_all, 4) AS seasonal_index
+    FROM base b JOIN tot t ON b.event_type = t.event_type""",
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume, mean value,
+    and the seasonal index (dow mean / overall mean — 1.0 = flat) — the
+    profile a forecaster or anomaly model conditions on, and the quick
+    'is weekend traffic different' audit. Sunday = 0 in both engines
+    (DuckDB dayofweek; Spark dayofweek()-1).
+
+    Scale shape: one map-side-combined aggregate to O(#types x 7) rows; the
+    per-type overall mean is derived FROM those partials (no second corpus
+    scan) and broadcast back."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    tot = base.groupBy("event_type").agg(
+        (F.sum("sv").cast("double") / F.sum("n")).alias("mean_all")
+    )
+    mean_dow = F.col("sv").cast("double") / F.col("n")
+    return base.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "n",
+        F.round(mean_dow, 4).alias("mean_value"),
+        F.round(mean_dow / F.col("mean_all"), 4).alias("seasonal_index"),
+    )
+
+
+@register(
+    "events_type_value_iqr",
+    """WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS median,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type),
+    fences AS (
+      SELECT event_type, n, q1, median, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM stats)
+    SELECT f.event_type, f.n,
+           round(f.q1, 4) AS q1, round(f.median, 4) AS median,
+           round(f.q3, 4) AS q3, round(f.q3 - f.q1, 4) AS iqr,
+           CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    GROUP BY f.event_type, f.n, f.q1, f.median, f.q3""",
+)
+def events_type_value_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot/Tukey-fence audit per event type: exact quartiles, IQR, and
+    the count of values outside the 1.5-IQR fences — the robust-outlier
+    readout next to events_anomaly_mad (quartile-based where MAD is
+    median-based; both survive heavy tails where z-scores saturate).
+
+    Scale shape: the exact-percentile aggregate reduces per type (Spark's
+    percentile is a typed-aggregate; one pass), the O(#types) fence frame is
+    broadcast back, and the outlier count is a map-side conditional sum over
+    one more scan — two scans total, no window, no sort of the raw stream.
+    Quartile floats are safe cross-engine: (n-1)/4 fractional parts are
+    quarters, so interpolated cuts sit >= 0.25 * neighbor-gap inside the
+    interval, dwarfing formula-order ulp noise."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.5)).alias("median"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    fences = stats.select(
+        "event_type", "n", "q1", "median", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        events.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "n", "q1", "median", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("q1", 4).alias("q1"),
+            F.round("median", 4).alias("median"),
+            F.round("q3", 4).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            "n_outliers",
+        )
+    )
