@@ -191,6 +191,11 @@ def cmd_build_index(args: argparse.Namespace) -> int:
                 emb, args.path, n_clusters=args.clusters,
                 sample_hex=args.train_sample or None,
             )
+        elif args.kind == "kmeans":
+            meta = ai.build_kmeans_index(
+                emb, args.path, n_clusters=args.clusters,
+                sample_hex=args.train_sample or None,
+            )
         else:
             meta = ai.build_sign_index(emb, args.path)
         print(json.dumps({"built": args.kind, "path": args.path, "meta": meta}))
@@ -216,6 +221,12 @@ def cmd_probe_index(args: argparse.Namespace) -> int:
         )
         if args.kind == "ivfpq":
             out = ai.ivf_pq_probe(spark, args.path, q, k=args.k, n_probe=args.n_probe)
+        elif args.kind == "kmeans":
+            # clustering consumers probe assignments, not top-k: emit the
+            # cluster-occupancy audit from the stored centroids
+            from .queries import _cluster_sizes_body
+
+            out = _cluster_sizes_body(emb, ai.load_kmeans_centroids(args.path))
         else:
             out = ai.sign_index_probe(spark, args.path, q, k=args.k)
         for row in out.toJSON().toLocalIterator():
@@ -257,7 +268,7 @@ def main(argv: list[str] | None = None) -> int:
     p_rq.set_defaults(fn=cmd_run_query)
 
     p_bi = sub.add_parser("build-index", help="build a persistent ANN index")
-    p_bi.add_argument("kind", choices=["ivfpq", "sign"])
+    p_bi.add_argument("kind", choices=["ivfpq", "sign", "kmeans"])
     p_bi.add_argument("--path", required=True, help="index directory")
     p_bi.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_bi.add_argument("--clusters", type=int, default=8)
@@ -265,7 +276,7 @@ def main(argv: list[str] | None = None) -> int:
     p_bi.set_defaults(fn=cmd_build_index)
 
     p_pi = sub.add_parser("probe-index", help="probe a persisted ANN index")
-    p_pi.add_argument("kind", choices=["ivfpq", "sign"])
+    p_pi.add_argument("kind", choices=["ivfpq", "sign", "kmeans"])
     p_pi.add_argument("--path", required=True)
     p_pi.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_pi.add_argument("--queries", type=int, default=8, help="use vec_id < N as queries")
