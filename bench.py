@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "events_rolling_7d",
     "events_dow_seasonality",
     "events_type_value_iqr",
+    "documents_bm25_topk_indexed",
 ]
 
 RUNS_PER_QUERY = 2

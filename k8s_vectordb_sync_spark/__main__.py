@@ -196,6 +196,11 @@ def cmd_build_index(args: argparse.Namespace) -> int:
                 emb, args.path, n_clusters=args.clusters,
                 sample_hex=args.train_sample or None,
             )
+        elif args.kind == "bm25":
+            from .operators import lexical_index as lx
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            meta = lx.build_bm25_index(docs, args.path)
         else:
             meta = ai.build_sign_index(emb, args.path)
         print(json.dumps({"built": args.kind, "path": args.path, "meta": meta}))
@@ -227,6 +232,13 @@ def cmd_probe_index(args: argparse.Namespace) -> int:
             from .queries import _cluster_sizes_body
 
             out = _cluster_sizes_body(emb, ai.load_kmeans_centroids(args.path))
+        elif args.kind == "bm25":
+            from .operators import lexical_index as lx
+
+            qterms = lx.derive_query_terms_from_index(
+                spark, args.path, int(args.queries), 5
+            )
+            out = lx.bm25_index_probe(spark, args.path, qterms, k=args.k)
         else:
             out = ai.sign_index_probe(spark, args.path, q, k=args.k)
         for row in out.toJSON().toLocalIterator():
@@ -268,7 +280,7 @@ def main(argv: list[str] | None = None) -> int:
     p_rq.set_defaults(fn=cmd_run_query)
 
     p_bi = sub.add_parser("build-index", help="build a persistent ANN index")
-    p_bi.add_argument("kind", choices=["ivfpq", "sign", "kmeans"])
+    p_bi.add_argument("kind", choices=["ivfpq", "sign", "kmeans", "bm25"])
     p_bi.add_argument("--path", required=True, help="index directory")
     p_bi.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_bi.add_argument("--clusters", type=int, default=8)
@@ -276,7 +288,7 @@ def main(argv: list[str] | None = None) -> int:
     p_bi.set_defaults(fn=cmd_build_index)
 
     p_pi = sub.add_parser("probe-index", help="probe a persisted ANN index")
-    p_pi.add_argument("kind", choices=["ivfpq", "sign", "kmeans"])
+    p_pi.add_argument("kind", choices=["ivfpq", "sign", "kmeans", "bm25"])
     p_pi.add_argument("--path", required=True)
     p_pi.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_pi.add_argument("--queries", type=int, default=8, help="use vec_id < N as queries")

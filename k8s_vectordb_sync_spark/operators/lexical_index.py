@@ -1,0 +1,157 @@
+"""Persisted BM25 impact index: the lexical-retrieval half of the
+build-once / probe-many lifecycle (operators/ann_index.py is the vector
+half; /root/reference/README.md:3-9 delegates all query serving to the
+downstream store — this is that serving path, Spark-native).
+
+Everything a BM25 score depends on besides the query — tf, dl, avgdl, idf —
+is fixed at build time, so the index stores the PRECOMPUTED per-(doc, term)
+contribution ("impact", Anh & Moffat's impact-ordered-index idea): a probe
+is one pruned scan + a broadcast query-term join + a DECIMAL sum. No
+document lengths join, no idf join, no corpus statistics job at query time.
+
+Layout under ``path``:
+
+  postings/ bucket=B/...  (term, doc_id, tf, impact DECIMAL(28,6))
+  meta.json               (k1, b, n_buckets, n_docs, avgdl)
+  _INDEX_OK               marker written LAST (same torn-build contract as
+                          the ANN indexes)
+
+``bucket`` is a deterministic md5 bucket of the term (functions.text.
+md5_prefix_long % n_buckets) — the lexical analog of IVF's cluster
+partitioning: the prober computes the buckets of its (serving-sized) query
+term set driver-side and scans ONLY those partitions. A stopword-heavy
+query degrades to more buckets, never to a different plan. tf is stored
+alongside impact so 'more-like-this' query derivation (top-tf terms of a
+doc) can also run off the index alone.
+
+Impacts are bit-identical to the inline scorer's summands (shared
+retrieval.bm25_impact expression, 6 dp DECIMAL), so a probe returns
+exactly what retrieval.bm25_topk returns and the inline oracle covers the
+indexed query too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_prefix_long
+from . import retrieval as ret
+from .ann_index import MARKER, _read_artifact_rows, index_is_built
+from .similarity import topk_per_query
+
+N_BUCKETS = 32
+
+
+def _bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of md5_prefix_long(term) % n_buckets."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def build_bm25_index(
+    documents: DataFrame,
+    path: str,
+    k1: float = ret.BM25_K1,
+    b: float = ret.BM25_B,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Tokenize, aggregate, and persist the impact index. One corpus scan
+    feeds the posting frame; lengths/stats/idf derive from it (vocab-sized
+    or 1-row); the impact projection + bucketed write is the only
+    corpus-sized output. Marker removed first, written last."""
+    spark = documents.sparkSession
+    marker = os.path.join(path, MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
+
+    postings = ret.build_postings(documents, text_col, id_col)
+    try:
+        lengths = ret.doc_lengths(postings)
+        stats = ret.corpus_stats(lengths)
+        idf = ret.idf_table(postings, stats)
+        rows = (
+            postings.join(F.broadcast(idf.select("term", "idf")), "term")
+            .join(lengths, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "term",
+                "doc_id",
+                "tf",
+                ret.bm25_impact(k1, b).alias("impact"),
+                (md5_prefix_long(F.col("term")) % n_buckets)
+                .cast("int")
+                .alias("bucket"),
+            )
+        )
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        srow = stats.collect()[0]
+        meta = {
+            "k1": k1, "b": b, "n_buckets": n_buckets,
+            "n_docs": int(srow["n_docs"]), "avgdl": float(srow["avgdl"]),
+        }
+    finally:
+        postings.unpersist()
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return meta
+
+
+def load_bm25_meta(path: str) -> dict:
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete BM25 index at {path} (missing {MARKER})")
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def bm25_index_probe(
+    spark: SparkSession,
+    path: str,
+    query_terms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 from the persisted impacts: collect the (serving-sized)
+    distinct query terms, prune the postings scan to their md5 buckets, one
+    broadcast join, one DECIMAL-sum aggregate, two-phase top-k. The corpus
+    text is never read and no statistics job runs."""
+    meta = load_bm25_meta(path)
+    terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
+    buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in terms})
+    base = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("bucket").isin(buckets)
+    )
+    scored = (
+        base.join(F.broadcast(query_terms), "term")
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum("impact").cast("double").alias("score"))
+    )
+    return topk_per_query(scored, k)
+
+
+def derive_query_terms_from_index(
+    spark: SparkSession,
+    path: str,
+    n_queries: int,
+    terms_per_query: int,
+) -> DataFrame:
+    """'More-like-this' query derivation off the index alone: top-tf terms
+    of each query doc, read from the stored postings (tf travels with
+    impact for exactly this). Semantics identical to
+    retrieval.derive_query_terms over the inline posting frame."""
+    load_bm25_meta(path)  # marker check
+    base = spark.read.parquet(os.path.join(path, "postings")).select(
+        "doc_id", "term", "tf"
+    )
+    return ret.derive_query_terms(base, n_queries, terms_per_query)

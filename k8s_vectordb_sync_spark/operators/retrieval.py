@@ -138,7 +138,24 @@ def bm25_scored(
         .join(lengths, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    # Same expression tree as the oracle: idf * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    return (
+        scored_terms.select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            bm25_impact(k1, b).alias("__c"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__c").cast("double").alias("score"))
+    )
+
+
+def bm25_impact(k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """The per-(doc, term) BM25 contribution ("impact"), rounded to 6 dp and
+    cast DECIMAL(28,6) — the cross-engine-exact summand. Same expression
+    tree as the oracle: idf * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Shared by the inline scorer and the persisted impact index (everything
+    it depends on — tf, dl, avgdl, idf — is known at BUILD time, so an
+    impact-ordered index can precompute it, Anh & Moffat-style)."""
     contrib = (
         F.col("idf")
         * F.col("tf")
@@ -149,15 +166,7 @@ def bm25_scored(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
-    return (
-        scored_terms.select(
-            "query_id",
-            F.col("doc_id").alias("neighbor_id"),
-            F.round(contrib, 6).cast("decimal(28,6)").alias("__c"),
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("__c").cast("double").alias("score"))
-    )
+    return F.round(contrib, 6).cast("decimal(28,6)")
 
 
 def bm25_topk(

@@ -7779,3 +7779,46 @@ def events_type_value_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+def _bm25_index_dir(sf_dir: str) -> str:
+    """Repo-local cache path for the persisted BM25 impact index — keyed on
+    the documents corpus identity + scoring parameters, same contract as
+    _ivf_pq_index_dir."""
+    import hashlib
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc)
+    key = hashlib.md5(
+        "|".join(
+            [
+                os.path.abspath(sf_dir), str(st.st_size), str(int(st.st_mtime)),
+                "bm25", str(ret.BM25_K1), str(ret.BM25_B), "32",
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ann_index"
+    )
+    return os.path.join(root, key)
+
+
+@register("documents_bm25_topk_indexed", _sql_bm25_topk())
+def documents_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 'more-like-this' served from the PERSISTED impact index
+    (operators/lexical_index.py): query terms derive from the stored
+    postings, the probe scans only the query terms' md5-bucket partitions,
+    and scoring is one broadcast join + DECIMAL impact sum — no tokenize,
+    no lengths/idf/statistics jobs. Impacts share the inline scorer's exact
+    expression, so the inline oracle covers this bit-for-bit — the lexical
+    mirror of ann_ivf_pq_topk_indexed."""
+    from .operators import lexical_index as lx
+
+    path = _bm25_index_dir(sf_dir)
+    if not lx.index_is_built(path):
+        lx.build_bm25_index(load_table(spark, sf_dir, "documents"), path)
+    qterms = lx.derive_query_terms_from_index(
+        spark, path, RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY
+    )
+    out = lx.bm25_index_probe(spark, path, qterms, k=BM25_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
