@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "events_dow_seasonality",
     "events_type_value_iqr",
     "documents_bm25_topk_indexed",
+    "hybrid_search_rrf_indexed",
 ]
 
 RUNS_PER_QUERY = 2

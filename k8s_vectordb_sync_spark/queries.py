@@ -4230,6 +4230,30 @@ def _sql_ivf_pq(
     ``train_extra`` further restricts BOTH training CTE chains (coarse
     centroids + codebooks) — used by the incremental-index query, whose
     index trains only on the initially-built half of the corpus."""
+    body = ",\n    ".join(
+        _sql_ivf_pq_parts(
+            n_clusters, iterations, n_probe, m, pq_k, pq_iterations, dim,
+            train_extra,
+        )
+    )
+    return f"""WITH {body}
+    SELECT query_id, neighbor_id, round(score, 4) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def _sql_ivf_pq_parts(
+    n_clusters: int = 8,
+    iterations: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 4,
+    pq_iterations: int = 3,
+    dim: int = 64,
+    train_extra: str = "",
+) -> list:
+    """The IVF-PQ CTE chain ending in `ranked` — shared by the top-k oracle
+    and the indexed-hybrid oracle."""
     ivf = _sql_ivf_parts(
         n_clusters, iterations, n_probe, train_extra=train_extra
     )[:-2]  # ... probes
@@ -4252,11 +4276,7 @@ def _sql_ivf_pq(
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, neighbor_id) AS rank
       FROM scored)""")
-    body = ",\n    ".join(parts)
-    return f"""WITH {body}
-    SELECT query_id, neighbor_id, round(score, 4) AS score,
-           CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {ANN_K}"""
+    return parts
 
 
 @register("ann_ivf_pq_topk", _sql_ivf_pq())
@@ -7822,3 +7842,65 @@ def documents_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lx.bm25_index_probe(spark, path, qterms, k=BM25_TOPK)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _sql_hybrid_rrf_indexed() -> str:
+    """Fully index-served hybrid oracle: the BM25 CTE chain fused with the
+    IVF-PQ CTE chain (both replayed exactly — training determinism), RRF
+    identical to _sql_hybrid_rrf. The vector pool restricts to the hybrid's
+    query set (query_id < RETRIEVAL_N_QUERIES; the IVF-PQ probes CTE spans
+    ANN_QUERY_MAX_ID queries)."""
+    parts = _sql_bm25_parts(RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY)
+    parts += _sql_ivf_pq_parts()
+    body = ",\n    ".join(parts)
+    return f"""WITH {body},
+    ltop AS (SELECT query_id, neighbor_id, rank FROM bm25_ranked WHERE rank <= {HYBRID_POOL_K}),
+    vtop AS (SELECT query_id, neighbor_id, rank FROM ranked
+             WHERE rank <= {HYBRID_POOL_K} AND query_id < {RETRIEVAL_N_QUERIES}),
+    fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                     COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+                     l.rank AS lex_rank, v.rank AS vec_rank,
+                     COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0.0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rank), 0.0) AS rrf
+              FROM ltop l FULL OUTER JOIN vtop v
+              ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id),
+    hranked AS (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank FROM fused)
+    SELECT query_id, neighbor_id, round(rrf, 6) AS rrf_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank, CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(rank AS BIGINT) AS rank
+    FROM hranked WHERE rank <= {HYBRID_TOPK}"""
+
+
+@register("hybrid_search_rrf_indexed", _sql_hybrid_rrf_indexed())
+def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving capstone: hybrid retrieval where BOTH rankers probe
+    persisted indexes — BM25 from the impact index (term-bucket-pruned
+    scan, precomputed contributions) and the vector side from the IVF-PQ
+    index (cluster-pruned codes, ADC scoring) — fused by reciprocal rank.
+    Zero training jobs, zero corpus statistics jobs, no corpus text or
+    float-vector reads: this is the standing query a deployed search
+    service answers from. Both probes are bit-identical to their inline
+    trainers, so the composed oracle replays both chains exactly."""
+    from .operators import ann_index as ai
+    from .operators import lexical_index as lx
+
+    bm25_path = _bm25_index_dir(sf_dir)
+    if not lx.index_is_built(bm25_path):
+        lx.build_bm25_index(load_table(spark, sf_dir, "documents"), bm25_path)
+    ivf_path = _ivf_pq_index_dir(sf_dir)
+    if not ai.index_is_built(ivf_path):
+        ai.build_ivf_pq_index(
+            load_table(spark, sf_dir, "embeddings"), ivf_path, n_clusters=8,
+            sample_hex=_TRAIN_SAMPLE_HEX,
+        )
+    qterms = lx.derive_query_terms_from_index(
+        spark, bm25_path, RETRIEVAL_N_QUERIES, RETRIEVAL_TERMS_PER_QUERY
+    )
+    lex = lx.bm25_index_probe(spark, bm25_path, qterms, k=HYBRID_POOL_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = emb.filter(F.col("vec_id") < RETRIEVAL_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = ai.ivf_pq_probe(spark, ivf_path, vq, k=HYBRID_POOL_K, n_probe=2)
+    return ret.rrf_fuse(lex, vec, k=HYBRID_TOPK)
