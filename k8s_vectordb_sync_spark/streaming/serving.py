@@ -46,21 +46,24 @@ def start_ann_probe_stream(
 ) -> StreamingQuery:
     """Start a standing top-k serving query over a persisted index.
 
-    query_stream: streaming DataFrame with (query_id, query_vec) columns.
+    query_stream: streaming DataFrame with (query_id, query_vec) columns —
+    except tier "bm25", whose stream carries (query_id, term) rows (a query
+    arrives as its term set, the shape a search frontend emits).
     emit: receives the per-micro-batch top-k frame
           (query_id, neighbor_id, score|distance..., rank) and the batch id.
-    tier: "ivfpq" (ADC scoring via ivf_pq_probe) or "sign"
-          (Hamming coarse + exact rerank via sign_index_probe).
+    tier: "ivfpq" (ADC scoring via ivf_pq_probe), "sign" (Hamming coarse +
+          exact rerank via sign_index_probe), or "bm25" (lexical impact
+          index, term-bucket-pruned — operators/lexical_index.py).
 
     The index must be complete (``_INDEX_OK``) before the stream starts —
     probes never observe a torn build (build_* removes the marker first and
     writes it last).
     """
-    if tier not in ("ivfpq", "sign"):
-        raise ValueError(f"unknown ANN serving tier {tier!r}")
+    if tier not in ("ivfpq", "sign", "bm25"):
+        raise ValueError(f"unknown serving tier {tier!r}")
     if not ai.index_is_built(index_path):
         raise FileNotFoundError(
-            f"no complete ANN index at {index_path}; build it before serving"
+            f"no complete index at {index_path}; build it before serving"
         )
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,6 +71,10 @@ def start_ann_probe_stream(
             return
         if tier == "ivfpq":
             out = ai.ivf_pq_probe(spark, index_path, batch_df, k=k, n_probe=n_probe)
+        elif tier == "bm25":
+            from ..operators import lexical_index as lx
+
+            out = lx.bm25_index_probe(spark, index_path, batch_df, k=k)
         else:
             out = ai.sign_index_probe(spark, index_path, batch_df, k=k)
         emit(out, batch_id)

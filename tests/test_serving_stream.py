@@ -86,3 +86,33 @@ def test_serving_refuses_unbuilt_index(spark, serving_setup, tmp_path):
             spark, str(tmp_path / "missing"), stream,
             emit=lambda df, bid: None, tier="nope",
         )
+
+
+def test_streaming_bm25_probe_matches_batch(spark, sf_dir, tmp_path):
+    from k8s_vectordb_sync_spark.operators import lexical_index as lx
+    from k8s_vectordb_sync_spark.operators import retrieval as ret
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    path = str(tmp_path / "bm25idx")
+    docs = load_table(spark, sf_dir, "documents")
+    lx.build_bm25_index(docs, path)
+    qterms = lx.derive_query_terms_from_index(spark, path, 4, 5)
+    qdir = str(tmp_path / "qterms")
+    # two arrival files: queries {0,1} then {2,3}
+    qterms.filter(F.col("query_id") < 2).coalesce(1).write.mode("append").parquet(qdir)
+    qterms.filter(F.col("query_id") >= 2).coalesce(1).write.mode("append").parquet(qdir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(qdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    got: list = []
+    q = start_ann_probe_stream(
+        spark, path, stream,
+        emit=lambda df, bid: got.extend(tuple(r) for r in df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt-bm25"),
+        tier="bm25", k=10,
+    )
+    assert q.awaitTermination(300), "bm25 serving stream did not finish"
+    batch = {tuple(r) for r in lx.bm25_index_probe(spark, path, qterms, k=10).collect()}
+    assert set(got) == batch and len(batch) > 0
