@@ -206,3 +206,39 @@ def test_trend_ols_matches_numpy(spark, tmp_path):
     assert flat["n_days"] == 5
     assert flat["slope"] == 0.0 and flat["intercept"] == 8.0
     assert flat["r2"] is None  # zero y-variance: deny == 0
+
+
+def test_rolling_7d_rounding_matches_exact_fractions(spark, tmp_path):
+    """events_rolling_7d's integer round-half-up equals a Fraction-exact
+    recompute on an adversarial corpus full of .00005-boundary means (the
+    case where float round() diverges between engines)."""
+    from fractions import Fraction
+
+    d = str(tmp_path)
+    day = datetime.timedelta(days=1)
+    rows = []
+    vals = {}
+    eid = 0
+    # values engineered so daily-sum/count often lands exactly on x.xxxx5
+    for i in range(10):
+        day_vals = [50.19125, 50.19135, 0.00005, 1.23455, 2.5 + i][: (i % 4) + 1]
+        vals[i] = day_vals
+        for v in day_vals:
+            rows.append((eid, T0 + i * day, 1, "edge", float(v), "{}"))
+            eid += 1
+    _write(_events(spark, rows), d, "events")
+    out = {
+        r["day_ms"]: r for r in QUERIES["events_rolling_7d"](spark, d).collect()
+    }
+    ms0 = int(T0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    for i in range(10):
+        window = [j for j in range(max(0, i - 6), i + 1)]
+        # micro-unit exact: each value quantized to 6 dp first, like the engine
+        sv6 = sum(round(Fraction(str(v)) * 10**6) for j in window for v in vals[j])
+        n = sum(len(vals[j]) for j in window)
+        exact = Fraction(sv6, 10**6) / n
+        scaled = exact * 10**4
+        want = (scaled.numerator * 2 + scaled.denominator) // (2 * scaled.denominator)
+        got = out[ms0 + i * 86_400_000]
+        assert got["n_7d"] == n
+        assert got["avg_value_7d"] == want / 10**4, (i, got["avg_value_7d"], want)
