@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "events_type_value_iqr",
     "documents_bm25_topk_indexed",
     "hybrid_search_rrf_indexed",
+    "ann_recall_ivfpq",
 ]
 
 RUNS_PER_QUERY = 2

@@ -7904,3 +7904,66 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec = ai.ivf_pq_probe(spark, ivf_path, vq, k=HYBRID_POOL_K, n_probe=2)
     return ret.rrf_fuse(lex, vec, k=HYBRID_TOPK)
+
+
+def _sql_ivfpq_recall() -> str:
+    """Recall@k oracle for the composed IVF-PQ tier: the full ivf-pq CTE
+    chain (coarse pruning x ADC reconstruction) vs the exact brute-force
+    top-k."""
+    parts = _sql_ivf_pq_parts()
+    parts.append(
+        f"ivfpq AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {ANN_K})"
+    )
+    parts.append(f"""bf_scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {SQL_COS.format(a='q.v', b='b.v')} AS score
+      FROM (SELECT vec_id, v FROM base WHERE vec_id < {ANN_QUERY_MAX_ID}) q
+      CROSS JOIN base b)""")
+    parts.append(f"""bf AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM bf_scored QUALIFY rank <= {ANN_K})""")
+    parts.append("""hits AS (
+      SELECT bf.query_id, CAST(COUNT(ivfpq.neighbor_id) AS BIGINT) AS hits
+      FROM bf LEFT JOIN ivfpq
+        ON bf.query_id = ivfpq.query_id AND bf.neighbor_id = ivfpq.neighbor_id
+      GROUP BY bf.query_id)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT query_id, hits, round(hits / {ANN_K}.0, 4) AS recall FROM hits"""
+
+
+@register("ann_recall_ivfpq", _sql_ivfpq_recall())
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF-PQ tier (coarse pruning AND quantized
+    reconstruction — BOTH loss sources) against exact brute force, served
+    from the persisted index. Completes the recall family
+    (lsh/ivf/hamming/ivfpq): the number a deployment watches when turning
+    the n_probe / codebook-size knobs, since PQ distortion compounds with
+    coarse-probe misses in ways neither per-tier gate shows alone."""
+    from .operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    bf = sim.brute_force_topk(emb, qdf, k=ANN_K).select("query_id", "neighbor_id")
+    path = _ivf_pq_index_dir(sf_dir)
+    if not ai.index_is_built(path):
+        ai.build_ivf_pq_index(emb, path, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX)
+    pq = ai.ivf_pq_probe(spark, path, qdf, k=ANN_K, n_probe=2).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    hits = (
+        bf.join(
+            pq,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("neighbor_id") == F.col("i_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("i_nid").cast("bigint").alias("hits"))
+    )
+    return hits.select(
+        "query_id",
+        "hits",
+        F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall"),
+    )
