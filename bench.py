@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "documents_bm25_topk_indexed",
     "hybrid_search_rrf_indexed",
     "ann_recall_ivfpq",
+    "documents_token_budget_mix",
 ]
 
 RUNS_PER_QUERY = 2

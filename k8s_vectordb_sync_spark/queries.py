@@ -7967,3 +7967,94 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         F.round(F.col("hits") / F.lit(float(ANN_K)), 4).alias("recall"),
     )
+
+
+_BUDGET_TOKENS = 20000
+_BUDGET_ALPHA_SQL = "sqrt"  # temperature 0.5 == square root
+
+
+@register(
+    "documents_token_budget_mix",
+    f"""WITH toks AS (
+      SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+             {SQL_H15.format(x="'budget:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t,
+             CAST(round(sqrt(CAST(SUM(n_tokens) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS sq
+      FROM toks GROUP BY source),
+    den AS (SELECT SUM(sq) AS sqt FROM tot),
+    budgets AS (
+      SELECT source, t,
+             {_BUDGET_TOKENS} * (CAST(sq AS DOUBLE) / CAST(sqt AS DOUBLE)) AS budget
+      FROM tot CROSS JOIN den),
+    walked AS (
+      SELECT k.doc_id, k.source, k.n_tokens,
+             CAST(SUM(k.n_tokens) OVER (PARTITION BY k.source
+                  ORDER BY k.h, k.doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             b.budget
+      FROM toks k JOIN budgets b ON k.source = b.source)
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= budget AS kept
+    FROM walked""",
+)
+def documents_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation: split a global token budget across
+    sources by temperature-0.5 multinomial weights (sqrt of source token
+    mass, the standard upsample-the-tail mixing rule), then fill each
+    source's budget in deterministic salted-hash order — the allocator that
+    turns 'mixture weights' into an actual reproducible document manifest
+    (weights alone don't say WHICH documents ship).
+
+    Scale shape: one token-count scan; per-source totals are an O(#sources)
+    broadcast; the fill order is a per-source partitioned cumsum window over
+    the doc-level frame (the domain-cap posture — a pathologically dominant
+    source would use group_cap's two-phase prune first). Cross-engine
+    determinism: sqrt is IEEE-exact, each sqrt rounds to 6 dp DECIMAL before
+    the (order-sensitive) sum, the budget double derives from identical
+    expressions, and the fill order ties break on doc_id."""
+    from .functions.text import md5_prefix_long, tokens as tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_expr(F.col("text"))).cast("bigint").alias("n_tokens"),
+        md5_prefix_long(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    tot = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.round(F.sqrt(F.sum("n_tokens").cast("double")), 6)
+        .cast("decimal(28,6)")
+        .alias("sq"),
+    )
+    den = tot.agg(F.sum("sq").alias("sqt"))
+    budgets = tot.crossJoin(F.broadcast(den)).select(
+        "source",
+        (
+            F.lit(_BUDGET_TOKENS)
+            * (F.col("sq").cast("double") / F.col("sqt").cast("double"))
+        ).alias("budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = toks.join(F.broadcast(budgets), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        "budget",
+    )
+    return walked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
+    )

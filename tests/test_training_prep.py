@@ -288,3 +288,45 @@ def test_despan_clean_drops_majority_boilerplate(spark, tmp_path):
     ).parquet(d + "/documents.parquet")
     out = {r["source"]: (r["n_docs"], r["n_kept"]) for r in QUERIES["documents_despan_clean"](spark, d).collect()}
     assert out == {"s": (6, 3)}
+
+
+def test_token_budget_mix_sqrt_allocation(spark, tmp_path):
+    """Crafted 2-source corpus: budgets split by sqrt token mass, fill stops
+    exactly at the boundary, and the manifest is deterministic."""
+    import math
+    import os
+
+    from k8s_vectordb_sync_spark.queries import QUERIES, _BUDGET_TOKENS
+
+    rows = []
+    did = 0
+    for src, n_docs, words in (("big", 90, 300), ("small", 10, 300)):
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(f"w{i}" for i in range(words))))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["documents_token_budget_mix"](spark, d).collect()
+    assert len(out) == 100
+    sq_big = round(math.sqrt(90 * 300), 6)
+    sq_small = round(math.sqrt(10 * 300), 6)
+    budget = {
+        "big": _BUDGET_TOKENS * (sq_big / (sq_big + sq_small)),
+        "small": _BUDGET_TOKENS * (sq_small / (sq_big + sq_small)),
+    }
+    for src in ("big", "small"):
+        kept = [r for r in out if r["source"] == src and r["kept"]]
+        dropped = [r for r in out if r["source"] == src and not r["kept"]]
+        # every kept doc fits inside the source budget; the first dropped
+        # doc would have crossed it
+        assert all(r["cum_tokens"] <= budget[src] for r in kept)
+        assert all(r["cum_tokens"] > budget[src] for r in dropped)
+        assert len(kept) == min(100, int(budget[src] // 300)) or len(kept) == len(
+            [r for r in out if r["source"] == src]
+        )
+    # sqrt weighting upsamples the tail: small source keeps a ~3x larger
+    # fraction of its docs than its 10% share of the corpus
+    frac_small = len([r for r in out if r["source"] == "small" and r["kept"]]) / 10
+    frac_big = len([r for r in out if r["source"] == "big" and r["kept"]]) / 90
+    assert frac_small > frac_big
