@@ -112,3 +112,33 @@ def compact_parquet(
     shutil.rmtree(old)
     files_after = len(glob.glob(os.path.join(path, "part-*")))
     return files_before, files_after
+
+
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    records_per_shard: int = 100_000,
+    shards: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export a frame as sharded JSONL — the interchange format training
+    loaders actually consume. Each row serializes via to_json(struct(*)),
+    written as text with ``maxRecordsPerFile`` bounding shard size (the JVM
+    writer rolls files, so a skewed partition still yields bounded shards —
+    no repartition-by-count shuffle needed). Pass ``shards`` to ALSO fix
+    the partition count (e.g. for a downstream loader that wants ~equal
+    file counts); default leaves the upstream partitioning untouched,
+    which at 100 TB avoids an extra full-data exchange.
+
+    Round-trips through sources.jsonl's reader (tested): JSON field order
+    is the struct's column order and values use Spark's JSON encoders, so
+    re-reading with the writing schema reproduces the frame.
+    """
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    if shards is not None:
+        out = out.repartition(shards)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", records_per_shard)
+        .text(path)
+    )

@@ -260,3 +260,35 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before_rows
     assert sorted(r.id for r in after.collect()) == list(range(2000))
+
+
+def test_jsonl_sharded_roundtrip_and_shard_bound(spark, tmp_path):
+    """write_jsonl_sharded: every shard respects maxRecordsPerFile, and
+    reading the JSONL back with the writing schema reproduces the frame."""
+    import glob
+    import json
+    import os
+
+    from k8s_vectordb_sync_spark.sources.writers import write_jsonl_sharded
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 4) for i in range(1000)],
+        "doc_id long, text string, score double",
+    )
+    path = str(tmp_path / "export")
+    write_jsonl_sharded(df, path, records_per_shard=150, shards=2)
+    files = sorted(glob.glob(os.path.join(path, "part-*")))
+    assert len(files) >= 1000 // 150  # rolled into bounded shards
+    counts = []
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            lines = [json.loads(l) for l in fh if l.strip()]
+        counts.append(len(lines))
+        rows.extend(lines)
+    assert max(counts) <= 150
+    assert sorted(r["doc_id"] for r in rows) == list(range(1000))
+    back = spark.read.schema(df.schema).json(path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
