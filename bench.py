@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "hybrid_search_rrf_indexed",
     "ann_recall_ivfpq",
     "documents_token_budget_mix",
+    "orders_priority_revenue_salted",
 ]
 
 RUNS_PER_QUERY = 2

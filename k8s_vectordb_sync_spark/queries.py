@@ -8058,3 +8058,40 @@ def documents_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
     )
+
+
+@register(
+    "orders_priority_revenue_salted",
+    """SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority""",
+)
+def orders_priority_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through a SALTED fact-dim join
+    (operators/skew.py::salted_join): the manual hot-key mitigation when a
+    dimension is too big to broadcast and AQE's skew splitting can't help a
+    hash join. The oracle is the PLAIN join — the hash gate proves salting
+    is lossless (same proof pattern as cdc_last_state_wins_salted on the
+    aggregation side; together they cover both halves of the skew toolkit).
+    DECIMAL revenue keeps the rollup order-independent."""
+    from .operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(lineitem, orders, on=["l_orderkey"])
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
