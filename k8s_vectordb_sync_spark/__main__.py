@@ -248,6 +248,25 @@ def cmd_probe_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_forget(args: argparse.Namespace) -> int:
+    """Run the key-forget sweep (plans/forget.py) against a bucketed target
+    and print the compliance audit."""
+    from .plans.forget import forget_keys
+
+    spark = build_spark(app_name="kvs-forget")
+    try:
+        ids = [int(x) for x in args.keys.split(",") if x.strip()]
+        keys = spark.createDataFrame([(i,) for i in ids], f"{args.key_col} long")
+        audit = forget_keys(
+            spark, args.target, keys, key_col=args.key_col,
+            num_buckets=args.buckets,
+        )
+        print(json.dumps(audit))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="k8s_vectordb_sync_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -295,6 +314,13 @@ def main(argv: list[str] | None = None) -> int:
     p_pi.add_argument("--k", type=int, default=5)
     p_pi.add_argument("--n-probe", type=int, default=2)
     p_pi.set_defaults(fn=cmd_probe_index)
+
+    p_fg = sub.add_parser("forget", help="remove keys from a bucketed target (takedown sweep)")
+    p_fg.add_argument("--target", required=True)
+    p_fg.add_argument("--keys", required=True, help="comma-separated key list")
+    p_fg.add_argument("--key-col", default="id")
+    p_fg.add_argument("--buckets", type=int, default=64)
+    p_fg.set_defaults(fn=cmd_forget)
 
     args = parser.parse_args(argv)
     return args.fn(args)
