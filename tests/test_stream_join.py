@@ -94,3 +94,68 @@ def test_streaming_join_plan_has_watermarks(spark, staged_events):
     # both sides must carry EventTimeWatermark nodes or the click buffer
     # never expires (state-growth correctness, not an optimization)
     assert plan.count("EventTimeWatermark") == 2, plan[:1500]
+
+
+def test_windowed_agg_append_mode_late_data_contract(spark, tmp_path):
+    """Watermark late-data contract, proven end-to-end in APPEND mode over
+    four real micro-batches. Spark's actual guarantee (and therefore this
+    engine's): a finalized window is emitted EXACTLY ONCE, and an event
+    arriving after that window's state was evicted is dropped — it neither
+    re-emits the window nor spawns a duplicate. (Late data arriving while
+    the window's state is still live MAY still be merged; 'too late' is
+    best-effort until eviction, which is why every exactly-once claim in
+    this repo hangs on emission uniqueness, not on row-level drops.)"""
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    m = datetime.timedelta(minutes=1)
+
+    def write_file(rows):
+        _mk_events(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes keep file->batch order stable
+
+    # b1: two events in [12:00,12:05) plus a 12:20 watermark pusher
+    write_file(
+        [
+            (1, T0 + 1 * m, 1, "click", 0.0, "{}"),
+            (2, T0 + 2 * m, 1, "click", 0.0, "{}"),
+            (3, T0 + 20 * m, 1, "click", 0.0, "{}"),
+        ]
+    )
+    # b2: fresh event; the batch boundary lets the 12:10 watermark land,
+    # emitting + evicting window [12:00,12:05) with n=2
+    write_file([(4, T0 + 25 * m, 1, "click", 0.0, "{}")])
+    # b3: event for the long-evicted [12:00,12:05) window -> dropped
+    write_file([(5, T0 + 3 * m, 1, "click", 0.0, "{}")])
+    # b4: final watermark pusher so later windows flush too
+    write_file([(6, T0 + 60 * m, 1, "click", 0.0, "{}")])
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    got: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: got.extend((r["start"], r["n"]) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    w0_emissions = [n for s, n in got if s == T0]
+    # exactly one emission, with n=2: the evicted-window straggler (event 5)
+    # neither re-opened the window nor changed its count
+    assert w0_emissions == [2], got
+    # and the straggler did not leak into any other window's count either
+    assert sum(n for _, n in got) <= 5  # events 1,2,3,4,6 at most; 5 dropped
