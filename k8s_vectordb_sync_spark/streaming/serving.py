@@ -88,3 +88,61 @@ def start_ann_probe_stream(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def start_hybrid_probe_stream(
+    spark: SparkSession,
+    bm25_index_path: str,
+    ivfpq_index_path: str,
+    query_stream: DataFrame,
+    emit: Callable[[DataFrame, int], None],
+    k: int = 10,
+    pool_k: int = 20,
+    n_probe: int = 2,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Standing HYBRID search: each micro-batch of queries probes the BM25
+    impact index AND the IVF-PQ index, fused by reciprocal rank — the full
+    serving topology of hybrid_search_rrf_indexed as a stream.
+
+    query_stream rows carry both modalities of one query:
+    (query_id, query_vec array<float>, terms array<string>). Each batch
+    splits into the two probe shapes, runs the SAME batch probes the
+    registered query uses, and fuses — so a streamed query returns exactly
+    the batch hybrid's top-k (asserted in tests). Both indexes must be
+    complete before serving starts.
+    """
+    from ..operators import lexical_index as lx
+    from ..operators import retrieval as ret
+
+    for path, what in ((bm25_index_path, "BM25"), (ivfpq_index_path, "IVF-PQ")):
+        if not ai.index_is_built(path):
+            raise FileNotFoundError(
+                f"no complete {what} index at {path}; build it before serving"
+            )
+
+    from pyspark.sql import functions as F
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qterms = batch_df.select(
+            "query_id", F.explode("terms").alias("term")
+        )
+        lex = lx.bm25_index_probe(spark, bm25_index_path, qterms, k=pool_k)
+        vq = batch_df.select("query_id", "query_vec")
+        vec = ai.ivf_pq_probe(
+            spark, ivfpq_index_path, vq, k=pool_k, n_probe=n_probe
+        )
+        emit(ret.rrf_fuse(lex, vec, k=k), batch_id)
+
+    writer = (
+        query_stream.writeStream.outputMode("append")
+        .foreachBatch(probe_batch)
+        .queryName("hybrid-serving")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -116,3 +116,51 @@ def test_streaming_bm25_probe_matches_batch(spark, sf_dir, tmp_path):
     assert q.awaitTermination(300), "bm25 serving stream did not finish"
     batch = {tuple(r) for r in lx.bm25_index_probe(spark, path, qterms, k=10).collect()}
     assert set(got) == batch and len(batch) > 0
+
+
+def test_streaming_hybrid_probe_matches_batch(spark, sf_dir, tmp_path):
+    """A stream of (query_id, query_vec, terms) rows fused from BOTH
+    persisted indexes returns exactly the batch hybrid fusion."""
+    from k8s_vectordb_sync_spark.operators import lexical_index as lx
+    from k8s_vectordb_sync_spark.operators import retrieval as ret
+    from k8s_vectordb_sync_spark.streaming.serving import start_hybrid_probe_stream
+
+    bm25_path = str(tmp_path / "bm25")
+    ivf_path = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lx.build_bm25_index(docs, bm25_path)
+    ai.build_ivf_pq_index(emb, ivf_path, n_clusters=8, sample_hex=SAMPLE_HEX)
+
+    qterms = lx.derive_query_terms_from_index(spark, bm25_path, 4, 5)
+    qdf = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .join(
+            qterms.groupBy("query_id").agg(
+                F.sort_array(F.collect_list("term")).alias("terms")
+            ),
+            "query_id",
+        )
+    )
+    qdir = str(tmp_path / "queries")
+    qdf.coalesce(1).write.mode("overwrite").parquet(qdir)
+    stream = spark.readStream.schema(spark.read.parquet(qdir).schema).parquet(qdir)
+    got: list = []
+    q = start_hybrid_probe_stream(
+        spark, bm25_path, ivf_path, stream,
+        emit=lambda df, bid: got.extend(tuple(r) for r in df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt-hybrid"),
+        k=10, pool_k=20, n_probe=2,
+    )
+    assert q.awaitTermination(300), "hybrid serving stream did not finish"
+    lex = lx.bm25_index_probe(spark, bm25_path, qterms, k=20)
+    vec = ai.ivf_pq_probe(
+        spark, ivf_path,
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        k=20, n_probe=2,
+    )
+    batch = {tuple(r) for r in ret.rrf_fuse(lex, vec, k=10).collect()}
+    assert set(got) == batch and len(batch) > 0
