@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "ann_recall_ivfpq",
     "documents_token_budget_mix",
     "orders_priority_revenue_salted",
+    "events_burst_hours",
+    "documents_source_overlap",
+    "embeddings_dim_stats",
 ]
 
 RUNS_PER_QUERY = 2

@@ -8095,3 +8095,211 @@ def orders_priority_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6, late batch: burst detection, cross-source overlap matrix,
+# embedding-dimension health
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_burst_hours",
+    """WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt(CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(n) AS DOUBLE) / COUNT(*))) AS sigma
+      FROM hourly GROUP BY event_type)
+    SELECT h.event_type, epoch_ms(h.hr) AS hour_ms, h.n,
+           round(s.mu, 4) AS mean_hourly,
+           round((h.n - s.mu) / s.sigma, 4) AS z
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE s.sigma > 0 AND h.n > s.mu + 3 * s.sigma""",
+)
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/spike detection per event type: hours whose count exceeds the
+    type's mean by 3 population sigmas — the alerting complement to
+    events_cusum_changepoint (CUSUM finds sustained level SHIFTS; this
+    finds transient SPIKES — a crawler burst, a retry storm, an ingest
+    replay). Zero-variance types are excluded rather than divided by.
+
+    Scale shape: the hourly rollup combines map-side (only corpus-sized
+    shuffle); mean and sigma derive from exact integer sums over the
+    O(#types x #hours) frame (sqrt of identical doubles is IEEE-exact in
+    both engines), broadcast back as an O(#types) frame."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cnt = F.count(F.lit(1))
+    mu = F.sum("n").cast("double") / cnt
+    stats = hourly.groupBy("event_type").agg(
+        cnt.cast("bigint").alias("n_hours"),
+        mu.alias("mu"),
+        F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double") / cnt - mu * mu).alias(
+            "sigma"
+        ),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.col("n") > F.col("mu") + 3 * F.col("sigma")))
+        .select(
+            "event_type",
+            F.unix_millis("hr").alias("hour_ms"),
+            "n",
+            F.round("mu", 4).alias("mean_hourly"),
+            F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "documents_source_overlap",
+    f"""WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS ts FROM documents),
+    occ AS (SELECT DISTINCT source,
+                   {SQL_H15.format(x="array_to_string(ts[i:i+7], ' ')")} AS h
+            FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+            WHERE len(ts) >= 8),
+    marg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans
+             FROM occ GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM occ a JOIN occ b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT p.source_a, p.source_b, p.shared,
+           ma.n_spans AS spans_a, mb.n_spans AS spans_b,
+           round(CAST(p.shared AS DOUBLE)
+                 / (ma.n_spans + mb.n_spans - p.shared), 6) AS jaccard
+    FROM pairs p
+    JOIN marg ma ON ma.source = p.source_a
+    JOIN marg mb ON mb.source = p.source_b""",
+)
+def documents_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: Jaccard overlap of distinct 8-token
+    span sets between every source pair — the mixture-design diagnostic
+    that says which sources are copying each other (inter-source overlap
+    inflates a source's effective weight; the fix is dedup before mixing,
+    and this matrix says where). Same span definition as the Lee-et-al.
+    substring family.
+
+    Scale shape: spans hash to 8-byte keys BEFORE the distinct (the shuffle
+    carries (source, int64), never span text); the span-keyed equi-join's
+    fan-out per span is bounded by #sources; marginals and the pair matrix
+    are O(#sources^2) and broadcast."""
+    from .functions.text import md5_prefix_long
+    from .operators.dedup import _span_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "source", F.explode(_span_arrays(F.col("text"), 8)).alias("span")
+        )
+        .select("source", md5_prefix_long(F.col("span")).alias("h"))
+        .distinct()
+    )
+    marg = occ.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"))
+    a = occ.select(F.col("source").alias("source_a"), "h")
+    b = occ.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    ma = marg.select(F.col("source").alias("source_a"), F.col("n_spans").alias("spans_a"))
+    mb = marg.select(F.col("source").alias("source_b"), F.col("n_spans").alias("spans_b"))
+    return (
+        pairs.join(F.broadcast(ma), "source_a")
+        .join(F.broadcast(mb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            "spans_a",
+            "spans_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("spans_a") + F.col("spans_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "embeddings_dim_stats",
+    """WITH vals AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS u(i)),
+    iv AS (
+      SELECT dim,
+             CAST(CAST(v AS DECIMAL(28,12)) * 1000000000000 AS BIGINT) AS v12
+      FROM vals),
+    agg AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v12) AS HUGEINT) AS si,
+             SUM(CAST(v12 AS HUGEINT) * v12) AS s2i
+      FROM iv GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(CASE WHEN si >= 0
+             THEN (2*si*1000000 + n*1000000000000) // (2*n*1000000000000)
+             ELSE -((-2*si*1000000 + n*1000000000000) // (2*n*1000000000000))
+           END AS DOUBLE) / 1000000 AS mean,
+           CAST((2*(n*s2i - si*si)*1000000
+                 + n*n*CAST(1000000000000 AS HUGEINT)*1000000000000)
+                // (2*n*n*CAST(1000000000000 AS HUGEINT)*1000000000000)
+                AS DOUBLE) / 1000000 AS variance
+    FROM agg""",
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding space — the vector-
+    health audit next to embeddings_norm_audit: a dimension with ~zero
+    variance is dead capacity (and breaks whitening/standardization), a
+    mean far from 0 says the encoder output is uncentered, and a variance
+    outlier dominates every L2-based index. The moments round at 6 dp IN
+    EXACT INTEGER ARITHMETIC (values quantized to 12-dp micro-units, the
+    variance as (n*s2 - s^2)/(n^2 * 1e24), half-away-from-zero via the
+    (2a+b) div (2b) idiom on DECIMAL(38,0)) — the float form s2/n - mean^2
+    cancels catastrophically and its 6-dp round diverged between engines on
+    this corpus. One posexplode scan, one map-side-combined aggregate to
+    O(dim) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    iv = vals.select(
+        "dim",
+        (F.col("v").cast("decimal(28,12)") * 1000000000000)
+        .cast("bigint")
+        .alias("v12"),
+    )
+    agg = iv.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v12").cast("decimal(38,0)").alias("si"),
+        F.sum(F.col("v12").cast("decimal(20,0)") * F.col("v12").cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2i"),
+    )
+    e12 = "CAST(1000000000000 AS DECIMAL(38,0))"
+    mean6 = (
+        f"CASE WHEN si >= 0 THEN (2*si*1000000 + n*{e12}) div (2*n*{e12}) "
+        f"ELSE -((-2*si*1000000 + n*{e12}) div (2*n*{e12})) END"
+    )
+    var6 = (
+        f"(2*(n*s2i - si*si)*1000000 + n*n*{e12}*{e12}) div (2*n*n*{e12}*{e12})"
+    )
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        (F.expr(mean6).cast("double") / 1000000).alias("mean"),
+        (F.expr(var6).cast("double") / 1000000).alias("variance"),
+    )
