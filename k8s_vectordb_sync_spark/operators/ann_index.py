@@ -406,6 +406,29 @@ def build_sign_index(
     return meta
 
 
+def sign_index_add(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append newly-arrived vectors to a built sign index: encode with the
+    SAME parameter-free sign function and append to the codes parquet — the
+    daily-ingest maintenance job. Because encoding has no trained state,
+    an add is EXACT: probe(build(A) + add(B)) == probe(build(A ∪ B))
+    bit-for-bit (asserted in tests), with no retrain cadence to manage —
+    the simplest possible index lifecycle, which is exactly why the binary
+    tier earns its place at 100 TB."""
+    from .similarity import sign_codes
+
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    codes = sign_codes(embeddings, id_col, vec_col, meta["dim"], out_id="vec_id")
+    codes.write.mode("append").parquet(os.path.join(path, "codes"))
+
+
 def sign_index_probe(
     spark: SparkSession,
     path: str,

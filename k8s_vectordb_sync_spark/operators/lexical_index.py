@@ -155,3 +155,68 @@ def derive_query_terms_from_index(
         "doc_id", "term", "tf"
     )
     return ret.derive_query_terms(base, n_queries, terms_per_query)
+
+
+def bm25_index_add(
+    documents: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append newly-arrived documents to a built impact index WITHOUT a
+    full rebuild: the delta's postings are scored with df re-derived from
+    the CURRENT stored postings but N (n_docs) and avgdl frozen at build
+    time; terms the index has never seen score with the df=0 idf.
+
+    This is the standard serving compromise (every production engine
+    serves stale statistics between refreshes): impacts of OLD documents
+    are untouched, impacts of NEW documents drift from a full rebuild by
+    O(delta_corpus / corpus) in idf/avgdl — bounded and shrinking per
+    rebuild — and a periodic `build_bm25_index` re-trues everything,
+    exactly like the IVF retrain cadence. The add itself scans ONLY the
+    delta (plus one term-df pass over stored postings, no text).
+
+    Returns {"added_docs": n}. Probe-visible immediately (append to the
+    bucketed postings; the marker never moves, so concurrent probes see a
+    complete file set either way)."""
+    import math
+
+    meta = load_bm25_meta(path)
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
+    spark = documents.sparkSession
+
+    postings = ret.doc_term_freqs(documents, text_col, id_col)
+    lengths = ret.doc_lengths(postings)
+    # build-time idf for the delta's terms: df from the STORED postings
+    stored = spark.read.parquet(os.path.join(path, "postings"))
+    df_tbl = stored.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+            6,
+        ).alias("idf"),
+    )
+    unseen_idf = round(math.log(1.0 + (n_docs + 0.5) / 0.5), 6)
+    added = postings.agg(F.countDistinct("doc_id")).collect()[0][0]
+    rows = (
+        postings.join(F.broadcast(idf), "term", "left")
+        .withColumn("idf", F.coalesce(F.col("idf"), F.lit(unseen_idf)))
+        .join(lengths, "doc_id")
+        .withColumn("avgdl", F.lit(float(avgdl)))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            ret.bm25_impact(k1, b).alias("impact"),
+            (md5_prefix_long(F.col("term")) % n_buckets).cast("int").alias("bucket"),
+        )
+    )
+    rows.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    return {"added_docs": int(added)}

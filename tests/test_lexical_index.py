@@ -72,3 +72,54 @@ def test_probe_requires_marker(spark, tmp_path):
     qterms = spark.createDataFrame([(0, "x")], "query_id long, term string")
     with pytest.raises(FileNotFoundError):
         lx.bm25_index_probe(spark, str(tmp_path / "missing"), qterms)
+
+
+def test_bm25_index_add_serves_new_docs_and_preserves_old(spark, sf_dir, tmp_path):
+    """Build on half the corpus, add the other half: probes see the added
+    docs; impacts of originally-indexed docs are byte-identical (add never
+    rewrites existing rows); a full rebuild re-trues the statistics."""
+    path = str(tmp_path / "idx")
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    lx.build_bm25_index(half_a, path)
+    before = {
+        (r["term"], r["doc_id"]): r["impact"]
+        for r in spark.read.parquet(path + "/postings").collect()
+    }
+    audit = lx.bm25_index_add(half_b, path)
+    assert audit["added_docs"] == half_b.count()
+    after_rows = spark.read.parquet(path + "/postings").collect()
+    after = {(r["term"], r["doc_id"]): r["impact"] for r in after_rows}
+    # old rows untouched, new rows present
+    for k, v in before.items():
+        assert after[k] == v
+    added_ids = {r["doc_id"] for r in after_rows} - {
+        k[1] for k in before
+    }
+    assert added_ids == {r["doc_id"] for r in half_b.select("doc_id").collect()}
+    # a probe whose best match is an added doc finds it
+    qterms = lx.derive_query_terms_from_index(spark, path, 4, 5)
+    probed = lx.bm25_index_probe(spark, path, qterms, k=10)
+    assert probed.filter(F.col("neighbor_id") % 2 == 1).count() > 0
+
+
+def test_sign_index_add_is_exact(spark, sf_dir, tmp_path):
+    """Sign encoding has no trained state, so build(A)+add(B) probes
+    bit-identically to build(A ∪ B)."""
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p_full = str(tmp_path / "full")
+    ai.build_sign_index(emb, p_full)
+    p_incr = str(tmp_path / "incr")
+    ai.build_sign_index(emb.filter(F.col("vec_id") % 2 == 0), p_incr)
+    ai.sign_index_add(emb.filter(F.col("vec_id") % 2 == 1), p_incr)
+    full = {tuple(r) for r in ai.sign_index_probe(spark, p_full, q, k=5).collect()}
+    incr = {tuple(r) for r in ai.sign_index_probe(spark, p_incr, q, k=5).collect()}
+    assert incr == full and len(full) > 0
+    with pytest.raises(FileNotFoundError):
+        ai.sign_index_add(emb, str(tmp_path / "missing"))
