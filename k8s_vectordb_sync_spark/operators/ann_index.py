@@ -468,3 +468,66 @@ def sign_index_probe(
         (-F.col("score")).cast("bigint").alias("hamming"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+def ivf_pq_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
+    """Propagate deletions into the IVF-PQ index: drop the given vec_ids
+    from the codes table, rewriting ONLY the cluster partitions that
+    contain them (partition pruning on the read, dynamic partition
+    overwrite on the write — the forget_keys posture applied to the
+    serving index). Centroid/codebook artifacts are untouched: removing
+    rows never changes trained state, so probes after remove are exactly
+    probes of an index whose codes lack those rows.
+
+    This is the missing half of the reference's delete semantics at the
+    serving layer: the CDC pipeline ships DELETE events downstream
+    (rest.go:82-123); a Spark-native deployment also owns the index, so
+    deletes must reach it or the ANN tier serves ghosts. Returns the audit
+    dict ({"requested", "removed", "clusters_touched"})."""
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
+    id_list = ids.selectExpr("vec_id").distinct()
+    requested = id_list.count()
+    codes_path = os.path.join(path, "codes")
+    codes = spark.read.parquet(codes_path)
+    hit = codes.join(F.broadcast(id_list), "vec_id", "left_semi")
+    touched = sorted(r["cluster"] for r in hit.select("cluster").distinct().collect())
+    if not touched:
+        return {"requested": requested, "removed": 0, "clusters_touched": 0}
+    sub = codes.filter(F.col("cluster").isin(touched))
+    before = sub.count()
+    kept = sub.join(F.broadcast(id_list), "vec_id", "left_anti").localCheckpoint()
+    removed = before - kept.count()
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster")
+        .parquet(codes_path)
+    )
+    remaining = {r["cluster"] for r in kept.select("cluster").distinct().collect()}
+    empty = spark.createDataFrame([], kept.drop("cluster").schema)
+    for c in set(touched) - remaining:
+        empty.write.mode("overwrite").parquet(f"{codes_path}/cluster={c}")
+    return {
+        "requested": requested,
+        "removed": int(removed),
+        "clusters_touched": len(touched),
+    }
+
+
+def sign_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
+    """Drop vec_ids from the sign-code table. The codes parquet is
+    unpartitioned (Hamming probes always scan it whole — that is the
+    tier's design), so removal is one anti-join rewrite of the 16 B/vector
+    table; still delta-independent of the float corpus."""
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
+    id_list = ids.selectExpr("vec_id").distinct()
+    requested = id_list.count()
+    codes_path = os.path.join(path, "codes")
+    codes = spark.read.parquet(codes_path)
+    before = codes.count()
+    kept = codes.join(F.broadcast(id_list), "vec_id", "left_anti").localCheckpoint()
+    removed = before - kept.count()
+    kept.write.mode("overwrite").parquet(codes_path)
+    return {"requested": requested, "removed": int(removed)}

@@ -220,3 +220,40 @@ def bm25_index_add(
         os.path.join(path, "postings")
     )
     return {"added_docs": int(added)}
+
+
+def bm25_index_remove(spark: SparkSession, path: str, doc_ids: DataFrame) -> dict:
+    """Drop documents from the impact index: one scan finds the term
+    buckets holding the docs' postings, only those bucket partitions are
+    anti-join-rewritten (dynamic overwrite; emptied buckets cleared). Like
+    bm25_index_add, corpus statistics stay at build-time values until the
+    next rebuild — removed docs stop being SERVED immediately (the
+    compliance requirement), idf drift re-trues at the rebuild cadence."""
+    load_bm25_meta(path)
+    id_list = doc_ids.selectExpr("doc_id").distinct()
+    requested = id_list.count()
+    postings_path = os.path.join(path, "postings")
+    postings = spark.read.parquet(postings_path)
+    hit = postings.join(F.broadcast(id_list), "doc_id", "left_semi")
+    touched = sorted(r["bucket"] for r in hit.select("bucket").distinct().collect())
+    if not touched:
+        return {"requested": requested, "rows_removed": 0, "buckets_touched": 0}
+    sub = postings.filter(F.col("bucket").isin(touched))
+    before = sub.count()
+    kept = sub.join(F.broadcast(id_list), "doc_id", "left_anti").localCheckpoint()
+    removed = before - kept.count()
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(postings_path)
+    )
+    remaining = {r["bucket"] for r in kept.select("bucket").distinct().collect()}
+    empty = spark.createDataFrame([], kept.drop("bucket").schema)
+    for b in set(touched) - remaining:
+        empty.write.mode("overwrite").parquet(f"{postings_path}/bucket={b}")
+    return {
+        "requested": requested,
+        "rows_removed": int(removed),
+        "buckets_touched": len(touched),
+    }

@@ -123,3 +123,72 @@ def test_sign_index_add_is_exact(spark, sf_dir, tmp_path):
     assert incr == full and len(full) > 0
     with pytest.raises(FileNotFoundError):
         ai.sign_index_add(emb, str(tmp_path / "missing"))
+
+
+def test_index_removes_propagate_deletes(spark, sf_dir, tmp_path):
+    """Delete propagation across all three index families: removed ids stop
+    being served immediately; untouched partitions are not rewritten
+    (pruned rewrite for ivfpq clusters and bm25 term buckets)."""
+    import glob
+    import os as _os
+
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    gone = spark.createDataFrame([(i,) for i in range(20, 40)], "vec_id long")
+
+    # --- IVF-PQ: cluster-pruned rewrite
+    p1 = str(tmp_path / "ivfpq")
+    ai.build_ivf_pq_index(emb, p1, n_clusters=8, sample_hex="0123")
+    touched = {
+        r["cluster"]
+        for r in spark.read.parquet(p1 + "/codes")
+        .join(F.broadcast(gone), "vec_id", "left_semi")
+        .select("cluster")
+        .distinct()
+        .collect()
+    }
+    def mtimes(base, prefix):
+        return {
+            _os.path.basename(d): max(
+                _os.path.getmtime(f) for f in glob.glob(_os.path.join(d, "*.parquet"))
+            )
+            for d in glob.glob(_os.path.join(base, prefix + "=*"))
+        }
+    before = mtimes(p1 + "/codes", "cluster")
+    audit = ai.ivf_pq_index_remove(spark, p1, gone)
+    assert audit["removed"] == 20 and audit["clusters_touched"] == len(touched)
+    after = mtimes(p1 + "/codes", "cluster")
+    for part, mt in before.items():
+        if int(part.split("=")[1]) not in touched:
+            assert after[part] == mt, f"untouched {part} rewritten"
+    served = {
+        r["neighbor_id"]
+        for r in ai.ivf_pq_probe(spark, p1, q, k=50, n_probe=8).collect()
+    }
+    assert served.isdisjoint(set(range(20, 40)))
+
+    # --- sign: whole-table rewrite, removed ids gone
+    p2 = str(tmp_path / "sign")
+    ai.build_sign_index(emb, p2)
+    a2 = ai.sign_index_remove(spark, p2, gone)
+    assert a2["removed"] == 20
+    served = {
+        r["neighbor_id"] for r in ai.sign_index_probe(spark, p2, q, k=50).collect()
+    }
+    assert served.isdisjoint(set(range(20, 40)))
+
+    # --- bm25: bucket-pruned rewrite, removed docs unserved
+    p3 = str(tmp_path / "bm25")
+    lx.build_bm25_index(docs, p3)
+    gone_docs = spark.createDataFrame([(i,) for i in range(20, 40)], "doc_id long")
+    a3 = lx.bm25_index_remove(spark, p3, gone_docs)
+    assert a3["rows_removed"] > 0
+    left = spark.read.parquet(p3 + "/postings").join(
+        F.broadcast(gone_docs), "doc_id", "left_semi"
+    )
+    assert left.count() == 0

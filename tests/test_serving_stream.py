@@ -164,3 +164,65 @@ def test_streaming_hybrid_probe_matches_batch(spark, sf_dir, tmp_path):
     )
     batch = {tuple(r) for r in ret.rrf_fuse(lex, vec, k=10).collect()}
     assert set(got) == batch and len(batch) > 0
+
+
+def test_cdc_deletes_propagate_to_serving_index(spark, sf_dir, tmp_path):
+    """The full-circle vector-sync story: DELETE events ride the delete
+    fast path (the reference's <1s delete-priority topology) and are
+    applied to the persisted serving index — after the stream drains, the
+    deleted entities' vectors are unservable, and the index state is
+    bit-identical to one built without them (sign tier: exact)."""
+    import datetime
+
+    from k8s_vectordb_sync_spark.config import EngineConfig
+    from k8s_vectordb_sync_spark.sources.cdc import events_as_change_stream
+    from k8s_vectordb_sync_spark.streaming.pipeline import start_delete_fast_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "serving-idx")
+    ai.build_sign_index(emb, path)
+
+    # DELETE events for entities 7 and 11 (the cdc mapping renders "error"
+    # events as DELETE ops with id "user/<user_id>")
+    t0 = datetime.datetime(2024, 6, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 7, "error", 0.0, "{}"),
+            (2, t0, 11, "error", 0.0, "{}"),
+            (3, t0, 3, "purchase", 1.0, "{}"),  # upsert: must NOT remove
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "events")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    stream = events_as_change_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+
+    def apply_deletes(df, bid):
+        ids = [int(r["id"].rsplit("/", 1)[1]) for r in df.collect()]
+        if ids:
+            ai.sign_index_remove(
+                spark, path, spark.createDataFrame([(i,) for i in ids], "vec_id long")
+            )
+
+    q = start_delete_fast_path(
+        stream, EngineConfig(), apply_deletes,
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(300)
+
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    served = {
+        r["neighbor_id"] for r in ai.sign_index_probe(spark, path, qdf, k=50).collect()
+    }
+    assert 7 not in served and 11 not in served
+    # exactness: identical to an index built without the deleted entities
+    ref = str(tmp_path / "ref-idx")
+    ai.build_sign_index(emb.filter(~F.col("vec_id").isin(7, 11)), ref)
+    got = {tuple(r) for r in ai.sign_index_probe(spark, path, qdf, k=10).collect()}
+    want = {tuple(r) for r in ai.sign_index_probe(spark, ref, qdf, k=10).collect()}
+    assert got == want
