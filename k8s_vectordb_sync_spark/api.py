@@ -52,3 +52,65 @@ def pipeline_counts(resolved: DataFrame) -> dict[str, int]:
         "deletes": by_op.get("delete", 0),
         "total": sum(by_op.values()),
     }
+
+
+def make_search_handler(
+    spark,
+    ivfpq_path: str | None = None,
+    sign_path: str | None = None,
+    bm25_path: str | None = None,
+    default_k: int = 10,
+    n_probe: int = 2,
+):
+    """Request handler for the ops server's POST /api/v1/search route: turns
+    a JSON search request into a probe of the configured persisted indexes
+    and returns the top-k rows as dicts.
+
+    Request shapes:
+      {"tier": "ivfpq"|"sign", "query_vec": [floats], "k": n}
+      {"tier": "bm25", "terms": ["w1", ...], "k": n}
+
+    The probes are the SAME batch functions every other surface uses
+    (one code path: CLI, registered queries, streaming serving, HTTP).
+    Ops traffic is low-rate by construction; each request is one bounded
+    Spark job against broadcast artifacts + a pruned scan. Unknown tier or
+    missing index -> ValueError (the server maps it to HTTP 400)."""
+    from .operators import ann_index as ai
+    from .operators import lexical_index as lx
+
+    def handle(req: dict) -> list[dict]:
+        tier = req.get("tier", "ivfpq")
+        k = int(req.get("k", default_k))
+        qid = int(req.get("query_id", 0))
+        if tier == "bm25":
+            if not bm25_path:
+                raise ValueError("bm25 index not configured")
+            terms = list(req["terms"])
+            qt = spark.createDataFrame(
+                [(qid, t) for t in terms], "query_id long, term string"
+            )
+            out = lx.bm25_index_probe(spark, bm25_path, qt, k=k)
+        elif tier in ("ivfpq", "sign"):
+            path = ivfpq_path if tier == "ivfpq" else sign_path
+            if not path:
+                raise ValueError(f"{tier} index not configured")
+            vec = [float(x) for x in req["query_vec"]]
+            qdf = spark.createDataFrame(
+                [(qid, vec)], "query_id long, query_vec array<double>"
+            )
+            if tier == "ivfpq":
+                out = ai.ivf_pq_probe(spark, path, qdf, k=k, n_probe=n_probe)
+            else:
+                out = ai.sign_index_probe(spark, path, qdf, k=k)
+        else:
+            raise ValueError(f"unknown tier {tier!r}")
+        import decimal
+
+        def plain(v):
+            return float(v) if isinstance(v, decimal.Decimal) else v
+
+        return [
+            {name: plain(v) for name, v in r.asDict().items()} for r in out.collect()
+        ]
+
+    return handle

@@ -27,6 +27,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable
 
 RESYNC_PATH = "/api/v1/resync"
+SEARCH_PATH = "/api/v1/search"
 
 
 @dataclass
@@ -37,6 +38,10 @@ class OpsServer:
 
     resync: Callable[[], int]
     bind_address: str = ":0"
+    # optional serving route: POST /api/v1/search with a JSON request
+    # ({"tier", "k", "query_vec" | "terms"}) -> {"results": [...]}; wire
+    # with api.make_search_handler over persisted indexes. None = 404.
+    search: Callable[[dict], list] | None = None
 
     _httpd: ThreadingHTTPServer | None = None
     _thread: threading.Thread | None = None
@@ -45,7 +50,7 @@ class OpsServer:
         """Start serving on a daemon thread; returns (host, port) actually
         bound (port 0 picks a free one, like the reference's net.Listen)."""
         host, _, port = self.bind_address.rpartition(":")
-        handler = _make_handler(self.resync)
+        handler = _make_handler(self.resync, self.search)
         self._httpd = ThreadingHTTPServer((host or "127.0.0.1", int(port)), handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
@@ -60,7 +65,9 @@ class OpsServer:
             self._thread.join(timeout=5)
 
 
-def _make_handler(resync: Callable[[], int]) -> type[BaseHTTPRequestHandler]:
+def _make_handler(
+    resync: Callable[[], int], search: Callable[[dict], list] | None = None
+) -> type[BaseHTTPRequestHandler]:
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt: str, *args) -> None:  # quiet by default
             pass
@@ -75,6 +82,28 @@ def _make_handler(resync: Callable[[], int]) -> type[BaseHTTPRequestHandler]:
             self.wfile.write(data)
 
         def do_POST(self) -> None:
+            if self.path == SEARCH_PATH:
+                if search is None:
+                    self._write_json(
+                        404, {"status": "error", "message": "search not configured"}
+                    )
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    results = search(req)
+                except (KeyError, ValueError, json.JSONDecodeError) as exc:
+                    self._write_json(
+                        400, {"status": "error", "message": f"bad request: {exc}"}
+                    )
+                    return
+                except Exception as exc:  # noqa: BLE001 — engine failure
+                    self._write_json(
+                        500, {"status": "error", "message": f"search failed: {exc}"}
+                    )
+                    return
+                self._write_json(200, {"status": "ok", "results": results})
+                return
             if self.path != RESYNC_PATH:
                 self._write_json(404, {"status": "error", "message": "not found"})
                 return
