@@ -115,9 +115,20 @@ def cmd_serve(args: argparse.Namespace) -> int:
     config = EngineConfig.from_env()
     spark = build_spark(app_name="kvs-ops")
     do_resync = lambda: _run_resync(spark, args.events_dir, args.target).resources
+    search = None
+    if args.sign_index or args.bm25_index or args.ivfpq_index:
+        from .api import make_search_handler
+
+        search = make_search_handler(
+            spark,
+            ivfpq_path=args.ivfpq_index or None,
+            sign_path=args.sign_index or None,
+            bm25_path=args.bm25_index or None,
+        )
     server = OpsServer(
         resync=do_resync,
         bind_address=args.bind or config.api_bind_address,
+        search=search,
     )
     # RESYNC_INTERVAL_MIN <= 0 disables the ticker (manual/HTTP-only resync)
     ticker = (
@@ -287,6 +298,9 @@ def main(argv: list[str] | None = None) -> int:
     p_srv.add_argument("--events-dir", required=True)
     p_srv.add_argument("--target", required=True)
     p_srv.add_argument("--bind", default="", help="host:port (default $API_BIND_ADDRESS, :8082)")
+    p_srv.add_argument("--sign-index", default="", help="persisted sign index for /api/v1/search")
+    p_srv.add_argument("--ivfpq-index", default="", help="persisted IVF-PQ index for /api/v1/search")
+    p_srv.add_argument("--bm25-index", default="", help="persisted BM25 index for /api/v1/search")
     p_srv.set_defaults(fn=cmd_serve)
 
     p_bq = sub.add_parser("bench-queries", help="list registered queries")
