@@ -278,6 +278,22 @@ def cmd_forget(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train_bpe(args: argparse.Namespace) -> int:
+    """Learn a BPE merge table over the documents corpus and print it as
+    JSON — the tokenizer-(re)training job (operators/bpe.py)."""
+    from .operators.bpe import learn_bpe_merges
+    from .sources.tables import load_table
+
+    spark = build_spark(app_name="kvs-train-bpe")
+    try:
+        docs = load_table(spark, args.sf_dir, "documents")
+        merges = learn_bpe_merges(docs, n_merges=args.merges)
+        print(json.dumps({"n_merges": len(merges), "merges": merges}))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="k8s_vectordb_sync_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -328,6 +344,11 @@ def main(argv: list[str] | None = None) -> int:
     p_pi.add_argument("--k", type=int, default=5)
     p_pi.add_argument("--n-probe", type=int, default=2)
     p_pi.set_defaults(fn=cmd_probe_index)
+
+    p_tb = sub.add_parser("train-bpe", help="learn a BPE merge table over documents")
+    p_tb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_tb.add_argument("--merges", type=int, default=50)
+    p_tb.set_defaults(fn=cmd_train_bpe)
 
     p_fg = sub.add_parser("forget", help="remove keys from a bucketed target (takedown sweep)")
     p_fg.add_argument("--target", required=True)
