@@ -292,3 +292,29 @@ def test_jsonl_sharded_roundtrip_and_shard_bound(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def test_jsonl_sharded_default_partitioning(spark, tmp_path):
+    """Without `shards`, the writer keeps upstream partitioning (no extra
+    exchange) and still bounds per-file records via maxRecordsPerFile."""
+    import glob
+    import json
+    import os
+
+    from k8s_vectordb_sync_spark.sources.writers import write_jsonl_sharded
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], "doc_id long, text string"
+    ).repartition(3)
+    path = str(tmp_path / "export-default")
+    write_jsonl_sharded(df, path, records_per_shard=100)
+    files = glob.glob(os.path.join(path, "part-*"))
+    counts = []
+    ids = []
+    for f in files:
+        with open(f) as fh:
+            lines = [json.loads(l) for l in fh if l.strip()]
+        counts.append(len(lines))
+        ids.extend(r["doc_id"] for r in lines)
+    assert max(counts) <= 100
+    assert sorted(ids) == list(range(400))
