@@ -286,3 +286,32 @@ def test_group_cap_equals_naive_window_on_random_frames(spark, rows, cap):
         .collect()
     )
     assert got == naive
+
+
+join_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # join key (few keys -> hot)
+        st.integers(min_value=0, max_value=1000),  # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(left=join_rows, right=join_rows)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, left, right):
+    """operators/skew.py::salted_join is semantically the plain equi-join
+    for ANY input multiset, including duplicate keys and keys present on
+    only one side — multiplicities preserved, salt never leaks."""
+    from k8s_vectordb_sync_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, v) for k, v in left] or [(None, None)], "k int, lv int"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in right] or [(None, None)], "k int, rv int"
+    ).filter("k is not null")
+    got = sorted(tuple(r) for r in salted_join(ldf, rdf, on=["k"], n_salts=4).collect())
+    want = sorted(tuple(r) for r in ldf.join(rdf, "k").collect())
+    assert got == want
