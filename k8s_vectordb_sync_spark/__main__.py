@@ -264,17 +264,38 @@ def cmd_forget(args: argparse.Namespace) -> int:
     and print the compliance audit."""
     from .plans.forget import forget_keys
 
+    from .plans.forget import read_layout_meta
+
     spark = build_spark(app_name="kvs-forget")
     try:
+        layout = read_layout_meta(args.target)
+        key_col = args.key_col or (layout["key_col"] if layout else "id")
         ids = [int(x) for x in args.keys.split(",") if x.strip()]
-        keys = spark.createDataFrame([(i,) for i in ids], f"{args.key_col} long")
+        keys = spark.createDataFrame([(i,) for i in ids], f"{key_col} long")
         audit = forget_keys(
-            spark, args.target, keys, key_col=args.key_col,
+            spark, args.target, keys, key_col=key_col,
             num_buckets=args.buckets,
         )
         print(json.dumps(audit))
     finally:
         spark.stop()
+    return 0
+
+
+def cmd_index_status(args: argparse.Namespace) -> int:
+    """Print the staleness report (adds since build, drift ratio, rebuild
+    verdict) for a persisted index — the ops answer to 'how stale is the
+    serving index?'."""
+    if args.kind == "bm25":
+        from .operators.lexical_index import REBUILD_THRESHOLD, index_status
+
+        thr = args.threshold if args.threshold is not None else REBUILD_THRESHOLD
+        print(json.dumps(index_status(args.path, thr)))
+    else:
+        from .operators.ann_index import ANN_REBUILD_THRESHOLD, ann_index_status
+
+        thr = args.threshold if args.threshold is not None else ANN_REBUILD_THRESHOLD
+        print(json.dumps(ann_index_status(args.path, thr)))
     return 0
 
 
@@ -353,9 +374,18 @@ def main(argv: list[str] | None = None) -> int:
     p_fg = sub.add_parser("forget", help="remove keys from a bucketed target (takedown sweep)")
     p_fg.add_argument("--target", required=True)
     p_fg.add_argument("--keys", required=True, help="comma-separated key list")
-    p_fg.add_argument("--key-col", default="id")
-    p_fg.add_argument("--buckets", type=int, default=64)
+    p_fg.add_argument("--key-col", default=None,
+                      help="default: the target's persisted _layout.json (else 'id')")
+    p_fg.add_argument("--buckets", type=int, default=None,
+                      help="default: the target's persisted _layout.json (else 64)")
     p_fg.set_defaults(fn=cmd_forget)
+
+    p_is = sub.add_parser("index-status", help="staleness report for a persisted index")
+    p_is.add_argument("kind", choices=["ivfpq", "sign", "kmeans", "bm25"])
+    p_is.add_argument("--path", required=True)
+    p_is.add_argument("--threshold", type=float, default=None,
+                      help="adds/corpus drift ratio that flags a rebuild (default 0.10)")
+    p_is.set_defaults(fn=cmd_index_status)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -146,6 +146,13 @@ def build_ivf_pq_index(
         "dim": dim, "m": m, "n_codes": n_codes, "n_clusters": n_clusters,
         "kmeans_iterations": kmeans_iterations, "pq_iterations": pq_iterations,
         "sample_hex": sample_hex or "",
+        # staleness ledger: adds encode against FROZEN centroids/codebooks,
+        # so recall for added rows drifts as the corpus distribution moves;
+        # ann_needs_rebuild() bounds that drift by counter, not wall clock.
+        "kind": "ivf_pq",
+        "n_vecs": int(embeddings.count()),
+        "vecs_added_since_build": 0,
+        "exact_adds": False,
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -158,12 +165,60 @@ def index_is_built(path: str) -> bool:
     return os.path.exists(os.path.join(path, MARKER))
 
 
+# Default drift bound shared with lexical_index: once adds exceed 10% of
+# the built corpus, the frozen trained state (centroids/codebooks) has been
+# asked to represent a corpus 10% larger than it was fit on — retrain.
+ANN_REBUILD_THRESHOLD = 0.10
+
+
+def _bump_add_counter(path: str, meta: dict, added: int) -> None:
+    """Record ``added`` rows in the index's staleness ledger (meta.json).
+    The marker never moves, so concurrent probes are unaffected."""
+    meta["vecs_added_since_build"] = (
+        meta.get("vecs_added_since_build", 0) + int(added)
+    )
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def ann_needs_rebuild(path: str, threshold: float = ANN_REBUILD_THRESHOLD) -> bool:
+    """True when vectors added since the last build exceed ``threshold`` ×
+    the built corpus size AND the tier's adds are approximate (encode
+    against frozen trained state, i.e. IVF-PQ). Sign-tier adds are exact —
+    probe(build(A)+add(B)) == probe(build(A∪B)) bit-for-bit — so that tier
+    never *needs* a rebuild for correctness; its counter still reports for
+    ops visibility (file compaction cadence)."""
+    status = ann_index_status(path, threshold)
+    return status["needs_rebuild"]
+
+
+def ann_index_status(path: str, threshold: float = ANN_REBUILD_THRESHOLD) -> dict:
+    """Staleness report for the `index status` CLI (vector tiers)."""
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_vecs = int(meta.get("n_vecs", 0))
+    added = int(meta.get("vecs_added_since_build", 0))
+    exact = bool(meta.get("exact_adds", False))
+    drift = added / max(n_vecs, 1)
+    return {
+        "kind": meta.get("kind", "sign" if exact else "ivf_pq"),
+        "n_vecs": n_vecs,
+        "vecs_added_since_build": added,
+        "drift_ratio": drift,
+        "threshold": threshold,
+        "exact_adds": exact,
+        "needs_rebuild": (not exact) and drift > threshold,
+    }
+
+
 def ivf_pq_index_add(
     embeddings: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> dict:
     """Append new vectors to a BUILT index without retraining — the serving
     mutation path (FAISS's ``add()``): each new row is assigned to its
     nearest STORED centroid and encoded with the STORED codebooks, then
@@ -172,11 +227,14 @@ def ivf_pq_index_add(
     corpus is never read or rewritten.
 
     Centroids/codebooks stay immutable, so retrieval quality for added rows
-    assumes the corpus distribution is stationary; when the cluster-balance
-    audit (embeddings_cluster_sizes vs the build-time layout) drifts, rebuild.
-    Appends are not atomic (a crashed add can leave a partial batch) — a
-    deployment gates readers on a manifest/commit the same way the MERGE sink
-    does; callers here should re-add idempotently by vec_id or rebuild.
+    assumes the corpus distribution is stationary; the meta staleness
+    counter (``vecs_added_since_build``, checked by ann_needs_rebuild)
+    bounds how far that assumption is allowed to stretch before a retrain.
+    Adds are IDEMPOTENT: vec_ids already in the codes table are anti-joined
+    away (a duplicate code row would let one neighbor occupy two top-k
+    slots). Appends are not atomic (a crashed add can leave a partial
+    batch) — a deployment gates readers on a manifest/commit the same way
+    the MERGE sink does. Returns {"added", "skipped_existing"}.
     """
     spark = embeddings.sparkSession
     meta, centroids, books = load_ivf_pq_index(spark, path)
@@ -194,9 +252,15 @@ def ivf_pq_index_add(
             for s in range(m)
         ],
     )
+    requested = codes.count()
+    existing = spark.read.parquet(os.path.join(path, "codes")).select("vec_id")
+    codes = codes.join(existing, "vec_id", "left_anti").localCheckpoint()
+    added = codes.count()
     codes.write.mode("append").partitionBy("cluster").parquet(
         os.path.join(path, "codes")
     )
+    _bump_add_counter(path, meta, added)
+    return {"added": int(added), "skipped_existing": int(requested - added)}
 
 
 def load_ivf_pq_index(
@@ -351,7 +415,7 @@ def build_kmeans_index(
         list(centroids), schema="cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     meta = {
-        "n_clusters": n_clusters, "iterations": iterations,
+        "kind": "kmeans", "n_clusters": n_clusters, "iterations": iterations,
         "sample_hex": sample_hex or "",
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
@@ -398,7 +462,15 @@ def build_sign_index(
         os.remove(marker)
     codes = sign_codes(embeddings, id_col, vec_col, dim, out_id="vec_id")
     codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-    meta = {"dim": dim, "word_bits": BQ_WORD_BITS}
+    meta = {
+        "dim": dim, "word_bits": BQ_WORD_BITS,
+        "kind": "sign",
+        "n_vecs": int(embeddings.count()),
+        "vecs_added_since_build": 0,
+        # sign encoding is parameter-free: adds are bit-exact, a rebuild is
+        # never needed for correctness (only for file compaction)
+        "exact_adds": True,
+    }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     with open(marker, "w") as fh:
@@ -411,7 +483,7 @@ def sign_index_add(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> dict:
     """Append newly-arrived vectors to a built sign index: encode with the
     SAME parameter-free sign function and append to the codes parquet — the
     daily-ingest maintenance job. Because encoding has no trained state,
@@ -426,7 +498,20 @@ def sign_index_add(
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     codes = sign_codes(embeddings, id_col, vec_col, meta["dim"], out_id="vec_id")
+    # Re-adding an id already in the index would duplicate its code row and
+    # let one neighbor occupy two top-k slots. Anti-join against the
+    # existing id column (column-pruned scan of the 8-byte id only) so adds
+    # are idempotent; CDC replay / at-least-once upstreams hit this path.
+    requested = codes.count()
+    existing = (
+        embeddings.sparkSession.read.parquet(os.path.join(path, "codes"))
+        .select("vec_id")
+    )
+    codes = codes.join(existing, "vec_id", "left_anti").localCheckpoint()
+    added = codes.count()
     codes.write.mode("append").parquet(os.path.join(path, "codes"))
+    _bump_add_counter(path, meta, added)
+    return {"added": int(added), "skipped_existing": int(requested - added)}
 
 
 def sign_index_probe(

@@ -68,7 +68,13 @@ def _merge_expr(sym_col, a: str, b: str):
     left-to-right, non-overlapping (Java regex replaceAll semantics ==
     BPE's greedy merge)."""
     pat = r"(?<=^|\s)" + re.escape(a) + r" " + re.escape(b) + r"(?=\s|$)"
-    return F.regexp_replace(sym_col, pat, (a + b).replace("$", r"\$"))
+    # Replacement string follows Java Matcher semantics: backslash escapes
+    # the next char and '$' starts a group reference. Tokens are arbitrary
+    # corpus text, so quote BOTH (backslash first — Matcher.quoteReplacement
+    # order), else a token containing '\' corrupts the merge or throws
+    # IllegalArgumentException on a trailing backslash.
+    repl = (a + b).replace("\\", "\\\\").replace("$", r"\$")
+    return F.regexp_replace(sym_col, pat, repl)
 
 
 def learn_bpe_merges(

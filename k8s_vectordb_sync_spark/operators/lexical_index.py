@@ -99,6 +99,10 @@ def build_bm25_index(
         meta = {
             "k1": k1, "b": b, "n_buckets": n_buckets,
             "n_docs": int(srow["n_docs"]), "avgdl": float(srow["avgdl"]),
+            # staleness ledger: adds bump this; needs_rebuild() compares it
+            # to n_docs so the idf/avgdl drift bound (O(added/corpus)) is a
+            # monitored quantity, not a hope.
+            "docs_added_since_build": 0,
         }
     finally:
         postings.unpersist()
@@ -176,9 +180,15 @@ def bm25_index_add(
     exactly like the IVF retrain cadence. The add itself scans ONLY the
     delta (plus one term-df pass over stored postings, no text).
 
-    Returns {"added_docs": n}. Probe-visible immediately (append to the
-    bucketed postings; the marker never moves, so concurrent probes see a
-    complete file set either way)."""
+    Adds are IDEMPOTENT: doc_ids already present in the stored postings are
+    anti-joined away before scoring (re-adding would duplicate postings and
+    inflate df), so CDC replay / at-least-once upstreams are safe.
+
+    Returns {"added_docs": n, "skipped_existing": m} and bumps the meta
+    staleness counter ``docs_added_since_build`` (see needs_rebuild).
+    Probe-visible immediately (append to the bucketed postings; the marker
+    never moves, so concurrent probes see a complete file set either
+    way)."""
     import math
 
     meta = load_bm25_meta(path)
@@ -186,10 +196,16 @@ def bm25_index_add(
     k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
     spark = documents.sparkSession
 
+    requested = documents.select(id_col).distinct().count()
     postings = ret.doc_term_freqs(documents, text_col, id_col)
+    # duplicate-add guard: drop docs the index already holds (column-pruned
+    # id scan of the stored postings; df pass below reads them anyway)
+    stored = spark.read.parquet(os.path.join(path, "postings"))
+    postings = postings.join(
+        stored.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
     lengths = ret.doc_lengths(postings)
     # build-time idf for the delta's terms: df from the STORED postings
-    stored = spark.read.parquet(os.path.join(path, "postings"))
     df_tbl = stored.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_tbl.select(
         "term",
@@ -219,7 +235,44 @@ def bm25_index_add(
     rows.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
     )
-    return {"added_docs": int(added)}
+    added = int(added)
+    meta["docs_added_since_build"] = meta.get("docs_added_since_build", 0) + added
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return {"added_docs": added, "skipped_existing": int(requested) - added}
+
+
+# Default drift bound: rebuild once adds exceed 10% of the built corpus —
+# at that point the frozen idf/avgdl can be off by ~10% for new docs.
+REBUILD_THRESHOLD = 0.10
+
+
+def needs_rebuild(path: str, threshold: float = REBUILD_THRESHOLD) -> bool:
+    """True when docs added since the last full build exceed ``threshold``
+    × the built corpus size — the point where the frozen-statistics drift
+    bound (O(added/corpus) in idf/avgdl, lexical_index.bm25_index_add
+    docstring) stops being negligible and a `build_bm25_index` re-true is
+    due. The analog of the IVF retrain cadence, but counter-driven instead
+    of wall-clock-driven."""
+    meta = load_bm25_meta(path)
+    n_docs = max(int(meta.get("n_docs", 0)), 1)
+    return meta.get("docs_added_since_build", 0) > threshold * n_docs
+
+
+def index_status(path: str, threshold: float = REBUILD_THRESHOLD) -> dict:
+    """Staleness report for the `index status` CLI: built-corpus size, adds
+    since build, drift ratio, and the rebuild verdict."""
+    meta = load_bm25_meta(path)
+    n_docs = int(meta.get("n_docs", 0))
+    added = int(meta.get("docs_added_since_build", 0))
+    return {
+        "kind": "bm25",
+        "n_docs": n_docs,
+        "docs_added_since_build": added,
+        "drift_ratio": added / max(n_docs, 1),
+        "threshold": threshold,
+        "needs_rebuild": needs_rebuild(path, threshold),
+    }
 
 
 def bm25_index_remove(spark: SparkSession, path: str, doc_ids: DataFrame) -> dict:

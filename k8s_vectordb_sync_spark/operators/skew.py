@@ -13,9 +13,11 @@ small side by n_salts — use only when the small side is too big to
 broadcast outright but n_salts copies still fit comfortably in the
 shuffle.
 
-`salted_join` is semantically identical to the plain equi-join (the
-oracle-gated query proves it hash-for-hash); the salt column never leaks
-into the result.
+`salted_join` is semantically identical to the plain equi-join for
+inner/left-flavored joins (the oracle-gated query proves it
+hash-for-hash); the salt column never leaks into the result. Right/full
+outer flavors are REJECTED: the right side is replicated ``n_salts``×,
+so every unmatched right row would be emitted once per salt value.
 """
 
 from __future__ import annotations
@@ -42,7 +44,20 @@ def salted_join(
     split a hot key, and never requiring a row id. Right rows are
     replicated with explode over the literal salt range (no shuffle added;
     the replication rides the existing exchange).
+
+    Only inner/left-flavored joins are equivalent to the plain join:
+    unmatched RIGHT rows exist ``n_salts`` times after replication, so
+    right/full (and right_semi/right_anti) would duplicate them — rejected.
     """
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi",
+               "leftanti", "anti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-equivalent — the right "
+            f"side is replicated {n_salts}x, so unmatched right rows would "
+            "be duplicated. Use inner/left/left_semi/left_anti, or a plain "
+            "join for right/full outer."
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lft = left.withColumn("__salt", salt)
     rgt = right.withColumn(

@@ -8,37 +8,122 @@ deletes that ARRIVE as events; this removes keys retroactively).
 
 Scale shape: the target uses the sink's ``_bucket=pmod(xxhash64(key), N)``
 layout, so the sweep reads ONLY the buckets the forget keys hash into
-(partition pruning), anti-joins the broadcast key list, and
-dynamic-partition-overwrites just those buckets. Cost is O(|touched
-buckets|), not O(|target|): forgetting 100 keys on a 100 TB target reads
-and rewrites at most 100/N of it. Buckets left empty are cleared
-explicitly (dynamic overwrite skips partitions absent from the output —
-same edge the sink handles). On Delta/Iceberg this is
-``MERGE/DELETE WHERE key IN (...)`` with the same pruning.
+(partition pruning), anti-joins the broadcast key list, and swaps in the
+rewritten buckets. Cost is O(|touched buckets|), not O(|target|):
+forgetting 100 keys on a 100 TB target reads and rewrites at most 100/N of
+it. On Delta/Iceberg this is ``MERGE/DELETE WHERE key IN (...)`` with the
+same pruning.
+
+Layout safety (a compliance sweep that silently prunes the WRONG buckets
+is worse than no sweep):
+
+- The sink records its layout in ``_layout.json`` (key column + bucket
+  count) when it first writes a target; `forget_keys` reads it and refuses
+  caller arguments that contradict it.
+- For targets without the meta file (hand-written, pre-meta), every row in
+  the buckets actually read is re-hashed and asserted to land in its own
+  directory bucket — a wrong ``num_buckets`` (or a key column whose TYPE
+  differs, which changes xxhash64) fails loudly instead of missing rows.
+- The key frame's column type must equal the target's (no silent casts).
+
+Durability: the kept rows are written to a hidden staging dir
+(``_forget_tmp`` — underscore-prefixed, invisible to parquet readers) with
+full recomputable lineage, and only after the write commits are the bucket
+directories swapped in with per-bucket renames (old bucket parked in
+``_forget_trash`` until the swap completes). A failure any time during the
+heavy phase — scan, anti-join, staging write — leaves the target byte-for-
+byte untouched. The swap itself is O(buckets) metadata renames; a crash
+inside it leaves the previous bucket content in the trash dir for manual
+restore (a plain filesystem cannot commit N renames atomically — that
+final gap is exactly what Delta/Iceberg snapshot commits close in a real
+deployment).
 
 The audit dict is the compliance artifact: requested keys, matched keys,
-rows removed, buckets touched.
+rows removed, buckets touched, and whether the layout was verified against
+persisted metadata or by the row-level re-hash check.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+LAYOUT_FILE = "_layout.json"
+
+
+def write_layout_meta(target_path: str, key_col: str, num_buckets: int) -> None:
+    """Persist the bucket layout next to the data (hidden from readers by
+    the underscore prefix). Written by the sink at target creation; read by
+    forget_keys so the sweep can never assume a wrong layout."""
+    os.makedirs(target_path, exist_ok=True)
+    with open(os.path.join(target_path, LAYOUT_FILE), "w") as fh:
+        json.dump({"key_col": key_col, "num_buckets": int(num_buckets)}, fh)
+
+
+def read_layout_meta(target_path: str) -> dict | None:
+    p = os.path.join(target_path, LAYOUT_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _swap_buckets(target_path: str, tmp: str, buckets: list[int]) -> None:
+    """Atomically-per-bucket swap staged partition dirs into the target.
+    Old dirs are parked in a trash dir (with a journal) until every rename
+    lands, then both staging and trash are dropped."""
+    trash = os.path.join(target_path, "_forget_trash")
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_journal.json"), "w") as fh:
+        json.dump({"buckets": list(buckets)}, fh)
+    for b in buckets:
+        final = os.path.join(target_path, f"_bucket={b}")
+        staged = os.path.join(tmp, f"_bucket={b}")
+        if os.path.exists(final):
+            os.rename(final, os.path.join(trash, f"_bucket={b}"))
+        os.rename(staged, final)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def forget_keys(
     spark: SparkSession,
     target_path: str,
     keys: DataFrame,
-    key_col: str = "id",
-    num_buckets: int = 64,
+    key_col: str | None = None,
+    num_buckets: int | None = None,
 ) -> dict:
-    """Remove every row of ``target_path`` whose ``key_col`` appears in
-    ``keys`` (a small frame — it is broadcast). Returns the audit dict.
-    Idempotent: re-running with the same list removes nothing further."""
-    key_list = keys.select(key_col).distinct()
-    bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
-    requested = key_list.count()
+    """Remove every row of ``target_path`` whose key appears in ``keys``
+    (a small frame — it is broadcast). Returns the audit dict.
+    Idempotent: re-running with the same list removes nothing further.
+
+    ``key_col``/``num_buckets`` default to the target's persisted
+    ``_layout.json`` (written by the sink); passing values that contradict
+    the meta raises. Without the meta file, both default to the sink's
+    defaults ("id", 64) and the layout is verified row-level instead.
+    """
+    layout = read_layout_meta(target_path)
+    if layout is not None:
+        if key_col is not None and key_col != layout["key_col"]:
+            raise ValueError(
+                f"forget_keys: key_col={key_col!r} contradicts the target's "
+                f"persisted layout (key_col={layout['key_col']!r})"
+            )
+        if num_buckets is not None and num_buckets != layout["num_buckets"]:
+            raise ValueError(
+                f"forget_keys: num_buckets={num_buckets} contradicts the "
+                f"target's persisted layout (num_buckets={layout['num_buckets']})"
+            )
+        key_col = layout["key_col"]
+        num_buckets = int(layout["num_buckets"])
+    else:
+        key_col = key_col or "id"
+        num_buckets = num_buckets or 64
 
     target = spark.read.parquet(target_path)
     if "_bucket" not in target.columns:
@@ -46,11 +131,43 @@ def forget_keys(
             f"{target_path} is not bucket-partitioned; forget_keys requires "
             "the sink's _bucket layout (or run a full-rewrite migration first)"
         )
+    # type guard: xxhash64(cast) != xxhash64(original), so a keys frame of a
+    # different type would prune the WRONG buckets — refuse, don't cast.
+    tgt_type = target.schema[key_col].dataType
+    key_list = keys.select(key_col).distinct()
+    in_type = key_list.schema[key_col].dataType
+    if in_type != tgt_type:
+        raise ValueError(
+            f"forget_keys: keys.{key_col} is {in_type.simpleString()} but the "
+            f"target stores {tgt_type.simpleString()}; xxhash64 (hence the "
+            "bucket layout) is type-sensitive — cast the keys frame explicitly"
+        )
+
+    bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    requested = key_list.count()
     touched = sorted(
         r["_b"] for r in key_list.select(bucket_expr.alias("_b")).distinct().collect()
     )
     sub = target.filter(F.col("_bucket").isin(touched))
-    before = sub.count()
+    # one combined pass over the pruned subset: row count + layout check
+    # (re-hash every row read; any row not in its own directory bucket means
+    # the assumed num_buckets/key_col is wrong — abort before writing)
+    stats = sub.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(bucket_expr != F.col("_bucket"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("bad"),
+    ).collect()[0]
+    before, bad = int(stats["n"]), int(stats["bad"] or 0)
+    if bad:
+        raise ValueError(
+            f"forget_keys: {bad} of {before} rows in the read buckets do not "
+            f"re-hash to their directory bucket under num_buckets={num_buckets}/"
+            f"key_col={key_col!r} — the target was written with a different "
+            "layout; aborting before any rewrite"
+        )
+    layout_verified = layout is not None or before > 0
+
     kept = sub.join(F.broadcast(key_list), key_col, "left_anti")
     # matched = forget keys actually present (compliance wants to know)
     matched = (
@@ -59,22 +176,30 @@ def forget_keys(
         .distinct()
         .count()
     )
-    kept = kept.localCheckpoint()  # cannot overwrite a path being read
-    after = kept.count()
-    (
-        kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(target_path)
-    )
-    remaining = {r["_bucket"] for r in kept.select("_bucket").distinct().collect()}
+
+    # stage the rewrite OUTSIDE the live bucket dirs: full lineage retained
+    # (re-computable on executor loss), target untouched until the swap
+    tmp = os.path.join(target_path, "_forget_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    # fully-emptied buckets produce no staged dir; stage an empty (but
+    # schema-bearing) one so the swapped-in target always has file footers
+    staged = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(tmp)
+        if d.startswith("_bucket=")
+    }
+    after = spark.read.parquet(tmp).count() if staged else 0
     empty = spark.createDataFrame([], kept.drop("_bucket").schema)
-    for b in set(touched) - remaining:
-        empty.write.mode("overwrite").parquet(f"{target_path}/_bucket={b}")
+    for b in set(touched) - staged:
+        empty.write.mode("overwrite").parquet(os.path.join(tmp, f"_bucket={b}"))
+
+    _swap_buckets(target_path, tmp, touched)
     return {
         "requested_keys": requested,
         "matched_keys": matched,
         "rows_removed": before - after,
         "buckets_touched": len(touched),
         "buckets_total": num_buckets,
+        "layout_verified": layout_verified,
     }

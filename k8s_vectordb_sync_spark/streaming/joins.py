@@ -43,7 +43,8 @@ def attribution_interval_join(
     oracle for the streamed run.
 
     Returns (user_id, purchase_id, purchase_ts, purchase_value, click_id,
-    click_ts, lag_sec).
+    click_ts, lag_us) — the lag column is in MICROSECONDS (unix_micros
+    difference), not seconds.
     """
     c = clicks.select(
         F.col(user_col).alias("user_id"),

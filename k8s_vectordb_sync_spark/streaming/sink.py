@@ -182,6 +182,7 @@ def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int 
     On Delta/Iceberg this entire function is `MERGE INTO`; plain parquet is
     what this container has.
     """
+    from ..plans.forget import read_layout_meta, write_layout_meta
     from ..plans.resync import merge_deletes, merge_upserts
 
     bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
@@ -189,6 +190,19 @@ def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int 
     def write_batch(resolved: DataFrame, batch_id: int) -> None:
         if resolved.isEmpty():
             return
+        # layout contract: record (key_col, num_buckets) beside the data the
+        # first time, refuse to merge into a target laid out differently —
+        # a mismatched merge would scatter a key across two buckets and
+        # break every pruned reader (forget_keys, future merges).
+        layout = read_layout_meta(target_path)
+        if layout is None:
+            write_layout_meta(target_path, key_col, num_buckets)
+        elif (layout["key_col"], layout["num_buckets"]) != (key_col, num_buckets):
+            raise ValueError(
+                f"parquet_upsert_sink: target {target_path} was written with "
+                f"layout {layout}, sink configured with key_col={key_col!r}/"
+                f"num_buckets={num_buckets} — refusing a cross-layout merge"
+            )
         spark = resolved.sparkSession
         batch = resolved.withColumn("_bucket", bucket_expr)
         # bucket ids only — bounded by num_buckets, never data rows

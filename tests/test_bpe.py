@@ -38,7 +38,9 @@ def _ref_stats(vocab):
 def _ref_merge(vocab, pair):
     a, b = pair
     pat = re.compile(r"(?<!\S)" + re.escape(a) + r" " + re.escape(b) + r"(?!\S)")
-    return {pat.sub(a + b, w): f for w, f in vocab.items()}
+    # function replacement = literal text (Python re.sub treats string
+    # replacements' backslashes as escapes, same hazard as Java replaceAll)
+    return {pat.sub(lambda m: a + b, w): f for w, f in vocab.items()}
 
 
 def _ref_learn(texts, n_merges, min_pair_freq=2):
@@ -110,3 +112,25 @@ def test_encoder_applies_merges_in_order(spark):
     assert out[1] == ["low", bpe.END, "low", "e", "r", bpe.END]
     assert out[2] == ["n", "e", "w", "est", bpe.END]
     assert out[3] == []  # empty doc -> empty symbol list, row preserved
+
+
+def test_merges_with_backslash_and_dollar_tokens(spark):
+    """Replacement-string escaping (ADVICE r6): tokens are arbitrary corpus
+    text, so a learned pair whose concatenation contains '\\' or '$' must
+    survive Java replaceAll's replacement semantics (backslash = escape,
+    dollar = group ref). Windows-path-and-currency corpus: the engine must
+    match the pure-Python reference symbol-for-symbol, not throw."""
+    texts = [
+        r"c:\data c:\data c:\data $5 $5 $5",
+        r"c:\data $5 c:\data $5",
+        r"\\ \\ \\ $$ $$",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe.learn_bpe_merges(df, n_merges=10)
+    want = _ref_learn(texts, 10)
+    assert got == want and len(got) > 0
+    # the encoder path applies the same merge expressions
+    enc = {r["doc_id"]: r["bpe"] for r in bpe.bpe_encode(df, got).collect()}
+    assert all(isinstance(v, list) for v in enc.values())

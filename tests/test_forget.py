@@ -88,3 +88,71 @@ def test_forget_requires_bucketed_layout(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "id long, value string").write.parquet(path)
     with pytest.raises(ValueError):
         forget_keys(spark, path, spark.createDataFrame([(1,)], "id long"))
+
+
+def test_forget_crash_before_swap_leaves_target_intact(
+    spark, bucketed_target, monkeypatch
+):
+    """Crash safety (VERDICT r6): the heavy phase (scan, anti-join, staged
+    write) happens in a hidden staging dir; a failure before the bucket
+    swap leaves the target byte-identical and still fully served, and a
+    re-run completes the sweep."""
+    import k8s_vectordb_sync_spark.plans.forget as fg
+
+    keys = spark.createDataFrame([(3,), (77,)], "id long")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between staging write and swap")
+
+    monkeypatch.setattr(fg, "_swap_buckets", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fg.forget_keys(spark, bucketed_target, keys, num_buckets=N_BUCKETS)
+    # pre-forget rows all still served (the stale _forget_tmp staging dir is
+    # underscore-hidden from parquet readers)
+    back = spark.read.parquet(bucketed_target)
+    assert {r["id"] for r in back.select("id").collect()} == set(range(200))
+
+    monkeypatch.undo()
+    audit = fg.forget_keys(spark, bucketed_target, keys, num_buckets=N_BUCKETS)
+    assert audit["rows_removed"] == 2
+    ids = {r["id"] for r in spark.read.parquet(bucketed_target).select("id").collect()}
+    assert ids == set(range(200)) - {3, 77}
+    # staging/trash dirs cleaned up after the successful sweep
+    assert not os.path.exists(os.path.join(bucketed_target, "_forget_tmp"))
+    assert not os.path.exists(os.path.join(bucketed_target, "_forget_trash"))
+
+
+def test_forget_honors_persisted_layout_meta(spark, bucketed_target):
+    """With the sink's _layout.json present, forget_keys needs no layout
+    arguments and refuses contradicting ones (ADVICE r6: a wrong
+    num_buckets must not silently prune the wrong buckets)."""
+    from k8s_vectordb_sync_spark.plans.forget import write_layout_meta
+
+    write_layout_meta(bucketed_target, "id", N_BUCKETS)
+    keys = spark.createDataFrame([(5,)], "id long")
+    audit = forget_keys(spark, bucketed_target, keys)
+    assert audit["rows_removed"] == 1
+    assert audit["layout_verified"] is True
+    assert audit["buckets_total"] == N_BUCKETS
+    with pytest.raises(ValueError, match="contradicts"):
+        forget_keys(spark, bucketed_target, keys, num_buckets=N_BUCKETS * 2)
+    with pytest.raises(ValueError, match="contradicts"):
+        forget_keys(spark, bucketed_target, keys, key_col="value")
+
+
+def test_forget_detects_wrong_bucket_count_without_meta(spark, bucketed_target):
+    """No meta file: every row read is re-hashed against its directory
+    bucket, so an assumed num_buckets that disagrees with the write-time
+    layout aborts BEFORE any rewrite instead of silently missing keys."""
+    keys = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    with pytest.raises(ValueError, match="re-hash"):
+        forget_keys(spark, bucketed_target, keys, num_buckets=N_BUCKETS * 2)
+    assert spark.read.parquet(bucketed_target).count() == 200  # untouched
+
+
+def test_forget_rejects_mismatched_key_type(spark, bucketed_target):
+    """xxhash64 is type-sensitive: an int keys frame against a long target
+    would compute different buckets — refuse rather than cast silently."""
+    keys = spark.createDataFrame([(3,)], "id int")
+    with pytest.raises(ValueError, match="type-sensitive"):
+        forget_keys(spark, bucketed_target, keys, num_buckets=N_BUCKETS)

@@ -315,3 +315,38 @@ def test_salted_join_equals_plain_join(spark, left, right):
     got = sorted(tuple(r) for r in salted_join(ldf, rdf, on=["k"], n_salts=4).collect())
     want = sorted(tuple(r) for r in ldf.join(rdf, "k").collect())
     assert got == want
+
+
+@given(left=join_rows, right=join_rows)
+@SETTINGS
+def test_salted_left_join_equals_plain_left_join(spark, left, right):
+    """The left-outer flavor is also salt-equivalent: an unmatched LEFT row
+    carries exactly one salt value, so it survives exactly once."""
+    from k8s_vectordb_sync_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, v) for k, v in left] or [(None, None)], "k int, lv int"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in right] or [(None, None)], "k int, rv int"
+    ).filter("k is not null")
+    got = sorted(
+        tuple(r) for r in salted_join(ldf, rdf, on=["k"], n_salts=4, how="left").collect()
+    )
+    want = sorted(tuple(r) for r in ldf.join(rdf, "k", "left").collect())
+    assert got == want
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """right/full outer would emit each unmatched right row once per salt
+    (the right side is replicated n_salts x) — salted_join must refuse,
+    not silently duplicate (ADVICE r6)."""
+    import pytest
+
+    from k8s_vectordb_sync_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame([(1, 1)], "k int, lv int")
+    rdf = spark.createDataFrame([(2, 2)], "k int, rv int")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not salt-equivalent"):
+            salted_join(ldf, rdf, on=["k"], n_salts=4, how=how)

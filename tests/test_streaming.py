@@ -584,3 +584,33 @@ def test_streaming_session_window_matches_batch(spark, workdir):
     q.awaitTermination(120)
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM session_test").collect()}
     assert streamed == batch
+
+
+def test_sink_records_layout_and_rejects_cross_layout_merge(spark, workdir):
+    """The MERGE sink persists its (key_col, num_buckets) layout beside the
+    data on first write; a sink configured differently refuses to merge
+    (a cross-layout merge would scatter one key over two buckets), and
+    forget_keys picks the layout up with zero arguments (ADVICE r6)."""
+    from k8s_vectordb_sync_spark.plans.forget import forget_keys, read_layout_meta
+    from k8s_vectordb_sync_spark.streaming.sink import parquet_upsert_sink
+
+    target = f"{workdir}/target"
+    write_batch = parquet_upsert_sink(target, num_buckets=8)
+    batch = spark.createDataFrame(
+        [("upsert", _t(0), f"user/{i}", float(i)) for i in range(10)],
+        "op string, event_ts timestamp, id string, value double",
+    )
+    write_batch(batch, 0)
+    assert read_layout_meta(target) == {"key_col": "id", "num_buckets": 8}
+
+    mismatched = parquet_upsert_sink(target, num_buckets=16)
+    with pytest.raises(ValueError, match="cross-layout"):
+        mismatched(batch, 1)
+
+    audit = forget_keys(
+        spark, target, spark.createDataFrame([("user/3",)], "id string")
+    )
+    assert audit["matched_keys"] == 1 and audit["buckets_total"] == 8
+    assert audit["layout_verified"] is True
+    remaining = {r["id"] for r in spark.read.parquet(target).select("id").collect()}
+    assert remaining == {f"user/{i}" for i in range(10)} - {"user/3"}
