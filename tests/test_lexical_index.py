@@ -192,3 +192,80 @@ def test_index_removes_propagate_deletes(spark, sf_dir, tmp_path):
         F.broadcast(gone_docs), "doc_id", "left_semi"
     )
     assert left.count() == 0
+
+
+def test_index_adds_are_idempotent_and_track_staleness(spark, sf_dir, tmp_path):
+    """Duplicate-add guard + staleness ledger (ADVICE/VERDICT r6): re-adding
+    ids already in an index is a no-op (no duplicate postings/codes, df
+    counts and top-k slots unchanged), every add bumps the meta counter,
+    and needs_rebuild trips once adds exceed the drift threshold — for the
+    tiers whose adds are approximate (bm25's frozen idf/avgdl); the sign
+    tier's adds are exact so it never *needs* a rebuild."""
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # --- BM25
+    path = str(tmp_path / "bm25")
+    lx.build_bm25_index(half_a, path)
+    assert lx.index_status(path)["docs_added_since_build"] == 0
+    assert not lx.needs_rebuild(path)
+    n_b = half_b.count()
+    audit = lx.bm25_index_add(half_b, path)
+    assert audit == {"added_docs": n_b, "skipped_existing": 0}
+    rows_after_add = spark.read.parquet(path + "/postings").count()
+    qterms = lx.derive_query_terms_from_index(spark, path, 4, 5)
+    served = sorted(
+        tuple(r) for r in lx.bm25_index_probe(spark, path, qterms, k=10).collect()
+    )
+    # replay the same add: everything skipped, postings byte-count stable,
+    # probe results identical
+    audit2 = lx.bm25_index_add(half_b, path)
+    assert audit2 == {"added_docs": 0, "skipped_existing": n_b}
+    assert spark.read.parquet(path + "/postings").count() == rows_after_add
+    served2 = sorted(
+        tuple(r) for r in lx.bm25_index_probe(spark, path, qterms, k=10).collect()
+    )
+    assert served2 == served
+    status = lx.index_status(path)
+    assert status["docs_added_since_build"] == n_b  # replay didn't count
+    assert status["needs_rebuild"] is True  # ~half the corpus added > 10%
+    # a full rebuild resets the ledger
+    lx.build_bm25_index(docs, path)
+    assert lx.index_status(path)["docs_added_since_build"] == 0
+    assert not lx.needs_rebuild(path)
+
+    # --- sign tier: idempotent too, but exact -> never needs_rebuild
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev_a = emb.filter(F.col("vec_id") % 2 == 0)
+    ev_b = emb.filter(F.col("vec_id") % 2 == 1)
+    sp = str(tmp_path / "sign")
+    ai.build_sign_index(ev_a, sp)
+    n_vb = ev_b.count()
+    a1 = ai.sign_index_add(ev_b, sp)
+    assert a1 == {"added": n_vb, "skipped_existing": 0}
+    a2 = ai.sign_index_add(ev_b, sp)
+    assert a2 == {"added": 0, "skipped_existing": n_vb}
+    st = ai.ann_index_status(sp)
+    assert st["vecs_added_since_build"] == n_vb and st["exact_adds"] is True
+    assert st["needs_rebuild"] is False
+    assert not ai.ann_needs_rebuild(sp)
+
+    # --- IVF-PQ: approximate adds -> rebuild trips past the threshold
+    ip = str(tmp_path / "ivfpq")
+    ai.build_ivf_pq_index(ev_a, ip, n_clusters=4, sample_hex="0123")
+    b1 = ai.ivf_pq_index_add(ev_b, ip)
+    assert b1 == {"added": n_vb, "skipped_existing": 0}
+    b2 = ai.ivf_pq_index_add(ev_b, ip)
+    assert b2 == {"added": 0, "skipped_existing": n_vb}
+    ist = ai.ann_index_status(ip)
+    assert ist["vecs_added_since_build"] == n_vb and ist["exact_adds"] is False
+    assert ist["needs_rebuild"] is True  # half the corpus on frozen codebooks
+    # no duplicate codes: every vec_id appears exactly once
+    dup = (
+        spark.read.parquet(ip + "/codes")
+        .groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0

@@ -226,3 +226,98 @@ def test_cdc_deletes_propagate_to_serving_index(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in ai.sign_index_probe(spark, path, qdf, k=10).collect()}
     want = {tuple(r) for r in ai.sign_index_probe(spark, ref, qdf, k=10).collect()}
     assert got == want
+
+
+def test_serving_stream_restart_from_checkpoint_no_missed_no_duplicate(
+    spark, serving_setup, sf_dir, tmp_path
+):
+    """Recovery (VERDICT r6): stop the probe stream after the first arrival
+    file, restart from the SAME checkpoint after more queries arrive — the
+    restarted stream must process ONLY the unseen file (no re-emitted
+    results for already-served queries, no missed queries), and the union
+    of both runs equals one batch probe of every query."""
+    ivf_path, _, _, _ = serving_setup
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qdir = str(tmp_path / "restart-queries")
+    os.makedirs(qdir)
+    ckpt = str(tmp_path / "restart-ckpt")
+    # arrival 1 only
+    q.filter(F.col("query_id") < 3).coalesce(1).write.mode("append").parquet(qdir)
+
+    def run_once(sink):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(qdir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+        sq = start_ann_probe_stream(
+            spark, ivf_path, stream,
+            emit=lambda df, bid: sink.extend(tuple(r) for r in df.collect()),
+            checkpoint_dir=ckpt, tier="ivfpq", k=5, n_probe=2,
+        )
+        assert sq.awaitTermination(300), "serving stream did not finish"
+
+    first: list = []
+    run_once(first)  # availableNow drains file 1 and STOPS (planned stop)
+    ids_first = {t[0] for t in first}
+    assert ids_first == {0, 1, 2}
+
+    # arrival 2 lands while the stream is down
+    q.filter((F.col("query_id") >= 3) & (F.col("query_id") < 6)).coalesce(
+        1
+    ).write.mode("append").parquet(qdir)
+
+    second: list = []
+    run_once(second)  # restart from the same checkpoint
+    ids_second = {t[0] for t in second}
+    assert ids_second == {3, 4, 5}, "restart must not replay served queries"
+
+    batch = {
+        tuple(r)
+        for r in ai.ivf_pq_probe(
+            spark, ivf_path, q.filter(F.col("query_id") < 6), k=5, n_probe=2
+        ).collect()
+    }
+    assert set(first) | set(second) == batch
+    assert set(first) & set(second) == set()
+
+
+def test_cdc_upserts_propagate_to_serving_index_and_ledger(spark, sf_dir, tmp_path):
+    """The ingest half of the CDC-to-index capstone: ADD/UPDATE events carry
+    new vectors into the persisted sign index via sign_index_add. The
+    staleness ledger counts each genuinely-new vector exactly once — a
+    checkpoint replay of the same batch (at-least-once upstream) is
+    absorbed by the idempotence guard and does NOT inflate the counter or
+    duplicate served neighbors (VERDICT r6 item 5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "serving-idx")
+    built = emb.filter(F.col("vec_id") >= 10)
+    ai.build_sign_index(built, path)
+    n_built = built.count()
+
+    # "CDC batch": entities 0..9 arrive (vectors joined from the embeddings
+    # table by entity id, the deployment's enrichment join)
+    arrivals = emb.filter(F.col("vec_id") < 10)
+    audit = ai.sign_index_add(arrivals, path)
+    assert audit == {"added": 10, "skipped_existing": 0}
+    st = ai.ann_index_status(path)
+    assert st["n_vecs"] == n_built and st["vecs_added_since_build"] == 10
+
+    # replay the same micro-batch — the at-least-once case
+    audit2 = ai.sign_index_add(arrivals, path)
+    assert audit2 == {"added": 0, "skipped_existing": 10}
+    assert ai.ann_index_status(path)["vecs_added_since_build"] == 10
+
+    # served results are exactly those of a fresh full build (sign adds are
+    # exact, and the replay added nothing twice)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {tuple(r) for r in ai.sign_index_probe(spark, path, qdf, k=10).collect()}
+    ref = str(tmp_path / "ref-idx")
+    ai.build_sign_index(emb, ref)
+    want = {tuple(r) for r in ai.sign_index_probe(spark, ref, qdf, k=10).collect()}
+    assert got == want
