@@ -180,6 +180,13 @@ BENCH_QUERIES = [
 
 RUNS_PER_QUERY = 2
 
+# Optional subset (comma-separated query names) for scale-probe runs, e.g.
+# the sf1 scaling evidence in bench_logs/: only the named queries execute
+# ("streaming_sync" may be included by name).
+_SUBSET = [q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q]
+if _SUBSET:
+    BENCH_QUERIES = [q for q in _SUBSET if q != "streaming_sync"]
+
 
 def time_streaming_sync(spark) -> float:
     """Full streaming pipeline end-to-end over the sf events (availableNow)."""
@@ -239,7 +246,8 @@ def main() -> None:
         # bleed memory pressure into the next query's timing
         spark.catalog.clearCache()
 
-    timings["streaming_sync"] = time_streaming_sync(spark)
+    if not _SUBSET or "streaming_sync" in _SUBSET:
+        timings["streaming_sync"] = time_streaming_sync(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

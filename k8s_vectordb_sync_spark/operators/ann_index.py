@@ -85,8 +85,6 @@ def build_ivf_pq_index(
     Training jobs before it are sample-sized (see training_sample).
     """
     dim = _probe_dim(embeddings, vec_col)
-    if dim is None:
-        raise ValueError("cannot build an ANN index over an empty corpus")
     spark = embeddings.sparkSession
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
@@ -98,6 +96,17 @@ def build_ivf_pq_index(
     import shutil
 
     shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
+    if dim is None:
+        # EMPTY corpus -> a valid EMPTY index: a serving stack over a not-
+        # yet-populated corpus must answer "no neighbors", not crash the
+        # pipeline. Probes short-circuit on the meta flag; adds require a
+        # rebuild (there is no trained state to encode against).
+        return _write_empty_meta(path, {
+            "dim": 0, "m": m, "n_codes": n_codes, "n_clusters": n_clusters,
+            "kmeans_iterations": kmeans_iterations,
+            "pq_iterations": pq_iterations, "sample_hex": sample_hex or "",
+            "kind": "ivf_pq", "exact_adds": False,
+        })
 
     centroids = kmeans_centroids(
         embeddings, n_clusters, kmeans_iterations, vec_col=vec_col,
@@ -163,6 +172,18 @@ def build_ivf_pq_index(
 
 def index_is_built(path: str) -> bool:
     return os.path.exists(os.path.join(path, MARKER))
+
+
+def _write_empty_meta(path: str, meta: dict) -> dict:
+    """Finish an empty-corpus build: meta (flagged ``empty``) + marker, no
+    code/artifact tables. Probes check the flag before touching any file."""
+    meta = {**meta, "empty": True, "n_vecs": 0, "vecs_added_since_build": 0}
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(path, MARKER), "w") as fh:
+        fh.write("ok\n")
+    return meta
 
 
 # Default drift bound shared with lexical_index: once adds exceed 10% of
@@ -238,6 +259,13 @@ def ivf_pq_index_add(
     """
     spark = embeddings.sparkSession
     meta, centroids, books = load_ivf_pq_index(spark, path)
+    if meta.get("empty"):
+        if embeddings.isEmpty():  # nothing to add to nothing: a no-op
+            return {"added": 0, "skipped_existing": 0}
+        raise ValueError(
+            f"index at {path} was built over an empty corpus (no trained "
+            "centroids/codebooks to encode against); rebuild with data"
+        )
     dim, m = meta["dim"], meta["m"]
     sub = dim // m
     codes = assign_clusters(embeddings, centroids, vec_col).select(
@@ -273,6 +301,8 @@ def load_ivf_pq_index(
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
+    if meta.get("empty"):
+        return meta, [], []
     # Artifacts are a few KB: read them driver-side with pyarrow instead of
     # launching Spark jobs. A probe against a warm session previously spent
     # ~1-2 s on these two scan-collect jobs alone (scheduler + task overhead,
@@ -283,11 +313,12 @@ def load_ivf_pq_index(
     )
     centroids = [[float(v) for v in r["centroid"]] for r in cent_rows]
     book_rows = _read_artifact_rows(os.path.join(path, "codebooks"))
-    books: list[list[list[float]]] = [
-        [None] * meta["n_codes"] for _ in range(meta["m"])
-    ]
-    for r in book_rows:
-        books[r["subspace"]][r["code"]] = [float(v) for v in r["centroid"]]
+    # codes are contiguous from 0 (min-id row_number seeding), but a corpus
+    # smaller than n_codes trains FEWER entries — size each book from what
+    # was actually stored, not from the requested k
+    books: list[list[list[float]]] = [[] for _ in range(meta["m"])]
+    for r in sorted(book_rows, key=lambda r: (r["subspace"], r["code"])):
+        books[r["subspace"]].append([float(v) for v in r["centroid"]])
     return meta, centroids, books
 
 
@@ -322,6 +353,10 @@ def ivf_pq_probe(
     same corpus/params because training is deterministic.
     """
     meta, centroids, books = load_ivf_pq_index(spark, path)
+    if meta.get("empty"):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     m = meta["m"]
 
     # The query side is broadcast-small by contract (it was always collected
@@ -455,11 +490,15 @@ def build_sign_index(
     from .similarity import BQ_WORD_BITS, sign_codes
 
     dim = _probe_dim(embeddings, vec_col)
-    if dim is None:
-        raise ValueError("cannot build an ANN index over an empty corpus")
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
         os.remove(marker)
+    if dim is None:
+        # empty corpus -> valid empty index (see build_ivf_pq_index)
+        return _write_empty_meta(path, {
+            "dim": 0, "word_bits": BQ_WORD_BITS, "kind": "sign",
+            "exact_adds": True,
+        })
     codes = sign_codes(embeddings, id_col, vec_col, dim, out_id="vec_id")
     codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
     meta = {
@@ -497,6 +536,13 @@ def sign_index_add(
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
+    if meta.get("empty"):
+        if embeddings.isEmpty():  # nothing to add to nothing: a no-op
+            return {"added": 0, "skipped_existing": 0}
+        raise ValueError(
+            f"index at {path} was built over an empty corpus; rebuild with "
+            "data (the codes table does not exist)"
+        )
     codes = sign_codes(embeddings, id_col, vec_col, meta["dim"], out_id="vec_id")
     # Re-adding an id already in the index would duplicate its code row and
     # let one neighbor occupy two top-k slots. Anti-join against the
@@ -533,6 +579,10 @@ def sign_index_probe(
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
+    if meta.get("empty"):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, hamming bigint, rank bigint"
+        )
     n_words = (meta["dim"] + BQ_WORD_BITS - 1) // BQ_WORD_BITS
     base = spark.read.parquet(os.path.join(path, "codes")).withColumnRenamed(
         "vec_id", "neighbor_id"
@@ -573,6 +623,9 @@ def ivf_pq_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     id_list = ids.selectExpr("vec_id").distinct()
     requested = id_list.count()
+    with open(os.path.join(path, "meta.json")) as fh:
+        if json.load(fh).get("empty"):
+            return {"requested": requested, "removed": 0, "clusters_touched": 0}
     codes_path = os.path.join(path, "codes")
     codes = spark.read.parquet(codes_path)
     hit = codes.join(F.broadcast(id_list), "vec_id", "left_semi")
@@ -609,6 +662,9 @@ def sign_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     id_list = ids.selectExpr("vec_id").distinct()
     requested = id_list.count()
+    with open(os.path.join(path, "meta.json")) as fh:
+        if json.load(fh).get("empty"):
+            return {"requested": requested, "removed": 0}
     codes_path = os.path.join(path, "codes")
     codes = spark.read.parquet(codes_path)
     before = codes.count()

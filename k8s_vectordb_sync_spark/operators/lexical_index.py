@@ -73,6 +73,23 @@ def build_bm25_index(
 
     shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
 
+    if documents.isEmpty():
+        # empty corpus -> valid empty index (mirrors ann_index): probes
+        # answer "no results", adds require a rebuild. A partitioned write
+        # of zero rows would leave no schema-bearing files, so no postings
+        # table is written at all — the meta flag short-circuits readers.
+        meta = {
+            "k1": k1, "b": b, "n_buckets": n_buckets,
+            "n_docs": 0, "avgdl": 0.0, "docs_added_since_build": 0,
+            "empty": True,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+        return meta
+
     postings = ret.build_postings(documents, text_col, id_col)
     try:
         lengths = ret.doc_lengths(postings)
@@ -131,6 +148,10 @@ def bm25_index_probe(
     broadcast join, one DECIMAL-sum aggregate, two-phase top-k. The corpus
     text is never read and no statistics job runs."""
     meta = load_bm25_meta(path)
+    if meta.get("empty"):
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rank int"
+        )
     terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in terms})
     base = spark.read.parquet(os.path.join(path, "postings")).filter(
@@ -154,7 +175,9 @@ def derive_query_terms_from_index(
     of each query doc, read from the stored postings (tf travels with
     impact for exactly this). Semantics identical to
     retrieval.derive_query_terms over the inline posting frame."""
-    load_bm25_meta(path)  # marker check
+    meta = load_bm25_meta(path)  # marker check
+    if meta.get("empty"):
+        return spark.createDataFrame([], "query_id bigint, term string")
     base = spark.read.parquet(os.path.join(path, "postings")).select(
         "doc_id", "term", "tf"
     )
@@ -192,6 +215,11 @@ def bm25_index_add(
     import math
 
     meta = load_bm25_meta(path)
+    if meta.get("empty"):
+        raise ValueError(
+            f"index at {path} was built over an empty corpus (no build-time "
+            "statistics to score against); rebuild with data"
+        )
     n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
     spark = documents.sparkSession
@@ -282,9 +310,11 @@ def bm25_index_remove(spark: SparkSession, path: str, doc_ids: DataFrame) -> dic
     bm25_index_add, corpus statistics stay at build-time values until the
     next rebuild — removed docs stop being SERVED immediately (the
     compliance requirement), idf drift re-trues at the rebuild cadence."""
-    load_bm25_meta(path)
+    meta = load_bm25_meta(path)
     id_list = doc_ids.selectExpr("doc_id").distinct()
     requested = id_list.count()
+    if meta.get("empty"):
+        return {"requested": requested, "rows_removed": 0, "buckets_touched": 0}
     postings_path = os.path.join(path, "postings")
     postings = spark.read.parquet(postings_path)
     hit = postings.join(F.broadcast(id_list), "doc_id", "left_semi")

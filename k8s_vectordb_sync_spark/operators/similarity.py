@@ -258,12 +258,22 @@ def training_sample(df: DataFrame, id_col: str, sample_hex: str | None) -> DataF
     iterations — pick the rate so the sample is ~10-50k rows (a few hex
     chars of a second digit if 1/16 is still too big) and only the single
     encode/assign pass ever touches the full corpus.
+
+    Degenerate-corpus fallback: a corpus so small the hash-sample keeps
+    nothing trains on EVERYTHING instead of crashing — the same rule the
+    DuckDB oracles encode (``... OR NOT EXISTS (SELECT 1 FROM base WHERE
+    <pred>)``), so parity holds on adversarial fixtures too. The isEmpty
+    probe is a limit-1 scan that short-circuits on the first sampled row —
+    noise at any corpus size worth sampling.
     """
     if not sample_hex:
         return df
-    return df.filter(
+    sample = df.filter(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).isin(list(sample_hex))
     )
+    if sample.isEmpty():
+        return df
+    return sample
 
 
 def kmeans_centroids(
@@ -303,10 +313,11 @@ def kmeans_centroids(
         .collect()
     )
     if not seed_rows:
-        raise ValueError(
-            f"k-means training sample is empty (sample_hex={sample_hex!r}); "
-            "widen the sample or pass sample_hex=None"
-        )
+        # training_sample already falls back to the full corpus, so no seeds
+        # means the CORPUS is empty: clustering nothing yields no clusters,
+        # and every consumer (assign/probe/inertia) flows an empty frame
+        # through unchanged plans — the oracle's empty-CTE behavior.
+        return []
     centroids = [list(map(float, r[vec_col])) for r in seed_rows]
     for _ in range(iterations):
         assigned = assign_clusters(work, centroids, vec_col)

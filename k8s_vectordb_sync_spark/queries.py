@@ -1158,6 +1158,22 @@ def _sql_train_pred(sample_hex: str, id_expr: str = "vec_id") -> str:
     return f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 1) IN ({chars})"
 
 
+def _sql_train_cte(src: str, sample_hex: str, cond: str = "") -> str:
+    """Training-sample CTE body with the degenerate-corpus fallback the
+    Spark side applies (similarity.py::training_sample): when the
+    hash-sample keeps nothing, train on the whole source instead of
+    producing an empty (crash-or-empty-result) Lloyd chain. ``cond`` is an
+    extra training restriction (e.g. the incremental query's even-id half);
+    the fallback widens only the SAMPLE, never the restriction — exactly
+    what training_sample(df.filter(cond), hex) does."""
+    sample = _sql_train_pred(sample_hex)
+    scoped = f"({sample} AND ({cond}))" if cond else f"({sample})"
+    keep = f"({sample} OR NOT EXISTS (SELECT 1 FROM {src} WHERE {scoped}))"
+    if cond:
+        keep = f"({cond}) AND {keep}"
+    return f"SELECT * FROM {src} WHERE {keep}"
+
+
 def _sql_ivf_parts(
     n_clusters: int = 8,
     iterations: int = 5,
@@ -1187,10 +1203,9 @@ def _sql_ivf_parts(
     # Lloyd's runs on the hash-sampled `train` CTE (the sampled-training IO
     # posture — see similarity.py::training_sample); only the one final
     # assignment `af` touches the full corpus.
-    extra = f" AND ({train_extra})" if train_extra else ""
     parts = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"train AS (SELECT * FROM base WHERE {_sql_train_pred(sample_hex)}{extra})",
+        f"train AS ({_sql_train_cte('base', sample_hex, train_extra)})",
         f"""c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
           FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {n_clusters}))""",
@@ -1371,8 +1386,17 @@ def events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregation (ROLLUP grouping sets): per (type, day),
-    per type, and grand total."""
+    per type, and grand total.
+
+    SQL-standard empty-input semantics: grouping set () yields one global
+    row even over zero input rows. Spark's rollup() omits it (unlike
+    DuckDB/Postgres), so the empty case returns the grand row explicitly —
+    the isEmpty probe is a limit-1 scan, noise at any scale."""
     ev = load_table(spark, sf_dir, "events")
+    if ev.isEmpty():
+        return spark.createDataFrame(
+            [(None, None, 0)], "event_type string, day_ms bigint, n bigint"
+        )
     return (
         ev.rollup(F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("__day"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -3257,7 +3281,14 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all grouping-set combinations of event_type x
     hour-of-day) with an explicit grouping-id bitmask. Hour comes from epoch
     arithmetic, not calendar functions, so both engines agree regardless of
-    session timezone; value sums go through DECIMAL for order-independence."""
+    session timezone; value sums go through DECIMAL for order-independence.
+    Empty input yields the SQL-standard grand row (grouping set ()), which
+    Spark's cube() omits — emitted explicitly, see events_rollup."""
+    if load_table(spark, sf_dir, "events").isEmpty():
+        return spark.createDataFrame(
+            [("ALL", -1, 3, 0, None)],
+            "event_type string, hr bigint, gid bigint, n bigint, sum_value double",
+        )
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         (F.floor(F.unix_millis("ts") / F.lit(3_600_000)) % 24).alias("hr"),
@@ -3499,10 +3530,7 @@ def _sql_pq_cte_parts(
         parts.append(
             f"{p}b AS (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings)"
         )
-        extra = f" AND ({train_extra})" if train_extra else ""
-        parts.append(
-            f"{p}t AS (SELECT * FROM {p}b WHERE {_sql_train_pred(sample_hex)}{extra})"
-        )
+        parts.append(f"{p}t AS ({_sql_train_cte(p + 'b', sample_hex, train_extra)})")
         parts.append(f"""{p}c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
           FROM (SELECT vec_id, v FROM {p}t ORDER BY vec_id LIMIT {k}))""")
@@ -5540,8 +5568,8 @@ def _sql_hll_union() -> str:
                         THEN CAST({sk.HLL_M} AS DOUBLE) * ln(CAST({sk.HLL_M} AS DOUBLE) / v)
                         ELSE CAST({sk.HLL_NUMERATOR!r} AS DOUBLE) / s END AS e
             FROM agg2),
-    exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-              FROM events WHERE event_type IN ({types}))
+    exact AS (SELECT 'union' AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events WHERE event_type IN ({types}) GROUP BY 1)
     SELECT x.n_exact, round(e.e, 2) AS n_hll,
            round(abs(e.e - x.n_exact) / x.n_exact, 6) AS rel_err
     FROM exact x CROSS JOIN est e"""
@@ -5552,7 +5580,10 @@ def events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union cardinality from MERGED HLL states (per-bucket MAX across
     groups) — the mergeability that makes the sketch distributed: union two
     populations without revisiting raw data. Estimate hash-verified against
-    the oracle's replay; exact union distinct as the audit column."""
+    the oracle's replay; exact union distinct as the audit column. Both
+    engines GROUP their exact side (Spark's tag groupBy, the oracle's GROUP
+    BY a constant) so a corpus with no qualifying rows yields ZERO rows —
+    not a grand row with a 0/0 rel_err."""
     ev = load_table(spark, sf_dir, "events")
     return sk.hll_union(ev, "user_id", "event_type", HLL_UNION_TYPES)
 
@@ -6734,7 +6765,13 @@ def embeddings_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_inertia_body(emb: DataFrame, centroids: list) -> DataFrame:
     """Assignment + distance-fold half of the inertia diagnostic (shared by
-    the inline-training and persisted-index forms)."""
+    the inline-training and persisted-index forms). No centroids (an empty
+    corpus trains none) -> no clusters to diagnose: typed empty frame
+    (F.array() of zero centroid literals cannot even be analyzed)."""
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], "cluster bigint, n_vectors bigint, sse double, mean_d2 double"
+        )
     cent_mat = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
@@ -6908,32 +6945,61 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_autocorr_lag1",
     """WITH seq AS (
-      SELECT user_id, value,
-             lag(value) OVER (PARTITION BY user_id
-                              ORDER BY epoch_us(ts), event_id) AS prev
-      FROM events)
-    SELECT event_tot.n_users, event_tot.n_pairs, event_tot.autocorr FROM (
+      SELECT user_id, CAST(value AS DECIMAL(18,6)) AS x,
+             CAST(lag(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS DECIMAL(18,6)) AS y
+      FROM events),
+    sums AS (
       SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
              CAST(COUNT(*) AS BIGINT) AS n_pairs,
-             round(corr(value, prev), 4) AS autocorr
-      FROM seq WHERE prev IS NOT NULL) event_tot""",
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM seq WHERE y IS NOT NULL)
+    SELECT n_users, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) > 0 THEN
+             round((n_pairs * sxy - sx * sy)
+                   / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 4)
+           END AS autocorr
+    FROM sums""",
 )
 def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of per-user event values: Pearson corr between
     each value and its predecessor — the quick serial-dependence test that
     decides whether the EWMA/anomaly models need a trend term or i.i.d.
     assumptions hold. One per-user lag window (the shared sessionization
-    partitioning) + a single corr aggregate; corr's running sums combine
-    map-side and the 4 dp rounding absorbs order-of-summation noise."""
+    partitioning) + one aggregate of the five exact-DECIMAL sufficient
+    statistics; the closed-form ratio is computed from them in double on
+    both engines (bit-identical — exact sums pin the summation order), with
+    the zero-variance denominator guarded to NULL instead of an ANSI
+    DIVIDE_BY_ZERO (a constant-valued series has no defined autocorrelation
+    — the round-7 degenerate-input gate's class)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     seq = ev.select(
-        "user_id", "value", F.lag("value").over(w).alias("prev")
-    ).filter(F.col("prev").isNotNull())
-    return seq.agg(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        F.lag(F.col("value").cast("decimal(18,6)")).over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    sums = seq.agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.corr("value", "prev"), 4).alias("autocorr"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs")
+    den2 = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "n_users",
+        "n_pairs",
+        F.when(den2 > 0, F.round(num / F.sqrt(den2), 4)).alias("autocorr"),
     )
 
 
@@ -7697,7 +7763,9 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base GROUP BY event_type)
     SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, b.n,
            round(CAST(b.sv AS DOUBLE) / b.n, 4) AS mean_value,
-           round((CAST(b.sv AS DOUBLE) / b.n) / t.mean_all, 4) AS seasonal_index
+           CASE WHEN t.mean_all <> 0 THEN
+             round((CAST(b.sv AS DOUBLE) / b.n) / t.mean_all, 4)
+           END AS seasonal_index
     FROM base b JOIN tot t ON b.event_type = t.event_type""",
 )
 def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7726,7 +7794,12 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").cast("bigint").alias("dow"),
         "n",
         F.round(mean_dow, 4).alias("mean_value"),
-        F.round(mean_dow / F.col("mean_all"), 4).alias("seasonal_index"),
+        # degenerate guard (round-7 gate): a type whose values sum to zero
+        # has mean_all == 0 — its seasonal index is undefined (NULL), not a
+        # DIVIDE_BY_ZERO crash under ANSI; the oracle writes the same CASE
+        F.when(
+            F.col("mean_all") != 0, F.round(mean_dow / F.col("mean_all"), 4)
+        ).alias("seasonal_index"),
     )
 
 

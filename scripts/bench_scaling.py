@@ -1,0 +1,101 @@
+"""sf0.1 -> sf1 scaling evidence (VERDICT r6 item 2).
+
+Runs bench.py's top cost classes as an idle best-of-3 triple at sf0.1 and
+at the generated sf1 (scripts/make_sf1.py, 10x rows), then prints the
+per-query scaling exponent alpha = log10(t_sf1 / t_sf0.1) — alpha ~= 1.0
+is linear-in-rows, < 1 is fixed-cost-dominated, > 1 is super-linear and
+needs a look.
+
+Usage: python scripts/bench_scaling.py [out_prefix]
+Writes bench_logs/<prefix>_sf{0.1,1}_run{1..3}.json + <prefix>_summary.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the top-20ish cost classes from BENCH_r06 + the round-6 audit: the
+# substring family, simhash/minhash pair mining, the semantic/index tiers,
+# heavy TPC-H joins, sessionization, and the full streaming pipeline
+SUBSET = [
+    "dedup_substring_spans",
+    "dedup_substring_doc_rate",
+    "documents_despan_clean",
+    "documents_duplicate_spans",
+    "documents_source_overlap",
+    "dedup_simhash_clusters",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
+    "dedup_minhash_sig_pairs",
+    "dedup_exact",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_topk_indexed",
+    "documents_bm25_topk_indexed",
+    "hybrid_search_rrf_indexed",
+    "dedup_semantic_indexed",
+    "embeddings_kmeans_inertia_indexed",
+    "tpch_q1_pricing_summary",
+    "tpch_q9_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "events_sessionization",
+    "events_asof_attribution",
+    "streaming_sync",
+]
+
+RUNS = 3
+
+
+def run_bench(sf_dir: str, out_path: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(SUBSET)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    rec = json.loads(lines[0])  # full per-query record
+    with open(out_path, "w") as fh:
+        json.dump(rec, fh)
+    return rec
+
+
+def main() -> None:
+    prefix = sys.argv[1] if len(sys.argv) > 1 else "bench_scaling_r7"
+    logs = os.path.join(REPO, "bench_logs")
+    os.makedirs(logs, exist_ok=True)
+    best: dict[str, dict[str, float]] = {}
+    for label, sf_dir in (
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1", os.path.join(REPO, "bench_data", "sf1")),
+    ):
+        for i in range(1, RUNS + 1):
+            out_path = os.path.join(logs, f"{prefix}_{label}_run{i}.json")
+            rec = run_bench(sf_dir, out_path)
+            for q, t in rec["queries"].items():
+                cur = best.setdefault(q, {})
+                cur[label] = min(cur.get(label, float("inf")), t)
+            print(f"{label} run {i}: total {rec['value']}s", flush=True)
+    summary = {}
+    for q, t in sorted(best.items()):
+        alpha = math.log10(t["sf1"] / t["sf0.1"]) if t["sf0.1"] > 0 else None
+        summary[q] = {
+            "sf0.1_best_sec": t["sf0.1"],
+            "sf1_best_sec": t["sf1"],
+            "exponent": round(alpha, 3) if alpha is not None else None,
+        }
+        print(f"{q:40s} {t['sf0.1']:8.2f} {t['sf1']:8.2f}  alpha={summary[q]['exponent']}")
+    with open(os.path.join(logs, f"{prefix}_summary.json"), "w") as fh:
+        json.dump({"runs": RUNS, "queries": summary}, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,10 +84,48 @@ def test_probe_without_index_raises(spark, tmp_path):
         ai.ivf_pq_probe(spark, str(tmp_path / "nope"), emb)
 
 
-def test_build_on_empty_corpus_raises(spark, tmp_path):
+def test_build_on_empty_corpus_yields_valid_empty_index(spark, tmp_path):
+    """An empty corpus builds a VALID empty index (round-7 degenerate-input
+    gate): probes answer no-neighbors with the right schema, removes are
+    zero-audits, and adds — which would need trained state that doesn't
+    exist — demand a rebuild. A serving stack over a not-yet-populated
+    corpus must not crash."""
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    with pytest.raises(ValueError, match="empty corpus"):
-        ai.build_ivf_pq_index(emb, str(tmp_path / "idx"))
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    for build, probe, add, remove in (
+        (ai.build_ivf_pq_index, ai.ivf_pq_probe, ai.ivf_pq_index_add,
+         ai.ivf_pq_index_remove),
+        (ai.build_sign_index, ai.sign_index_probe, ai.sign_index_add,
+         ai.sign_index_remove),
+    ):
+        path = str(tmp_path / build.__name__)
+        meta = build(emb, path)
+        assert meta["empty"] is True and ai.index_is_built(path)
+        out = probe(spark, path, q)
+        assert out.count() == 0 and "query_id" in out.columns
+        # adding NOTHING to an empty index is a no-op; adding real data
+        # demands a rebuild (there is no trained state to encode against)
+        assert add(emb, path) == {"added": 0, "skipped_existing": 0}
+        with_data = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="rebuild"):
+            add(with_data, path)
+        ids = spark.createDataFrame([(1,)], "vec_id long")
+        audit = remove(spark, path, ids)
+        assert audit["requested"] == 1 and audit["removed"] == 0
+        # rebuilding over data replaces the empty index in place
+        real = spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.5, float(i % 3)]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        build(real, path)
+        q4 = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 1.0])], "query_id long, query_vec array<double>"
+        )
+        assert probe(spark, path, q4).count() > 0
 
 
 def test_registered_indexed_query_matches_retrain_query(spark, sf_dir):

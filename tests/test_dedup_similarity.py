@@ -314,16 +314,22 @@ def test_ivf_sampled_training_recall_close_to_full(spark, sf_dir):
     assert r_sampled >= 0.6
 
 
-def test_kmeans_empty_training_sample_raises(spark):
+def test_kmeans_empty_training_sample_falls_back_to_full_corpus(spark):
+    """Degenerate-corpus fallback (round-7 gate): a hash-sample that keeps
+    nothing trains on EVERYTHING — same centroids as unsampled training —
+    instead of crashing; an EMPTY corpus trains no clusters at all (the
+    oracles encode the identical OR NOT EXISTS rule)."""
     from k8s_vectordb_sync_spark.operators.similarity import kmeans_centroids
 
     emb = spark.createDataFrame(
         [(1, [0.0, 1.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
     )
-    # no md5(id) of these ids starts with 'z'... hex never contains 'z', so
-    # the sample is provably empty -> loud error, not a silent empty codebook
-    with pytest.raises(ValueError, match="sample is empty"):
-        kmeans_centroids(emb, n_clusters=2, sample_hex="z")
+    # hex never contains 'z', so the sample is provably empty -> fallback
+    got = kmeans_centroids(emb, n_clusters=2, sample_hex="z")
+    want = kmeans_centroids(emb, n_clusters=2, sample_hex=None)
+    assert got == want and len(got) == 2
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_centroids(empty, n_clusters=2, sample_hex="z") == []
 
 
 def test_text_functions(spark):

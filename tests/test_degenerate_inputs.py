@@ -1,0 +1,77 @@
+"""Registry-wide degenerate-input gate (VERDICT r6 item 1).
+
+Every registered query AND its DuckDB oracle runs against two adversarial
+fixtures (tests/degenerate_data.py):
+
+- ``degenerate``: single-day/single-hour series, zero-variance columns,
+  single-row and empty groups, empty/whitespace documents, exact-duplicate
+  documents/vectors, a zero-norm embedding, hash-samples that keep nothing.
+- ``empty``: every table present with zero rows.
+
+The assertion is the driver's own comparison — no exception on either
+engine, identical column names, row counts, and normalized values. This
+freezes the r5 OLS-crash class (single-day series -> ANSI DIVIDE_BY_ZERO)
+into CI for the WHOLE registry, the way test_plan_lint froze the plan
+audits: a new query with an unguarded ratio/log/sqrt/variance denominator
+fails here automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from degenerate_data import write_degenerate, write_empty
+from test_oracle_parity import TABLES, _normalize
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="session")
+def degenerate_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("degenerate-sf"))
+    write_degenerate(d)
+    return d
+
+
+@pytest.fixture(scope="session")
+def empty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty-sf"))
+    write_empty(d)
+    return d
+
+
+def _check(spark, sf_dir: str, name: str) -> None:
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} (spark) vs {len(drows)} (duckdb)"
+    )
+    sn = _normalize(srows, scols)
+    dn = _normalize(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_degenerate_corpus_parity(spark, degenerate_dir, name):
+    _check(spark, degenerate_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_empty_corpus_parity(spark, empty_dir, name):
+    _check(spark, empty_dir, name)
