@@ -176,6 +176,9 @@ BENCH_QUERIES = [
     "events_burst_hours",
     "documents_source_overlap",
     "embeddings_dim_stats",
+    "events_welch_ttest",
+    "events_hourly_entropy",
+    "orders_ship_latency_percentiles",
 ]
 
 RUNS_PER_QUERY = 2
@@ -200,10 +203,14 @@ def time_streaming_sync(spark) -> float:
     # events.parquet as a single file. Stage it as <tmp>/events.parquet/part.
     staged = tempfile.mkdtemp(prefix="kvs-bench-src-")
     os.makedirs(f"{staged}/events.parquet")
-    shutil.copy(
-        os.path.join(SF_DIR, "events.parquet"),
-        f"{staged}/events.parquet/part-00000.parquet",
-    )
+    src_tbl = os.path.join(SF_DIR, "events.parquet")
+    if os.path.isdir(src_tbl):  # Spark-written table (e.g. the sf1 scale probe)
+        import glob
+
+        for i, f in enumerate(sorted(glob.glob(os.path.join(src_tbl, "*.parquet")))):
+            shutil.copy(f, f"{staged}/events.parquet/part-{i:05d}.parquet")
+    else:
+        shutil.copy(src_tbl, f"{staged}/events.parquet/part-00000.parquet")
     try:
         stream = read_change_stream(spark, staged)
         t0 = time.perf_counter()

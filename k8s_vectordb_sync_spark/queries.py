@@ -8376,3 +8376,198 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(mean6).cast("double") / 1000000).alias("mean"),
         (F.expr(var6).cast("double") / 1000000).alias("variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: analytics additions (Welch t-test, hourly entropy, ship latency)
+# ---------------------------------------------------------------------------
+
+_TT_A, _TT_B = "purchase", "click"
+
+
+@register(
+    "events_welch_ttest",
+    f"""WITH s AS (
+      SELECT
+        CAST(COUNT(CASE WHEN event_type = '{_TT_A}' THEN 1 END) AS BIGINT) AS n_a,
+        CAST(COUNT(CASE WHEN event_type = '{_TT_B}' THEN 1 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN event_type = '{_TT_A}' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN event_type = '{_TT_B}' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN event_type = '{_TT_A}' THEN CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS sxxa,
+        CAST(SUM(CASE WHEN event_type = '{_TT_B}' THEN CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS sxxb
+      FROM events),
+    m AS (
+      SELECT n_a, n_b,
+             CASE WHEN n_a > 0 THEN sa / n_a END AS ma,
+             CASE WHEN n_b > 0 THEN sb / n_b END AS mb,
+             CASE WHEN n_a >= 2 THEN (n_a * sxxa - sa * sa) / (n_a * (n_a - 1)) END AS va,
+             CASE WHEN n_b >= 2 THEN (n_b * sxxb - sb * sb) / (n_b * (n_b - 1)) END AS vb
+      FROM s),
+    d AS (
+      SELECT n_a, n_b, ma, mb, va, vb,
+             CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                  THEN va / n_a + vb / n_b END AS se2
+      FROM m)
+    SELECT n_a, n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           CASE WHEN se2 > 0 THEN round((ma - mb) / sqrt(se2), 4) END AS t_stat,
+           CASE WHEN se2 > 0 AND ((va/n_a)*(va/n_a)/(n_a-1) + (vb/n_b)*(vb/n_b)/(n_b-1)) > 0
+                THEN round(se2 * se2 /
+                     ((va/n_a)*(va/n_a)/(n_a-1) + (vb/n_b)*(vb/n_b)/(n_b-1)), 2)
+           END AS welch_df
+    FROM d""",
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the purchase and
+    click value populations — the experiment readout when arms have
+    different spreads (complements events_ab_test's pooled z). One global
+    aggregate of six exact-DECIMAL sufficient statistics (conditional sums
+    combine map-side; nothing but one row crosses the exchange); the
+    t statistic and Welch-Satterthwaite df are scalar double math computed
+    by the IDENTICAL expression chain in both engines. Every denominator is
+    guarded (n < 2 arms, zero-variance arms -> NULL, never ANSI
+    DIVIDE_BY_ZERO) — written degenerate-gate-first."""
+    ev = load_table(spark, sf_dir, "events")
+    da = F.when(
+        F.col("event_type") == _TT_A, F.col("value").cast("decimal(18,6)")
+    )
+    db = F.when(
+        F.col("event_type") == _TT_B, F.col("value").cast("decimal(18,6)")
+    )
+    s = ev.agg(
+        F.count(da).cast("bigint").alias("n_a"),
+        F.count(db).cast("bigint").alias("n_b"),
+        F.sum(da).cast("double").alias("sa"),
+        F.sum(db).cast("double").alias("sb"),
+        F.sum((da * da).cast("decimal(38,12)")).cast("double").alias("sxxa"),
+        F.sum((db * db).cast("decimal(38,12)")).cast("double").alias("sxxb"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    m = s.select(
+        "n_a", "n_b",
+        F.when(na > 0, F.col("sa") / na).alias("ma"),
+        F.when(nb > 0, F.col("sb") / nb).alias("mb"),
+        F.when(
+            na >= 2, (na * F.col("sxxa") - F.col("sa") * F.col("sa")) / (na * (na - 1))
+        ).alias("va"),
+        F.when(
+            nb >= 2, (nb * F.col("sxxb") - F.col("sb") * F.col("sb")) / (nb * (nb - 1))
+        ).alias("vb"),
+    )
+    d = m.select(
+        "n_a", "n_b", "ma", "mb", "va", "vb",
+        F.when(
+            F.col("va").isNotNull() & F.col("vb").isNotNull(),
+            F.col("va") / na + F.col("vb") / nb,
+        ).alias("se2"),
+    )
+    se2 = F.col("se2")
+    dfden = (
+        (F.col("va") / na) * (F.col("va") / na) / (na - 1)
+        + (F.col("vb") / nb) * (F.col("vb") / nb) / (nb - 1)
+    )
+    return d.select(
+        "n_a", "n_b",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.when(se2 > 0, F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4)).alias(
+            "t_stat"
+        ),
+        F.when((se2 > 0) & (dfden > 0), F.round(se2 * se2 / dfden, 2)).alias(
+            "welch_df"
+        ),
+    )
+
+
+@register(
+    "events_hourly_entropy",
+    """WITH h AS (
+      SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS nh
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, CAST(SUM(nh) AS BIGINT) AS n,
+             SUM(CAST(round(nh * ln(nh), 6) AS DECIMAL(28,6))) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM h GROUP BY event_type)
+    SELECT event_type, n, n_hours,
+           round(ln(n) - CAST(s AS DOUBLE) / n, 4) AS entropy_nats
+    FROM t""",
+)
+def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each type's hour-of-day distribution — the
+    traffic-shape audit behind burst detection and cache sizing (entropy
+    ln(24) = uniform around the clock; 0 = a single hot hour, exactly the
+    degenerate fixture's shape). Identity H = ln(n) - sum(nh*ln(nh))/n
+    turns the per-bucket p*ln(p) sum into ONE aggregate over exact integer
+    counts; each nh*ln(nh) term is rounded to 6 dp and summed as DECIMAL so
+    the (order-sensitive) float summation never differs between engines.
+    Two map-side-combined aggregates to O(#types x 24) rows; no divide
+    hazards (nh >= 1, n >= 1 whenever a group exists)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_millis("ts") / F.lit(3_600_000)) % 24).alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nh"))
+    t = h.groupBy("event_type").agg(
+        F.sum("nh").cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.col("nh") * F.log(F.col("nh").cast("double")), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    return t.select(
+        "event_type", "n", "n_hours",
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("s").cast("double") / F.col("n"),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "orders_ship_latency_percentiles",
+    """WITH lat AS (
+      SELECT o_orderpriority,
+             CAST((epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) // 86400000 AS BIGINT) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           round(quantile_cont(days, 0.5), 4) AS p50_days,
+           round(quantile_cont(days, 0.9), 4) AS p90_days,
+           round(quantile_cont(days, 0.99), 4) AS p99_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority""",
+)
+def orders_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: the SLA
+    readout (does 1-URGENT actually ship faster, and what does the p99 tail
+    look like?). Latency is an exact integer epoch-day difference, so the
+    interpolated percentiles agree bit-for-bit with the oracle
+    (quantile_cont == F.percentile on integers). Plan shape: the lineitem
+    JOIN orders equi-join shuffles both sides on l_orderkey/o_orderkey —
+    the canonical TPC-H co-partition join (bucketed layouts make it
+    shuffle-free at 100 TB) — followed by one exact-percentile aggregate to
+    O(#priorities) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        # explicit TIMESTAMP casts: a no-op on the driver testdata, and the
+        # session-is-UTC reinterpretation on TIMESTAMP_NTZ parquet (the
+        # degenerate fixtures; same normalization load_table applies to
+        # events.ts)
+        F.expr(
+            "CAST((unix_millis(CAST(l_shipdate AS TIMESTAMP)) - "
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP))) div 86400000 AS BIGINT)"
+        ).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        F.round(F.percentile("days", F.lit(0.99)), 4).alias("p99_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

@@ -40,6 +40,7 @@ SUBSET = [
     "documents_bm25_topk_indexed",
     "hybrid_search_rrf_indexed",
     "dedup_semantic_indexed",
+    "dedup_semantic_capped",
     "embeddings_kmeans_inertia_indexed",
     "tpch_q1_pricing_summary",
     "tpch_q9_profit",

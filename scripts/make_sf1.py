@@ -10,11 +10,15 @@ TPC-H itself scales. Time columns are NOT shifted: 10x the data in the same
 window models higher traffic density, which is the regime the windowed /
 sessionized queries need to be stressed in.
 
-Text and vectors are perturbed per replica (a "rep<i>" prefix token /
-a small first-dim epsilon) so dedup and ANN queries face 10x the corpus,
-not 10 identical copies of it — identical copies would make every document
-a 10-way exact duplicate and turn dup-pair mining into a different
-(quadratically easier-to-miscount) problem than a real 10x corpus.
+Text and vectors are made MUTUALLY DISSIMILAR across replicas — every
+token carries a per-replica prefix (disjoint vocabularies, so
+cross-replica shingle/minhash similarity is ~0) and vectors are
+circularly rotated by a per-replica shift (near-orthogonal to their
+siblings) — so each replica preserves sf0.1's internal duplicate/neighbor
+structure and the TRUE pair volume scales linearly with rows. Leaving
+replicas near-identical (a naive copy, or a single prefix token) would
+multiply every duplicate group 10x and the pair volume 100x, measuring a
+corpus artifact rather than engine scaling.
 
 Output: bench_logs stays in git; the generated parquet goes to
 bench_data/sf1 (gitignored — ~200 MB, reproducible by this script).
@@ -81,27 +85,36 @@ def main() -> None:
         "lineitem", {"l_orderkey": True, "l_partkey": True, "l_suppkey": True}
     )
     replicate("events", {"event_id": True, "user_id": True})
-    replicate(
-        "documents",
-        {"doc_id": True},
-        extra=lambda df, i: df.withColumn(
+    def prefix_tokens(df, i):
+        if i == 0:
+            return df
+        # disjoint per-replica vocabulary: cross-replica similarity ~ 0,
+        # within-replica structure identical to sf0.1
+        toks = F.split(F.col("text"), r"\s+")
+        toks = F.filter(toks, lambda t: t != F.lit(""))
+        return df.withColumn(
             "text",
-            F.when(F.lit(i) == 0, F.col("text")).otherwise(
-                F.concat(F.lit(f"rep{i} "), F.col("text"))
+            F.array_join(
+                F.transform(toks, lambda t: F.concat(F.lit(f"r{i}"), t)), " "
             ),
-        ),
-    )
-    replicate(
-        "embeddings",
-        {"vec_id": True},
-        extra=lambda df, i: df.withColumn(
+        )
+
+    def rotate_vec(df, i):
+        if i == 0:
+            return df
+        shift = (i * 7) % 64
+        # circular rotation: same norm/neighbor structure within a replica,
+        # near-orthogonal to other replicas' copies of the same vector
+        return df.withColumn(
             "embedding",
-            F.transform(
-                "embedding",
-                lambda x, j: F.when(j == 0, x + F.lit(i * 1e-3)).otherwise(x),
+            F.concat(
+                F.slice("embedding", shift + 1, 64 - shift),
+                F.slice("embedding", 1, shift),
             ).cast("array<float>"),
-        ),
-    )
+        )
+
+    replicate("documents", {"doc_id": True}, extra=prefix_tokens)
+    replicate("embeddings", {"vec_id": True}, extra=rotate_vec)
     spark.stop()
     print(f"done -> {DST}")
 
