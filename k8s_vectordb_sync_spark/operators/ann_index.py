@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.staging import staged_partition_rewrite, staged_table_rewrite
 from .similarity import (
     PQ_ITERATIONS,
     PQ_K,
@@ -634,21 +635,14 @@ def ivf_pq_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
         return {"requested": requested, "removed": 0, "clusters_touched": 0}
     sub = codes.filter(F.col("cluster").isin(touched))
     before = sub.count()
-    kept = sub.join(F.broadcast(id_list), "vec_id", "left_anti").localCheckpoint()
-    removed = before - kept.count()
-    (
-        kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster")
-        .parquet(codes_path)
-    )
-    remaining = {r["cluster"] for r in kept.select("cluster").distinct().collect()}
-    empty = spark.createDataFrame([], kept.drop("cluster").schema)
-    for c in set(touched) - remaining:
-        empty.write.mode("overwrite").parquet(f"{codes_path}/cluster={c}")
+    kept = sub.join(F.broadcast(id_list), "vec_id", "left_anti")
+    # crash-safe staged rewrite (round 7, sources/staging.py): full lineage
+    # until the per-cluster rename swap; failure before the swap leaves the
+    # codes table byte-identical
+    after = staged_partition_rewrite(kept, codes_path, "cluster", touched)
     return {
         "requested": requested,
-        "removed": int(removed),
+        "removed": int(before - after),
         "clusters_touched": len(touched),
     }
 
@@ -668,7 +662,8 @@ def sign_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
     codes_path = os.path.join(path, "codes")
     codes = spark.read.parquet(codes_path)
     before = codes.count()
-    kept = codes.join(F.broadcast(id_list), "vec_id", "left_anti").localCheckpoint()
-    removed = before - kept.count()
-    kept.write.mode("overwrite").parquet(codes_path)
-    return {"requested": requested, "removed": int(removed)}
+    kept = codes.join(F.broadcast(id_list), "vec_id", "left_anti")
+    # whole-table staged rewrite + directory swap (the codes table is
+    # unpartitioned): failure before the swap leaves the old table serving
+    after = staged_table_rewrite(kept, codes_path)
+    return {"requested": requested, "removed": int(before - after)}

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_prefix_long
+from ..sources.staging import staged_partition_rewrite
 from . import retrieval as ret
 from .ann_index import MARKER, _read_artifact_rows, index_is_built
 from .similarity import topk_per_query
@@ -323,20 +324,15 @@ def bm25_index_remove(spark: SparkSession, path: str, doc_ids: DataFrame) -> dic
         return {"requested": requested, "rows_removed": 0, "buckets_touched": 0}
     sub = postings.filter(F.col("bucket").isin(touched))
     before = sub.count()
-    kept = sub.join(F.broadcast(id_list), "doc_id", "left_anti").localCheckpoint()
-    removed = before - kept.count()
-    (
-        kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(postings_path)
-    )
-    remaining = {r["bucket"] for r in kept.select("bucket").distinct().collect()}
-    empty = spark.createDataFrame([], kept.drop("bucket").schema)
-    for b in set(touched) - remaining:
-        empty.write.mode("overwrite").parquet(f"{postings_path}/bucket={b}")
+    kept = sub.join(F.broadcast(id_list), "doc_id", "left_anti")
+    # crash-safe staged rewrite (round 7): the anti-join is written to a
+    # hidden staging dir with full lineage, then rename-swapped per bucket —
+    # a failure before the swap leaves the index byte-identical (the
+    # localCheckpoint + in-place dynamic overwrite it replaces could lose
+    # committed buckets on executor failure)
+    after = staged_partition_rewrite(kept, postings_path, "bucket", touched)
     return {
         "requested": requested,
-        "rows_removed": int(removed),
+        "rows_removed": int(before - after),
         "buckets_touched": len(touched),
     }

@@ -27,10 +27,11 @@ is worse than no sweep):
 - The key frame's column type must equal the target's (no silent casts).
 
 Durability: the kept rows are written to a hidden staging dir
-(``_forget_tmp`` — underscore-prefixed, invisible to parquet readers) with
+(``_stage_tmp`` — underscore-prefixed, invisible to parquet readers) with
 full recomputable lineage, and only after the write commits are the bucket
 directories swapped in with per-bucket renames (old bucket parked in
-``_forget_trash`` until the swap completes). A failure any time during the
+``_stage_trash`` until the swap completes — sources/staging.py, shared
+with the index delete-propagation ops). A failure any time during the
 heavy phase — scan, anti-join, staging write — leaves the target byte-for-
 byte untouched. The swap itself is O(buckets) metadata renames; a crash
 inside it leaves the previous bucket content in the trash dir for manual
@@ -47,7 +48,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,23 +72,9 @@ def read_layout_meta(target_path: str) -> dict | None:
         return json.load(fh)
 
 
-def _swap_buckets(target_path: str, tmp: str, buckets: list[int]) -> None:
-    """Atomically-per-bucket swap staged partition dirs into the target.
-    Old dirs are parked in a trash dir (with a journal) until every rename
-    lands, then both staging and trash are dropped."""
-    trash = os.path.join(target_path, "_forget_trash")
-    shutil.rmtree(trash, ignore_errors=True)
-    os.makedirs(trash)
-    with open(os.path.join(trash, "_journal.json"), "w") as fh:
-        json.dump({"buckets": list(buckets)}, fh)
-    for b in buckets:
-        final = os.path.join(target_path, f"_bucket={b}")
-        staged = os.path.join(tmp, f"_bucket={b}")
-        if os.path.exists(final):
-            os.rename(final, os.path.join(trash, f"_bucket={b}"))
-        os.rename(staged, final)
-    shutil.rmtree(trash, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+# staged write + per-bucket rename swap shared with the index
+# delete-propagation ops (extracted round 7)
+from ..sources.staging import staged_partition_rewrite  # noqa: E402
 
 
 def forget_keys(
@@ -177,24 +163,10 @@ def forget_keys(
         .count()
     )
 
-    # stage the rewrite OUTSIDE the live bucket dirs: full lineage retained
-    # (re-computable on executor loss), target untouched until the swap
-    tmp = os.path.join(target_path, "_forget_tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    kept.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
-    # fully-emptied buckets produce no staged dir; stage an empty (but
-    # schema-bearing) one so the swapped-in target always has file footers
-    staged = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(tmp)
-        if d.startswith("_bucket=")
-    }
-    after = spark.read.parquet(tmp).count() if staged else 0
-    empty = spark.createDataFrame([], kept.drop("_bucket").schema)
-    for b in set(touched) - staged:
-        empty.write.mode("overwrite").parquet(os.path.join(tmp, f"_bucket={b}"))
-
-    _swap_buckets(target_path, tmp, touched)
+    # stage the rewrite OUTSIDE the live bucket dirs (full lineage retained,
+    # re-computable on executor loss; target untouched until the swap), then
+    # per-bucket rename swap — sources/staging.py
+    after = staged_partition_rewrite(kept, target_path, "_bucket", touched)
     return {
         "requested_keys": requested,
         "matched_keys": matched,

@@ -98,16 +98,17 @@ def test_forget_crash_before_swap_leaves_target_intact(
     swap leaves the target byte-identical and still fully served, and a
     re-run completes the sweep."""
     import k8s_vectordb_sync_spark.plans.forget as fg
+    import k8s_vectordb_sync_spark.sources.staging as staging
 
     keys = spark.createDataFrame([(3,), (77,)], "id long")
 
     def boom(*a, **k):
         raise RuntimeError("injected crash between staging write and swap")
 
-    monkeypatch.setattr(fg, "_swap_buckets", boom)
+    monkeypatch.setattr(staging, "_swap_partitions", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
         fg.forget_keys(spark, bucketed_target, keys, num_buckets=N_BUCKETS)
-    # pre-forget rows all still served (the stale _forget_tmp staging dir is
+    # pre-forget rows all still served (the stale _stage_tmp staging dir is
     # underscore-hidden from parquet readers)
     back = spark.read.parquet(bucketed_target)
     assert {r["id"] for r in back.select("id").collect()} == set(range(200))
@@ -118,8 +119,8 @@ def test_forget_crash_before_swap_leaves_target_intact(
     ids = {r["id"] for r in spark.read.parquet(bucketed_target).select("id").collect()}
     assert ids == set(range(200)) - {3, 77}
     # staging/trash dirs cleaned up after the successful sweep
-    assert not os.path.exists(os.path.join(bucketed_target, "_forget_tmp"))
-    assert not os.path.exists(os.path.join(bucketed_target, "_forget_trash"))
+    assert not os.path.exists(os.path.join(bucketed_target, staging.STAGE_DIR))
+    assert not os.path.exists(os.path.join(bucketed_target, staging.TRASH_DIR))
 
 
 def test_forget_honors_persisted_layout_meta(spark, bucketed_target):

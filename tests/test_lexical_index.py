@@ -269,3 +269,62 @@ def test_index_adds_are_idempotent_and_track_staleness(spark, sf_dir, tmp_path):
         .groupBy("vec_id").count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_index_removes_are_crash_safe(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash safety for delete propagation (round 7, sources/staging.py):
+    a failure injected between the staged anti-join write and the rename
+    swap leaves every index family serving its PRE-remove content; the
+    retried remove then completes."""
+    import k8s_vectordb_sync_spark.sources.staging as staging
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    gone = spark.createDataFrame([(i,) for i in range(20, 40)], "vec_id long")
+
+    ivf = str(tmp_path / "ivfpq")
+    ai.build_ivf_pq_index(emb, ivf, n_clusters=4, sample_hex="0123")
+    bm = str(tmp_path / "bm25")
+    lx.build_bm25_index(docs, bm)
+    doc_gone = spark.createDataFrame([(i,) for i in range(20, 40)], "doc_id long")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before swap")
+
+    monkeypatch.setattr(staging, "_swap_partitions", boom)
+    n_codes = spark.read.parquet(ivf + "/codes").count()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ai.ivf_pq_index_remove(spark, ivf, gone)
+    assert spark.read.parquet(ivf + "/codes").count() == n_codes  # intact
+    n_post = spark.read.parquet(bm + "/postings").count()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lx.bm25_index_remove(spark, bm, doc_gone)
+    assert spark.read.parquet(bm + "/postings").count() == n_post  # intact
+    monkeypatch.undo()
+
+    a1 = ai.ivf_pq_index_remove(spark, ivf, gone)
+    assert a1["removed"] == 20
+    assert (
+        spark.read.parquet(ivf + "/codes")
+        .filter(F.col("vec_id").between(20, 39)).count() == 0
+    )
+    a2 = lx.bm25_index_remove(spark, bm, doc_gone)
+    assert a2["rows_removed"] > 0
+    assert (
+        spark.read.parquet(bm + "/postings")
+        .filter(F.col("doc_id").between(20, 39)).count() == 0
+    )
+
+    # sign tier: whole-table swap variant
+    sp = str(tmp_path / "sign")
+    ai.build_sign_index(emb, sp)
+    n_sign = spark.read.parquet(sp + "/codes").count()
+    monkeypatch.setattr(staging, "staged_table_rewrite", boom)
+    monkeypatch.setattr(ai, "staged_table_rewrite", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ai.sign_index_remove(spark, sp, gone)
+    assert spark.read.parquet(sp + "/codes").count() == n_sign  # intact
+    monkeypatch.undo()
+    a3 = ai.sign_index_remove(spark, sp, gone)
+    assert a3["removed"] == 20
