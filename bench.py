@@ -179,6 +179,9 @@ BENCH_QUERIES = [
     "events_welch_ttest",
     "events_hourly_entropy",
     "orders_ship_latency_percentiles",
+    "dedup_lsh_band_sweep",
+    "documents_split_leakage",
+    "events_hll_intersection",
 ]
 
 RUNS_PER_QUERY = 2

@@ -311,3 +311,67 @@ def hll_union(
             F.abs(F.col("__est") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+def hll_intersection(
+    df: DataFrame, key_col: str, group_col: str, type_a: str, type_b: str
+) -> DataFrame:
+    """Intersection cardinality via inclusion-exclusion over HLL states:
+    |A ∩ B| ≈ hll(A) + hll(B) − hll(A ∪ B).
+
+    HLL states union losslessly (per-bucket MAX) but cannot intersect, so
+    the standard recipe estimates the overlap by inclusion-exclusion over
+    three sketches — the segment-overlap question ("how many users did BOTH
+    X and Y") answered from KB-sized mergeable state instead of a key-level
+    join. The estimate inherits the error of all three sketches and can go
+    negative for small overlaps; it is clamped at 0, and the exact overlap
+    (feasible at test scale) rides along as the audit column.
+
+    Returns ONE row — (type_a, type_b, n_hll_a, n_hll_b, n_hll_union,
+    n_hll_inter, n_exact_inter) — when any row of either group exists, and
+    ZERO rows otherwise (the empty-input contract the oracle mirrors with
+    a COUNT gate). A group with no rows estimates 0.0 (the empty sketch).
+    """
+    sub = df.filter(F.col(group_col).isin([type_a, type_b])).select(
+        group_col, key_col
+    )
+    tagged = sub.withColumn("__all", F.lit("u"))
+    u = hll_estimate(hll_bucket_maxes(tagged, key_col, ["__all"]), ["__all"]).select(
+        F.lit(1).alias("__j"), F.col("__est").alias("__est_u")
+    )
+    per = hll_estimate(hll_bucket_maxes(sub, key_col, [group_col]), [group_col])
+    ea = per.filter(F.col(group_col) == type_a).select(
+        F.lit(1).alias("__j"), F.col("__est").alias("__est_a")
+    )
+    eb = per.filter(F.col(group_col) == type_b).select(
+        F.lit(1).alias("__j"), F.col("__est").alias("__est_b")
+    )
+    flags = sub.groupBy(key_col).agg(
+        F.max(F.when(F.col(group_col) == type_a, 1).otherwise(0)).alias("__fa"),
+        F.max(F.when(F.col(group_col) == type_b, 1).otherwise(0)).alias("__fb"),
+    )
+    inter = flags.agg(
+        F.coalesce(
+            F.sum(F.when((F.col("__fa") == 1) & (F.col("__fb") == 1), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_exact_inter")
+    ).withColumn("__j", F.lit(1))
+    est_a = F.coalesce(F.col("__est_a"), F.lit(0.0))
+    est_b = F.coalesce(F.col("__est_b"), F.lit(0.0))
+    est_i = F.greatest(est_a + est_b - F.col("__est_u"), F.lit(0.0))
+    return (
+        u.join(ea, "__j", "left")
+        .join(eb, "__j", "left")
+        .join(inter, "__j", "left")
+        .select(
+            F.lit(type_a).alias("type_a"),
+            F.lit(type_b).alias("type_b"),
+            F.round(est_a, 2).alias("n_hll_a"),
+            F.round(est_b, 2).alias("n_hll_b"),
+            F.round(F.col("__est_u"), 2).alias("n_hll_union"),
+            F.round(est_i, 2).alias("n_hll_inter"),
+            F.col("n_exact_inter"),
+        )
+    )

@@ -8571,3 +8571,200 @@ def orders_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.percentile("days", F.lit(0.99)), 4).alias("p99_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 additions: LSH tuning sweep, split-leakage audit, HLL intersection
+# ---------------------------------------------------------------------------
+
+_SWEEP_ROWS = (1, 2, 4, 8)
+_SWEEP_THRESHOLD = 0.5
+
+
+def _sql_lsh_band_sweep(rows_opts=_SWEEP_ROWS, threshold=_SWEEP_THRESHOLD) -> str:
+    """Banding-sweep oracle: the sig CTEs shared with the MinHash family,
+    then per rows-per-band r a (bucket, candidate, estimate, scalar-agg)
+    chain UNION ALL'd — one row per configuration, replaying the Spark
+    sweep's md5 buckets and signature-agreement counts exactly."""
+    base = _sql_minhash_ctes(threshold)
+    head = base[: base.index("buckets AS")].rstrip().rstrip(",")
+    parts = [head]
+    selects = []
+    for r in rows_opts:
+        nb = NUM_MINHASHES // r
+        parts.append(
+            f"""b{r} AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(list_transform(
+                 list_slice(sig, b.band * {r} + 1, b.band * {r} + {r}),
+                 v -> CAST(v AS VARCHAR)), '-')) AS bucket
+      FROM sigs, (SELECT unnest(range(0, {nb})) AS band) b)"""
+        )
+        parts.append(
+            f"""c{r} AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM b{r} l JOIN b{r} r ON l.band = r.band AND l.bucket = r.bucket
+                             AND l.doc_id < r.doc_id)"""
+        )
+        parts.append(
+            f"""e{r} AS (
+      SELECT len(list_filter(range(1, {NUM_MINHASHES} + 1),
+                             i -> a.sig[i] = b.sig[i]))::DOUBLE / {NUM_MINHASHES} AS jacc
+      FROM c{r} c JOIN sigs a ON c.doc_a = a.doc_id
+                  JOIN sigs b ON c.doc_b = b.doc_id)"""
+        )
+        t50 = round((1.0 / nb) ** (1.0 / r), 4)
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS rows_per_band,
+           CAST({nb} AS BIGINT) AS n_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN jacc >= {threshold} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_pairs,
+           CASE WHEN COUNT(*) > 0
+                THEN round(CAST(COALESCE(SUM(CASE WHEN jacc >= {threshold} THEN 1 ELSE 0 END), 0) AS DOUBLE) / COUNT(*), 4)
+                ELSE CAST(0.0 AS DOUBLE) END AS "precision",
+           CAST({t50!r} AS DOUBLE) AS t50 FROM e{r}"""
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register("dedup_lsh_band_sweep", _sql_lsh_band_sweep())
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep (operators/dedup.py::lsh_band_sweep):
+    candidate volume, signature-verified true-pair yield, precision, and
+    the analytic S-curve 50%-capture threshold (1/b)^(1/r) for each
+    rows-per-band choice over the SAME 16-hash signature frame — the
+    tuning readout a 100 TB dedup run consults before committing to a
+    banding. One signature computation, one single-row aggregate per
+    configuration; precision is 0.0 (not null) when a configuration yields
+    no candidates, mirrored in the oracle's CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.lsh_band_sweep(
+        docs, rows_per_band_options=_SWEEP_ROWS, threshold=_SWEEP_THRESHOLD
+    )
+
+
+_SQL_SPLIT_PCT = (
+    "(CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)"
+)
+
+
+@register(
+    "documents_split_leakage",
+    f"""WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SQL_SPLIT_PCT} < 80 THEN 'train'
+                  WHEN {_SQL_SPLIT_PCT} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    sp AS (
+      SELECT doc_id, split, unnest({_sql_shingles(SQL_NTOKS, _SPAN_K)}) AS span
+      FROM assigned),
+    hs AS (SELECT doc_id, split, {SQL_H15.format(x='span')} AS sh FROM sp),
+    tr AS (SELECT DISTINCT sh FROM hs WHERE split = 'train'),
+    ev AS (SELECT doc_id, split, sh FROM hs WHERE split IN ('val', 'test')),
+    leaked AS (SELECT DISTINCT e.doc_id, e.split FROM ev e JOIN tr t USING (sh)),
+    lc AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked FROM leaked GROUP BY split),
+    tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM assigned WHERE split IN ('val', 'test') GROUP BY split)
+    SELECT t.split, t.n_docs,
+           CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+           round(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / t.n_docs, 4) AS leak_rate
+    FROM tot t LEFT JOIN lc l USING (split)""",
+)
+def documents_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit of the engine's OWN split
+    (operators/sampling.py::train_split): a val/test document is "leaked"
+    if any of its 8-token spans also occurs in any train document — the
+    GPT-3/Pile-style overlap check, run with the substring family's span
+    machinery (distinct shingles hashed to 15-hex BIGINTs, so the shuffle
+    carries (int64, split) only, never span text).
+
+    Plan shape at 100 TB: split assignment is a zero-shuffle hash
+    predicate; ONE span explode feeds both sides; the train span set is
+    distinct-reduced before the semi-join, and the semi-join carries no
+    payload. Output is O(#splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = smp.train_split(docs)
+    sp = assigned.select(
+        "doc_id", "split", F.explode(T.shingles(F.col("text"), _SPAN_K)).alias("span")
+    )
+    hs = sp.select("doc_id", "split", T.md5_prefix_long(F.col("span")).alias("sh"))
+    tr = hs.filter(F.col("split") == "train").select("sh").distinct()
+    ev = hs.filter(F.col("split").isin(["val", "test"]))
+    leaked = (
+        ev.join(tr, "sh", "left_semi").select("doc_id", "split").distinct()
+    )
+    lc = leaked.groupBy("split").agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    tot = (
+        assigned.filter(F.col("split").isin(["val", "test"]))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return tot.join(lc, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n_leaked"), F.lit(0)).cast("bigint").alias("n_leaked"),
+        F.round(
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("double") / F.col("n_docs"), 4
+        ).alias("leak_rate"),
+    )
+
+
+HLL_INTER_TYPES = ("click", "purchase")
+
+
+def _sql_hll_intersection() -> str:
+    cap = sk.HLL_RHO_CAP
+    wb1 = sk.HLL_W_BITS + 1
+    ta, tb = HLL_INTER_TYPES
+    est_ctes = []
+    for tag, pred in (("u", "TRUE"), ("a", f"g = '{ta}'"), ("b", f"g = '{tb}'")):
+        est_ctes.append(
+            f"""mx{tag} AS (SELECT bucket, MAX(rho) AS maxrho FROM br WHERE {pred} GROUP BY bucket),
+    agg{tag} AS (SELECT SUM(1::BIGINT << ({cap} - maxrho)) AS s_present, COUNT(*) AS present FROM mx{tag}),
+    agg2{tag} AS (SELECT s_present + ({sk.HLL_M} - present) * (1::BIGINT << {cap}) AS s,
+                        {sk.HLL_M} - present AS v FROM agg{tag}),
+    est{tag} AS (SELECT CASE WHEN CAST({sk.HLL_NUMERATOR!r} AS DOUBLE) / s <= {sk.HLL_SMALL_RANGE!r}
+                             AND v > 0
+                        THEN CAST({sk.HLL_M} AS DOUBLE) * ln(CAST({sk.HLL_M} AS DOUBLE) / v)
+                        ELSE CAST({sk.HLL_NUMERATOR!r} AS DOUBLE) / s END AS e
+               FROM agg2{tag})"""
+        )
+    ests = ",\n    ".join(est_ctes)
+    return f"""WITH sub AS (
+      SELECT event_type AS g, user_id FROM events
+      WHERE event_type IN ('{ta}', '{tb}')),
+    h AS (SELECT g,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM sub),
+    br AS (SELECT g, h % {sk.HLL_M} AS bucket,
+                 CASE WHEN (h >> {sk.HLL_P}) > 0
+                      THEN least({wb1} - length(bin(h >> {sk.HLL_P})), {cap})
+                      ELSE {cap} END AS rho
+          FROM h),
+    {ests},
+    inter AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM
+        (SELECT user_id FROM sub WHERE g = '{ta}'
+         INTERSECT SELECT user_id FROM sub WHERE g = '{tb}')),
+    gate AS (SELECT COUNT(*) AS n FROM sub)
+    SELECT '{ta}' AS type_a, '{tb}' AS type_b,
+           round(COALESCE(ea.e, 0.0), 2) AS n_hll_a,
+           round(COALESCE(eb.e, 0.0), 2) AS n_hll_b,
+           round(eu.e, 2) AS n_hll_union,
+           round(GREATEST((COALESCE(ea.e, 0.0) + COALESCE(eb.e, 0.0)) - eu.e, 0.0), 2) AS n_hll_inter,
+           i.n_exact_inter
+    FROM estu eu CROSS JOIN esta ea CROSS JOIN estb eb
+         CROSS JOIN inter i CROSS JOIN gate WHERE gate.n > 0"""
+
+
+@register("events_hll_intersection", _sql_hll_intersection())
+def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches
+    (operators/sketches.py::hll_intersection): |A ∩ B| by
+    inclusion-exclusion over three HLL states (A, B, A∪B share one
+    bucket-max pass each; states merge with MAX, never revisiting raw
+    data), clamped at 0, with the exact overlap as the audit column — the
+    "users who did BOTH click and purchase" question answered from KB-sized
+    mergeable state instead of a key-level join."""
+    ev = load_table(spark, sf_dir, "events")
+    return sk.hll_intersection(ev, "user_id", "event_type", *HLL_INTER_TYPES)

@@ -296,3 +296,36 @@ def test_ewma_truncated_matches_python(spark, sf_dir):
         num = sum(v * _EWMA_W ** (len(tail) - 1 - i) for i, v in enumerate(tail))
         den = (1 - _EWMA_W ** len(tail)) / (1 - _EWMA_W)
         assert abs(out[r["event_id"]] - num / den) < 1e-3, r["event_id"]
+
+
+def test_split_leakage_detects_planted_train_to_test_copy(spark):
+    """documents_split_leakage flags a val/test doc iff it shares an 8-token
+    span with some train doc. doc_ids are chosen by replaying the split hash:
+    1,3,4 are train; 2,8 are val; 25,54 are test. Doc 25 copies train doc 1's
+    text (leaks); doc 2 shares an 8-token prefix with train doc 3 (leaks);
+    docs 54 and 8 are unique (clean)."""
+    import os
+    import tempfile
+
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "one two three four five six seven eight nine ten", "en", "s", 10),
+        (3, shared + " completely different continuation words here now", "en", "s", 10),
+        (4, "nothing in common with anything else at all whatsoever", "en", "s", 10),
+        (2, shared + " another tail that differs from the train doc", "en", "s", 10),
+        (8, "unique val document with its own words only here", "en", "s", 10),
+        (25, "one two three four five six seven eight nine ten", "en", "s", 10),
+        (54, "unique test document sharing no span with training data", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="kvs-leak-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["split"]: r for r in QUERIES["documents_split_leakage"](spark, d).collect()}
+    assert out["val"]["n_docs"] == 2 and out["val"]["n_leaked"] == 1
+    assert out["val"]["leak_rate"] == 0.5
+    assert out["test"]["n_docs"] == 2 and out["test"]["n_leaked"] == 1
+    assert out["test"]["leak_rate"] == 0.5

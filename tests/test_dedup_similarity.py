@@ -18,8 +18,10 @@ from k8s_vectordb_sync_spark.functions.text import (
 )
 from k8s_vectordb_sync_spark.functions.vectors import cosine, dot, l2_distance
 from k8s_vectordb_sync_spark.operators.dedup import (
+    BAND_SIZE,
     embedding_cosine_pairs,
     exact_dedup,
+    lsh_band_sweep,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -947,3 +949,45 @@ def test_round5_ops_handle_empty_inputs(spark):
         [(0, [0.5] * 64)], "query_id long, query_vec array<double>"
     )
     assert hamming_topk(empty_emb, q, k=5).count() == 0
+
+
+def test_lsh_band_sweep_nesting_and_band_size_config(spark):
+    """Aligned band slices nest: an r=8 bucket match implies both contained
+    r=4 matches, so candidate counts are monotone nonincreasing in rows-per-
+    band. The r=BAND_SIZE configuration's true-pair count must equal the
+    registered signature-verify miner's pair count (same buckets, same
+    gate); non-divisors of NUM_MINHASHES are rejected."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "s"),
+        (2, base, "s"),
+        (3, base + " slightly changed tail words", "s"),
+        (4, "completely unrelated text about spark query engines here", "s"),
+        (5, "another distinct document mentioning parquet shuffles only", "s"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    sweep = {
+        r["rows_per_band"]: r.asDict()
+        for r in lsh_band_sweep(docs, threshold=0.5).collect()
+    }
+    assert sorted(sweep) == [1, 2, 4, 8]
+    # more rows per band -> equal-or-fewer candidates (nested buckets)
+    assert (
+        sweep[8]["n_candidates"]
+        <= sweep[4]["n_candidates"]
+        <= sweep[2]["n_candidates"]
+        <= sweep[1]["n_candidates"]
+    )
+    # the r=BAND_SIZE row replays the registered signature-verify miner
+    n_sig_pairs = minhash_lsh_pairs(docs, threshold=0.5, verify="signature").count()
+    assert sweep[BAND_SIZE]["n_true_pairs"] == n_sig_pairs
+    # identical docs are candidates under every banding
+    assert sweep[8]["n_candidates"] >= 1
+    for r in (1, 2, 4, 8):
+        cfg = sweep[r]
+        assert cfg["n_bands"] == 16 // r
+        if cfg["n_candidates"] > 0:
+            assert 0.0 <= cfg["precision"] <= 1.0
+        assert 0.0 < cfg["t50"] < 1.0
+    with pytest.raises(ValueError, match="does not divide"):
+        lsh_band_sweep(docs, rows_per_band_options=(3,)).collect()

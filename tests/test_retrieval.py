@@ -446,3 +446,43 @@ def test_streaming_cms_state_matches_batch(spark, tmp_path):
         (r.j, r.b): r.bucket_n for r in spark.sql("SELECT * FROM cms_state").collect()
     }
     assert got == batch
+
+
+def test_hll_intersection_overlap_disjoint_and_empty(spark):
+    """Inclusion-exclusion overlap: 300 users click, 300 purchase, 100 do
+    both. Each sketch has ~6.5% relative error; the intersection estimate
+    compounds all three, so assert a generous 3-sigma-ish band around 100.
+    Disjoint populations estimate ≈ 0 (clamped at 0 exactly when the union
+    estimate exceeds the sum). Empty input yields zero rows."""
+    rows = [(i, "click") for i in range(300)]
+    rows += [(i, "purchase") for i in range(200, 500)]
+    rows += [(i, "view") for i in range(1000)]  # ignored type
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = sk.hll_intersection(df, "user_id", "event_type", "click", "purchase").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_exact_inter"] == 100
+    assert abs(r["n_hll_a"] - 300) / 300 < 0.25
+    assert abs(r["n_hll_b"] - 300) / 300 < 0.25
+    assert abs(r["n_hll_union"] - 500) / 500 < 0.25
+    assert abs(r["n_hll_inter"] - 100) < 75  # three compounded sketches
+    # disjoint: exact 0, estimate small (clamped at 0 from below)
+    dj = spark.createDataFrame(
+        [(i, "click") for i in range(250)] + [(1000 + i, "purchase") for i in range(250)],
+        "user_id long, event_type string",
+    )
+    rd = sk.hll_intersection(dj, "user_id", "event_type", "click", "purchase").collect()[0]
+    assert rd["n_exact_inter"] == 0
+    assert 0.0 <= rd["n_hll_inter"] < 60
+    # one side empty: row still emitted, empty sketch estimates 0.0
+    one = sk.hll_intersection(
+        spark.createDataFrame([(1, "click")], "user_id long, event_type string"),
+        "user_id", "event_type", "click", "purchase",
+    ).collect()[0]
+    assert one["n_hll_b"] == 0.0 and one["n_exact_inter"] == 0
+    # no qualifying rows at all: zero rows
+    empty = sk.hll_intersection(
+        spark.createDataFrame([(1, "view")], "user_id long, event_type string"),
+        "user_id", "event_type", "click", "purchase",
+    )
+    assert empty.count() == 0
