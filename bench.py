@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "dedup_lsh_band_sweep",
     "documents_split_leakage",
     "events_hll_intersection",
+    "ann_recall_nprobe_sweep",
 ]
 
 RUNS_PER_QUERY = 2

@@ -1259,3 +1259,135 @@ def hamming_rerank_topk(
         .select("query_id", "neighbor_id", score.alias("score"))
     )
     return topk_per_query(scored, k)
+
+
+def ivf_nprobe_sweep(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe_options: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    sample_hex: str | None = None,
+) -> DataFrame:
+    """IVF nprobe/recall tuning sweep: mean recall@k vs the exact brute-force
+    top-k for each probe count, all from ONE training run — the ANN-family
+    twin of dedup.lsh_band_sweep.
+
+    The operational question before serving an IVF index at 100 TB is where
+    to sit on the recall/scan-fraction curve: each probe reads another
+    1/n_clusters of the corpus. This sweep trains the centroids once,
+    assigns the base set once (persisted), ranks each query's centroid
+    preference once (keeping the rank), computes the exact top-k once, and
+    then evaluates every ``nprobe`` as a filter over the SAME probe
+    ranking — so the per-config cost is one cluster-pruned scoring join,
+    never a retrain. One row per configuration: (nprobe, n_queries,
+    mean_recall, scan_frac); zero rows when there are no queries (the
+    grouped-constant empty-input contract). mean_recall is an exact
+    integer ratio (sum of hits / (n_queries * k)) rounded once, so the
+    oracle replays it bit-for-bit.
+    """
+    for p in nprobe_options:
+        if not 1 <= p <= n_clusters:
+            raise ValueError(f"nprobe {p} outside [1, {n_clusters}]")
+    from pyspark.storagelevel import StorageLevel
+
+    centroids = kmeans_centroids(
+        embeddings, n_clusters, vec_col=vec_col, id_col=id_col, sample_hex=sample_hex
+    )
+    base = (
+        assign_clusters(embeddings, [c for _, c in centroids], vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("__nv"),
+            "cluster",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bf = brute_force_topk(
+        embeddings,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
+    cent_df = queries.sparkSession.createDataFrame(
+        [(ci, c) for ci, c in centroids], schema="cluster int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("query_vec"),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    ranked_probes = qc.withColumn("pr", F.row_number().over(wq)).select(
+        "query_id",
+        "query_vec",
+        norm(F.col("query_vec")).alias("__nq"),
+        "cluster",
+        "pr",
+    )
+    per_config = []
+    for p in sorted(nprobe_options):
+        probes = ranked_probes.filter(F.col("pr") <= p).drop("pr")
+        denom = F.col("__nq") * F.col("__nv")
+        scored = base.join(F.broadcast(probes), "cluster").select(
+            "query_id",
+            "neighbor_id",
+            F.when(denom > 0, dot(F.col("query_vec"), F.col("vec")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        ivf = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", F.col("neighbor_id").alias("i_nid")
+            )
+        )
+        hits = (
+            bf.join(
+                ivf.withColumnRenamed("query_id", "i_qid"),
+                (F.col("query_id") == F.col("i_qid"))
+                & (F.col("neighbor_id") == F.col("i_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("i_nid").alias("hits"))
+        )
+        per_config.append(
+            hits.groupBy(F.lit(p).cast("bigint").alias("nprobe")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum("hits").cast("double")
+                    / (F.count(F.lit(1)) * F.lit(k)),
+                    4,
+                ).alias("mean_recall"),
+            ).withColumn(
+                "scan_frac", F.lit(round(p / n_clusters, 4))
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, per_config)

@@ -8768,3 +8768,85 @@ def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable state instead of a key-level join."""
     ev = load_table(spark, sf_dir, "events")
     return sk.hll_intersection(ev, "user_id", "event_type", *HLL_INTER_TYPES)
+
+
+_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _sql_ivf_nprobe_sweep(
+    n_clusters: int = 8, iterations: int = 5, nprobes=_NPROBE_SWEEP
+) -> str:
+    """nprobe-sweep oracle: the shared k-means chain through `af`, a probe
+    ranking that KEEPS the rank, the exact brute-force top-k once, then per
+    probe count a (filter, score, rank, hits, scalar-agg) chain UNION ALL'd."""
+    parts = _sql_ivf_parts(n_clusters, iterations, n_probe=n_clusters)[:-3]
+    fin = f"c{iterations}"
+    qd2 = (
+        "list_sum(list_transform(range(1, len(q.qv) + 1),"
+        " i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])))"
+    )
+    parts.append(f"""probes_all AS (
+      SELECT query_id, qv, cluster, pr FROM (
+        SELECT q.query_id, q.qv, c.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {qd2} ASC, c.cluster ASC) AS pr
+        FROM (SELECT vec_id AS query_id, v AS qv FROM base
+              WHERE vec_id < {ANN_QUERY_MAX_ID}) q
+        CROSS JOIN {fin} c) t)""")
+    parts.append(f"""bf_scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {SQL_COS.format(a='q.v', b='b.v')} AS score
+      FROM (SELECT vec_id, v FROM base WHERE vec_id < {ANN_QUERY_MAX_ID}) q
+      CROSS JOIN base b)""")
+    parts.append(f"""bf AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM bf_scored QUALIFY rank <= {ANN_K})""")
+    selects = []
+    for p in sorted(nprobes):
+        parts.append(f"""sc{p} AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {SQL_COS.format(a='p.qv', b='a.v')} AS score
+      FROM (SELECT query_id, qv, cluster FROM probes_all WHERE pr <= {p}) p
+      JOIN af a ON p.cluster = a.cluster)""")
+        parts.append(f"""iv{p} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM sc{p}) t WHERE rank <= {ANN_K})""")
+        parts.append(f"""h{p} AS (
+      SELECT bf.query_id, COUNT(iv{p}.neighbor_id) AS hits
+      FROM bf LEFT JOIN iv{p}
+        ON bf.query_id = iv{p}.query_id AND bf.neighbor_id = iv{p}.neighbor_id
+      GROUP BY bf.query_id)""")
+        scan = round(p / n_clusters, 4)
+        selects.append(
+            f"""SELECT CAST({p} AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * {ANN_K}), 4) AS mean_recall,
+           CAST({scan!r} AS DOUBLE) AS scan_frac
+    FROM h{p} GROUP BY 1"""
+        )
+    body = ",\n    ".join(parts)
+    return f"WITH {body}\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register("ann_recall_nprobe_sweep", _sql_ivf_nprobe_sweep())
+def ann_recall_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe/recall tuning sweep
+    (operators/similarity.py::ivf_nprobe_sweep): mean recall@k and scan
+    fraction per probe count, from ONE k-means training run, one persisted
+    assignment, one exact top-k, and one probe ranking — the curve an
+    operator reads before fixing nprobe on a 100 TB serving index. The
+    nprobe = n_clusters row scans everything and anchors recall at 1.0;
+    mean recall is the exact integer ratio sum(hits)/(n_queries*k) rounded
+    once in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_nprobe_sweep(
+        emb,
+        _queries_df(spark, sf_dir),
+        k=ANN_K,
+        n_clusters=8,
+        nprobe_options=_NPROBE_SWEEP,
+        sample_hex=_TRAIN_SAMPLE_HEX,
+    )

@@ -34,6 +34,7 @@ from k8s_vectordb_sync_spark.operators.multimodal import (
 )
 from k8s_vectordb_sync_spark.operators.similarity import (
     brute_force_topk,
+    ivf_nprobe_sweep,
     ivf_topk,
     lsh_topk,
 )
@@ -991,3 +992,34 @@ def test_lsh_band_sweep_nesting_and_band_size_config(spark):
         assert 0.0 < cfg["t50"] < 1.0
     with pytest.raises(ValueError, match="does not divide"):
         lsh_band_sweep(docs, rows_per_band_options=(3,)).collect()
+
+
+def test_ivf_nprobe_sweep_monotone_and_full_scan_anchor(spark):
+    """Probe sets nest, so candidate sets nest; every exact-top-k member
+    present among candidates outranks every non-member, so hits — and mean
+    recall — are monotone nondecreasing in nprobe, and nprobe = n_clusters
+    is a full scan with recall exactly 1.0. Out-of-range probe counts are
+    rejected."""
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = {
+        r["nprobe"]: r.asDict()
+        for r in ivf_nprobe_sweep(
+            emb, q, k=5, n_clusters=4, nprobe_options=(1, 2, 4)
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 4]
+    assert out[1]["mean_recall"] <= out[2]["mean_recall"] <= out[4]["mean_recall"]
+    assert out[4]["mean_recall"] == 1.0  # full scan
+    assert out[4]["scan_frac"] == 1.0 and out[1]["scan_frac"] == 0.25
+    assert all(r["n_queries"] == 4 for r in out.values())
+    with pytest.raises(ValueError, match="outside"):
+        ivf_nprobe_sweep(emb, q, n_clusters=4, nprobe_options=(8,)).collect()
