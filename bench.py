@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "documents_split_leakage",
     "events_hll_intersection",
     "ann_recall_nprobe_sweep",
+    "dedup_family_agreement",
+    "dedup_cluster_pareto",
 ]
 
 RUNS_PER_QUERY = 2

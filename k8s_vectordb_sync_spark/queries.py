@@ -8850,3 +8850,130 @@ def ann_recall_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe_options=_NPROBE_SWEEP,
         sample_hex=_TRAIN_SAMPLE_HEX,
     )
+
+
+def _sql_family_agreement() -> str:
+    """Two candidate-family chains in one statement: the MinHash CTEs keep
+    their names (ending in `pairs`); the SimHash chain is renamed with an
+    sm-prefix to avoid the hx/sigs collisions."""
+    sim_sql = (
+        _sql_simhash()
+        .replace("WITH ", "", 1)
+        .replace("toks", "smtoks")
+        .replace("hx", "smhx")
+        .replace("votes", "smvotes")
+        .replace("sigs", "smsigs")
+    )
+    return f"""WITH {_sql_minhash_ctes(0.5)},
+    {sim_sql},
+    sp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM smsigs a JOIN smsigs b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    mp AS (SELECT doc_a, doc_b FROM pairs),
+    j AS (
+      SELECT CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_m,
+             CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_s
+      FROM mp m FULL OUTER JOIN sp s
+        ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+    SELECT CAST(COALESCE(SUM(in_m), 0) AS BIGINT) AS n_minhash,
+           CAST(COALESCE(SUM(in_s), 0) AS BIGINT) AS n_simhash,
+           CAST(COALESCE(SUM(in_m * in_s), 0) AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS n_either,
+           CASE WHEN COUNT(*) > 0
+                THEN round(CAST(COALESCE(SUM(in_m * in_s), 0) AS DOUBLE) / COUNT(*), 4)
+                ELSE CAST(0.0 AS DOUBLE) END AS agreement
+    FROM j"""
+
+
+@register("dedup_family_agreement", _sql_family_agreement())
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup calibration: how much do the MinHash (Jaccard ≥
+    0.5, global LSH buckets) and SimHash (hamming ≤ 3, source-blocked) pair
+    miners agree? Low agreement flags threshold drift between the families
+    before a pipeline assembly swaps one for the other; the known scope
+    difference (SimHash candidates are blocked within source) is part of
+    what the readout surfaces. One full-outer join of two candidate-scale
+    pair frames reduced to a single global-aggregate row — always exactly
+    one row, zeros on an empty corpus, agreement 0.0 when no pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    mp = (
+        dd.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("in_m", F.lit(1))
+    )
+    sp = (
+        dd.simhash_pairs(docs, max_hamming=3)
+        .select("doc_a", "doc_b")
+        .withColumn("in_s", F.lit(1))
+    )
+    j = mp.join(sp, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_m"), F.lit(0)).alias("in_m"),
+        F.coalesce(F.col("in_s"), F.lit(0)).alias("in_s"),
+    )
+    return j.agg(
+        F.coalesce(F.sum("in_m"), F.lit(0)).cast("bigint").alias("n_minhash"),
+        F.coalesce(F.sum("in_s"), F.lit(0)).cast("bigint").alias("n_simhash"),
+        F.coalesce(F.sum(F.col("in_m") * F.col("in_s")), F.lit(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_either"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.coalesce(F.sum(F.col("in_m") * F.col("in_s")), F.lit(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("agreement"),
+    )
+
+
+@register(
+    "dedup_cluster_pareto",
+    f"""WITH RECURSIVE {_sql_minhash_ctes(0.5)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id),
+    cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    szs AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY cluster_id),
+    dist AS (SELECT sz, COUNT(*) AS n_clusters FROM szs GROUP BY sz),
+    tot AS (SELECT SUM(sz * n_clusters) AS t FROM dist)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(sz * n_clusters AS BIGINT) AS n_docs,
+           round(CAST(sz * n_clusters AS DOUBLE) / t.t, 4) AS doc_share
+    FROM dist CROSS JOIN tot t""",
+)
+def dedup_cluster_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the Pareto readout that tells
+    a curation run whether its duplication lives in a few giant template
+    families (dedup by cluster representative, biggest wins) or a long
+    tail of pairs (pair-level removal suffices). Composes the registered
+    pair miner and pointer-jumped closure, then reduces to O(#distinct
+    sizes) rows; the total is a 1-row aggregate broadcast back (no
+    unpartitioned window). Rows exist only when clusters exist, so the
+    share denominator is never 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    cl = dd.dup_clusters(pairs.select("doc_a", "doc_b"))
+    szs = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    dist = szs.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = dist.agg(F.sum(F.col("sz") * F.col("n_clusters")).alias("t"))
+    return dist.crossJoin(F.broadcast(tot)).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        F.round(
+            (F.col("sz") * F.col("n_clusters")).cast("double") / F.col("t"), 4
+        ).alias("doc_share"),
+    )

@@ -1023,3 +1023,61 @@ def test_ivf_nprobe_sweep_monotone_and_full_scan_anchor(spark):
     assert all(r["n_queries"] == 4 for r in out.values())
     with pytest.raises(ValueError, match="outside"):
         ivf_nprobe_sweep(emb, q, n_clusters=4, nprobe_options=(8,)).collect()
+
+
+def test_family_agreement_counts_scope_difference(spark):
+    """MinHash mines pairs globally; SimHash blocks candidates within
+    source. Two identical docs in ONE source are found by both; two
+    identical docs split ACROSS sources are found only by MinHash — the
+    agreement readout surfaces exactly that scope gap."""
+    import os
+    import tempfile
+
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_b = "completely different words about parquet shuffle partitioning at scale"
+    rows = [
+        (1, text_a, "en", "s", 10),
+        (2, text_a, "en", "s", 10),   # same source -> both families
+        (3, text_b, "en", "t", 10),
+        (4, text_b, "en", "u", 10),   # cross-source -> minhash only
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="kvs-fam-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["dedup_family_agreement"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_minhash"] == 2 and r["n_simhash"] == 1
+    assert r["n_both"] == 1 and r["n_either"] == 2
+    assert r["agreement"] == 0.5
+
+
+def test_cluster_pareto_known_cluster_sizes(spark):
+    """A 3-doc identical family and a separate 2-doc identical family yield
+    exactly two distribution rows: (size 3, 1 cluster, 60% of clustered
+    docs) and (size 2, 1 cluster, 40%). Unique docs never enter the graph."""
+    import os
+    import tempfile
+
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    fam3 = "the quick brown fox jumps over the lazy dog again and again today"
+    fam2 = "completely different words about parquet shuffle partitioning at scale"
+    uniq = "a third unrelated document mentioning watermarks and state stores"
+    rows = [(i, fam3, "en", "s", 10) for i in (1, 2, 3)]
+    rows += [(i, fam2, "en", "s", 10) for i in (10, 11)]
+    rows += [(20, uniq, "en", "s", 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="kvs-pareto-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["cluster_size"]: r for r in QUERIES["dedup_cluster_pareto"](spark, d).collect()}
+    assert sorted(out) == [2, 3]
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[3]["doc_share"] == 0.6 and out[2]["doc_share"] == 0.4
