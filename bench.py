@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "ann_recall_nprobe_sweep",
     "dedup_family_agreement",
     "dedup_cluster_pareto",
+    "embeddings_top_component",
 ]
 
 RUNS_PER_QUERY = 2

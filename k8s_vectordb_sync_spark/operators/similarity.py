@@ -1391,3 +1391,103 @@ def ivf_nprobe_sweep(
     from functools import reduce
 
     return reduce(DataFrame.unionByName, per_config)
+
+
+def power_iteration_top_component(
+    embeddings: DataFrame,
+    iterations: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding matrix via
+    distributed power iteration — PCA's 100 TB form: each iteration is ONE
+    map-side-combined aggregate pass (v_{t+1} ∝ Xᵀ(Xv_t), where Xv_t is a
+    per-row dot product and Xᵀs is 64 partial sums), never materializing
+    the covariance matrix or shuffling anything wider than 64 doubles.
+
+    Determinism discipline (the kmeans_centroids recipe): the per-dim mean,
+    every per-dim sum, and the normalized iterate are rounded to 6 dp
+    IN SPARK (HALF_UP, matching DuckDB's round) before the driver feeds
+    them back as literals, so the DuckDB oracle replays the identical
+    iteration chain; fold orders are fixed (element order 1..dim). The
+    all-equal corpus (zero centered variance) yields all-zero loadings and
+    explained_ratio 0.0 instead of dividing by zero; an empty corpus yields
+    an empty frame.
+
+    Returns (dim BIGINT 1-based, loading DOUBLE, explained_ratio DOUBLE) —
+    explained_ratio = Σ(x·v)² / Σ‖x‖² over centered rows, the fraction of
+    variance the component captures (n-free, so both engines compute it
+    from two rounded sums).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    base = embeddings.select(x.alias("x"))
+    # one job answers both "is it empty" and the per-dim means
+    mu_row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.avg(F.element_at("x", i + 1)), 6).alias(f"m{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    if mu_row["n"] == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "dim bigint, loading double, explained_ratio double"
+        )
+    mu = [mu_row[f"m{i}"] for i in range(dim)]
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    xc = base.select(
+        F.zip_with("x", mu_lit, lambda a, b: a - b).alias("x")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    v = [round(1.0 / 8.0, 6)] * dim  # 0.125 exactly representable
+    for _ in range(iterations):
+        vlit = F.array(*[F.lit(c) for c in v])
+        s = F.aggregate(
+            F.zip_with("x", vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, e: acc + e
+        )
+        w_agg = xc.select(s.alias("s"), "x").agg(
+            *[
+                F.round(F.sum(F.col("s") * F.element_at("x", i + 1)), 6).alias(f"w{i}")
+                for i in range(dim)
+            ]
+        )
+        # normalization stays Spark-side so rounding semantics (HALF_UP)
+        # match the oracle exactly; the driver only transports literals
+        nrm = F.sqrt(
+            F.aggregate(
+                F.array(*[F.col(f"w{i}") for i in range(dim)]),
+                F.lit(0.0),
+                lambda acc, e: acc + e * e,
+            )
+        )
+        v_row = w_agg.select(
+            *[
+                F.when(nrm > 0, F.round(F.col(f"w{i}") / nrm, 6))
+                .otherwise(F.lit(0.0))
+                .alias(f"v{i}")
+                for i in range(dim)
+            ]
+        ).collect()[0]
+        v = [v_row[f"v{i}"] for i in range(dim)]
+    vlit = F.array(*[F.lit(c) for c in v])
+    s = F.aggregate(
+        F.zip_with("x", vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, e: acc + e
+    )
+    t2 = F.aggregate(
+        F.transform("x", lambda e: e * e), F.lit(0.0), lambda acc, e: acc + e
+    )
+    fin = xc.select(s.alias("s"), t2.alias("t2")).agg(
+        F.round(F.sum(F.col("s") * F.col("s")), 6).alias("se"),
+        F.round(F.sum("t2"), 6).alias("st"),
+    )
+    comp = embeddings.sparkSession.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)], "dim bigint, loading double"
+    )
+    return comp.crossJoin(F.broadcast(fin)).select(
+        "dim",
+        "loading",
+        F.when(F.col("st") > 0, F.round(F.col("se") / F.col("st"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("explained_ratio"),
+    )

@@ -8977,3 +8977,68 @@ def dedup_cluster_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sz") * F.col("n_clusters")).cast("double") / F.col("t"), 4
         ).alias("doc_share"),
     )
+
+
+def _sql_top_component(dim: int = 64, iterations: int = 3) -> str:
+    """Unrolled power-iteration oracle (the kmeans-CTE discipline): per-dim
+    mean / per-dim sums / normalized iterate all rounded to 6 dp at the
+    same points the Spark operator rounds, fold orders fixed at 1..dim."""
+    d1 = dim + 1
+    v0 = "[" + ", ".join(["0.125"] * dim) + "]"
+    parts = [
+        "pbase AS (SELECT embedding::DOUBLE[] AS x FROM embeddings)",
+        f"""mup AS (
+      SELECT idx, round(AVG(x[idx]), 6) AS m
+      FROM pbase CROSS JOIN (SELECT unnest(range(1, {d1})) AS idx) i
+      GROUP BY idx)""",
+        "mu AS (SELECT list(m ORDER BY idx) AS m FROM mup)",
+        f"""bc AS (
+      SELECT list_transform(range(1, {d1}), i -> x[i] - m[i]) AS x
+      FROM pbase CROSS JOIN mu)""",
+    ]
+    prev = f"(SELECT {v0}::DOUBLE[] AS v)"
+    for t in range(1, iterations + 1):
+        parts.append(f"""sp{t} AS (
+      SELECT b.x, list_sum(list_transform(range(1, {d1}), i -> b.x[i] * p.v[i])) AS s
+      FROM bc b CROSS JOIN {prev} p)""")
+        parts.append(f"""wp{t} AS (
+      SELECT idx, round(SUM(s * x[idx]), 6) AS w
+      FROM sp{t} CROSS JOIN (SELECT unnest(range(1, {d1})) AS idx) i
+      GROUP BY idx)""")
+        parts.append(f"w{t} AS (SELECT list(w ORDER BY idx) AS w FROM wp{t})")
+        parts.append(f"""v{t} AS (
+      SELECT CASE WHEN sqrt(list_sum(list_transform(w, e -> e * e))) > 0
+                  THEN list_transform(w, e ->
+                       round(e / sqrt(list_sum(list_transform(w, e2 -> e2 * e2))), 6))
+                  ELSE list_transform(w, e -> 0.0) END AS v
+      FROM w{t})""")
+        prev = f"v{t}"
+    parts.append(f"""sf AS (
+      SELECT list_sum(list_transform(range(1, {d1}), i -> b.x[i] * p.v[i])) AS s,
+             list_sum(list_transform(b.x, e -> e * e)) AS t2
+      FROM bc b CROSS JOIN {prev} p)""")
+    parts.append(
+        "fin AS (SELECT round(SUM(s * s), 6) AS se, round(SUM(t2), 6) AS st FROM sf)"
+    )
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT CAST(d.idx AS BIGINT) AS dim, p.v[d.idx] AS loading,
+           CASE WHEN f.st > 0 THEN round(f.se / f.st, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS explained_ratio
+    FROM (SELECT DISTINCT idx FROM mup) d
+    CROSS JOIN {prev} p CROSS JOIN fin f"""
+
+
+@register("embeddings_top_component", _sql_top_component())
+def embeddings_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix via distributed power
+    iteration (operators/similarity.py::power_iteration_top_component) —
+    PCA's scale form: one map-side-combined aggregate per iteration
+    (v ∝ Xᵀ(Xv)), nothing wider than 64 doubles ever crosses an exchange,
+    and the covariance matrix is never materialized. The kmeans rounding
+    discipline (6 dp at every reduction point, Spark-side HALF_UP) makes
+    the unrolled DuckDB CTE chain replay the iterations bit-for-bit. The
+    readout a drift monitor / whitening step consumes: per-dim loadings +
+    the fraction of variance the component explains."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.power_iteration_top_component(emb, iterations=3, dim=64)

@@ -1081,3 +1081,38 @@ def test_cluster_pareto_known_cluster_sizes(spark):
     assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
     assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
     assert out[3]["doc_share"] == 0.6 and out[2]["doc_share"] == 0.4
+
+
+def test_power_iteration_recovers_dominant_direction(spark):
+    """Vectors spread along e1 with small e2 noise: the top component must
+    align with e1 (|loading_1| ≈ 1, others ≈ 0) and explain most of the
+    variance. An all-equal corpus has zero centered variance — all-zero
+    loadings, ratio 0.0 — and an empty corpus yields an empty frame."""
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        v = [0.0] * dim
+        v[0] = float(i - 20)           # dominant spread
+        v[1] = 0.05 * ((i * 7) % 5 - 2)  # small noise
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in power_iteration_top_component(emb, dim=dim).collect()}
+    assert sorted(out) == list(range(1, dim + 1))
+    assert abs(abs(out[1]["loading"]) - 1.0) < 0.01
+    assert all(abs(out[d]["loading"]) < 0.05 for d in range(2, dim + 1))
+    assert out[1]["explained_ratio"] > 0.95
+    # zero centered variance -> all-zero loadings, ratio 0.0
+    const = spark.createDataFrame(
+        [(i, [0.5] * dim) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    cz = power_iteration_top_component(const, dim=dim).collect()
+    assert all(r["loading"] == 0.0 and r["explained_ratio"] == 0.0 for r in cz)
+    # empty corpus -> empty frame with the right schema
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    eout = power_iteration_top_component(empty, dim=dim)
+    assert eout.count() == 0
+    assert eout.columns == ["dim", "loading", "explained_ratio"]
