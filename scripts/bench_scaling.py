@@ -49,6 +49,14 @@ SUBSET = [
     "events_sessionization",
     "events_asof_attribution",
     "streaming_sync",
+    # round-7b additions: tuning sweeps, monitoring, leakage, PCA, sketches
+    "dedup_lsh_band_sweep",
+    "ann_recall_nprobe_sweep",
+    "dedup_family_agreement",
+    "dedup_cluster_pareto",
+    "embeddings_top_component",
+    "documents_split_leakage",
+    "events_hll_intersection",
 ]
 
 RUNS = 3

@@ -486,3 +486,58 @@ def test_hll_intersection_overlap_disjoint_and_empty(spark):
         "user_id", "event_type", "click", "purchase",
     )
     assert empty.count() == 0
+
+
+def test_streaming_hll_intersection_matches_batch(spark, tmp_path):
+    """The three HLL states behind hll_intersection are each a per-(tag,
+    bucket) MAX — an incremental stateful streaming aggregation. Tag each
+    event with its own type AND the union tag, stream the bucket maxes, and
+    finalize the memory-sink state: the inclusion-exclusion estimate equals
+    the batch query's bit-for-bit (the sketch is deterministic arithmetic)."""
+    rows = [(i, "click") for i in range(300)] + [
+        (i, "purchase") for i in range(200, 500)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    src = f"{tmp_path}/isrc"
+    df.repartition(4).write.parquet(src)
+
+    batch = sk.hll_intersection(
+        spark.read.parquet(src), "user_id", "event_type", "click", "purchase"
+    ).collect()[0]
+
+    raw = spark.readStream.schema(df.schema).parquet(src)
+    # one stateful aggregation carries all three sketches: each row feeds
+    # its own type's state and the union state
+    tagged = raw.select(
+        "user_id",
+        F.explode(F.array(F.col("event_type"), F.lit("__union"))).alias("tag"),
+    )
+    q = (
+        sk.hll_bucket_maxes(tagged, "user_id", ["tag"])
+        .writeStream.format("memory")
+        .queryName("hll_inter_state")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/ickpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.sql("SELECT * FROM hll_inter_state")
+    est = {
+        r.tag: r.e
+        for r in sk.hll_estimate(state, ["tag"])
+        .select("tag", F.col("__est").alias("e"))
+        .collect()
+    }
+    n_a = round(est.get("click", 0.0), 2)
+    n_b = round(est.get("purchase", 0.0), 2)
+    n_u = round(est["__union"], 2)
+    inter = round(
+        max(est.get("click", 0.0) + est.get("purchase", 0.0) - est["__union"], 0.0), 2
+    )
+    assert (n_a, n_b, n_u, inter) == (
+        batch["n_hll_a"],
+        batch["n_hll_b"],
+        batch["n_hll_union"],
+        batch["n_hll_inter"],
+    )
