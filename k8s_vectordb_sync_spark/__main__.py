@@ -315,6 +315,40 @@ def cmd_train_bpe(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tune(args: argparse.Namespace) -> int:
+    """Print the dedup-LSH banding sweep or the IVF nprobe/recall sweep as
+    JSON lines — the tuning readouts an operator consults before fixing a
+    banding or probe count on a production corpus (operators/dedup.py::
+    lsh_band_sweep, operators/similarity.py::ivf_nprobe_sweep)."""
+    from pyspark.sql import functions as F
+
+    from .sources.tables import load_table
+
+    spark = build_spark(app_name="kvs-tune")
+    try:
+        if args.what == "lsh-bands":
+            from .operators.dedup import lsh_band_sweep
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            rows = lsh_band_sweep(docs, threshold=args.threshold).collect()
+        else:  # ivf-nprobe
+            from .operators.similarity import ivf_nprobe_sweep
+
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            queries = emb.filter(F.col("vec_id") < args.n_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            rows = ivf_nprobe_sweep(
+                emb, queries, k=args.k, n_clusters=args.clusters
+            ).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="k8s_vectordb_sync_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -386,6 +420,16 @@ def main(argv: list[str] | None = None) -> int:
     p_is.add_argument("--threshold", type=float, default=None,
                       help="adds/corpus drift ratio that flags a rebuild (default 0.10)")
     p_is.set_defaults(fn=cmd_index_status)
+
+    p_tu = sub.add_parser("tune", help="dedup-LSH banding / IVF nprobe tuning sweeps")
+    p_tu.add_argument("what", choices=["lsh-bands", "ivf-nprobe"])
+    p_tu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_tu.add_argument("--threshold", type=float, default=0.5,
+                      help="lsh-bands: signature-estimate Jaccard gate")
+    p_tu.add_argument("--clusters", type=int, default=8)
+    p_tu.add_argument("--n-queries", type=int, default=8)
+    p_tu.add_argument("--k", type=int, default=5)
+    p_tu.set_defaults(fn=cmd_tune)
 
     args = parser.parse_args(argv)
     return args.fn(args)

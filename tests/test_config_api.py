@@ -143,3 +143,30 @@ def test_bench_queries_all_registered():
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
     # and the registry invariant: every query has an oracle
     assert set(QUERIES) == set(ORACLES)
+
+
+def test_cli_tune_emits_sweep_json_lines():
+    """`tune lsh-bands` prints one JSON line per banding configuration with
+    the S-curve fields; `tune ivf-nprobe` one per probe count with the
+    full-scan row anchored at recall 1.0."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "k8s_vectordb_sync_spark", "tune", "lsh-bands",
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    rows = [json.loads(ln) for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    assert [r["rows_per_band"] for r in rows] == [1, 2, 4, 8]
+    assert all({"n_bands", "n_candidates", "n_true_pairs", "precision", "t50"} <= set(r) for r in rows)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "k8s_vectordb_sync_spark", "tune", "ivf-nprobe",
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    rows = [json.loads(ln) for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    assert rows[-1]["mean_recall"] == 1.0 and rows[-1]["scan_frac"] == 1.0
