@@ -350,3 +350,36 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="not salt-equivalent"):
             salted_join(ldf, rdf, on=["k"], n_salts=4, how=how)
+
+
+_hll_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50), st.sampled_from(["a", "b", "c"])),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=_hll_rows)
+@SETTINGS
+def test_hll_intersection_exact_matches_set_model(spark, rows):
+    """The exact audit column equals the Python set model |A ∩ B| for
+    arbitrary multisets; the sketch estimate is clamped non-negative; and
+    the zero-qualifying-rows case emits zero rows (the COUNT-gate
+    contract)."""
+    from k8s_vectordb_sync_spark.operators.sketches import hll_intersection
+
+    df = spark.createDataFrame(
+        [(k, g) for k, g in rows] or [(0, "zzz")], "user_id long, event_type string"
+    )
+    out = hll_intersection(df, "user_id", "event_type", "a", "b").collect()
+    a = {k for k, g in rows if g == "a"}
+    b = {k for k, g in rows if g == "b"}
+    if not a and not b:
+        assert out == []
+    else:
+        (r,) = out
+        assert r["n_exact_inter"] == len(a & b)
+        assert r["n_hll_inter"] >= 0.0
+        # in the linear-counting regime (<=51 keys vs m=256) the sketch is
+        # near-exact: union estimate within 2 of truth
+        assert abs(r["n_hll_union"] - len(a | b)) <= 2
