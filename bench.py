@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "dedup_family_agreement",
     "dedup_cluster_pareto",
     "embeddings_top_component",
+    "documents_quality_by_split",
+    "embeddings_pq_recon_error",
 ]
 
 RUNS_PER_QUERY = 2

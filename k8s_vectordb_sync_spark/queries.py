@@ -9042,3 +9042,132 @@ def embeddings_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of variance the component explains."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.power_iteration_top_component(emb, iterations=3, dim=64)
+
+
+@register(
+    "documents_quality_by_split",
+    f"""WITH base AS (
+      SELECT doc_id, text, {SQL_TOKS} AS toks,
+             regexp_replace(text, '\\s+', '', 'g') AS nospace
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN ({_SQL_SPLIT_PCT}) < 80 THEN 'train'
+             WHEN ({_SQL_SPLIT_PCT}) < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
+             ELSE 0.0 END AS stop_ratio,
+        CASE WHEN length(nospace) > 0
+             THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
+             ELSE 0.0 END AS punct_ratio,
+        length(text) AS n_chars_text
+      FROM base),
+    q AS (
+      SELECT split,
+             round((least(n_chars_text / 500.0, 1.0)
+                    + (1.0 - least(punct_ratio * 4.0, 1.0))
+                    + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS q
+      FROM m)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_quality,
+           MIN(q) AS min_quality, MAX(q) AS max_quality
+    FROM q GROUP BY split""",
+)
+def documents_quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit: quality-score distribution per train/val/test
+    assignment — the check that the salted hash split did not correlate with
+    quality (an eval set biased toward short/punctuation-heavy documents
+    invalidates every ablation run on it). Zero-shuffle split predicate +
+    one map-side-combined aggregate to O(#splits) rows; the mean is an
+    exact DECIMAL sum of per-doc 4-dp scores divided once, so parity never
+    rests on float summation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = smp.train_split(docs)
+    q = F.round(T.quality_score(F.col("text")), 4)
+    return (
+        assigned.select("split", q.alias("q"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_quality"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+    )
+
+
+def _sql_pq_recon_error(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 64) -> str:
+    """PQ reconstruction-error oracle: the codebook CTEs through recon (the
+    _sql_pq_topk decode), cosine of each original vector against its own
+    reconstruction, a 0.05-bin histogram, and an exact-DECIMAL corpus mean."""
+    parts = _sql_pq_cte_parts(m, k, iterations, dim)
+    code_joins = " ".join(f"JOIN s{s}_af USING (vec_id)" for s in range(1, m))
+    parts.append(f"codes AS (SELECT * FROM s0_af {code_joins})")
+    cat = " || ".join(f"cb{s}.c" for s in range(m))
+    book_joins = " ".join(
+        f"JOIN s{s}_c{iterations} cb{s} ON cb{s}.cluster = cd.code{s}"
+        for s in range(m)
+    )
+    parts.append(f"recon AS (SELECT cd.vec_id, {cat} AS rv FROM codes cd {book_joins})")
+    parts.append("orig AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+    parts.append(f"""cb AS (
+      SELECT o.vec_id, round({SQL_COS.format(a='o.v', b='r.rv')}, 6) AS c
+      FROM orig o JOIN recon r USING (vec_id))""")
+    parts.append("""dist AS (
+      SELECT CAST(LEAST(floor(c / 0.05), 19) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM cb GROUP BY 1)""")
+    parts.append("""mn AS (
+      SELECT round(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+      FROM cb)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT d.bin, round(CAST(d.bin AS DOUBLE) * 0.05, 2) AS bin_lo,
+           d.n_vectors, mn.mean_cos
+    FROM dist d CROSS JOIN mn"""
+
+
+@register("embeddings_pq_recon_error", _sql_pq_recon_error())
+def embeddings_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-quality audit: cosine of every vector against its own
+    codebook reconstruction, as a 0.05-bin histogram plus the exact-DECIMAL
+    corpus mean — the calibration an operator reads before trusting PQ/ADC
+    scores at a given (m, k): a long low-cosine tail means the codebooks
+    are too coarse for the corpus. One encode pass (the same inline-argmin
+    decode expression ann_pq_topk scans with) and one aggregate; at scale
+    this runs as a side readout of the index build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sim._probe_dim(emb, "embedding") is None:
+        return spark.createDataFrame(
+            [], "bin bigint, bin_lo double, n_vectors bigint, mean_cos double"
+        )
+    codebooks = sim.pq_codebooks(
+        emb, sim.PQ_M, sim.PQ_K, sim.PQ_ITERATIONS, "embedding", "vec_id",
+        dim=64, sample_hex=_TRAIN_SAMPLE_HEX,
+    )
+    sub = 64 // sim.PQ_M
+    x = F.transform(F.col("embedding"), lambda e: e.cast("double"))
+    rv = sim.pq_reconstruct_expr(x, codebooks, sub)
+    c = F.round(cosine(x, rv), 6)
+    cb = emb.select(c.alias("c"))
+    dist = cb.groupBy(
+        F.least(F.floor(F.col("c") / F.lit(0.05)), F.lit(19)).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    mn = cb.agg(
+        F.round(
+            F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos")
+    )
+    return dist.crossJoin(F.broadcast(mn)).select(
+        "bin",
+        F.round(F.col("bin") * F.lit(0.05), 2).alias("bin_lo"),
+        "n_vectors",
+        "mean_cos",
+    )

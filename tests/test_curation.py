@@ -329,3 +329,52 @@ def test_split_leakage_detects_planted_train_to_test_copy(spark):
     assert out["val"]["leak_rate"] == 0.5
     assert out["test"]["n_docs"] == 2 and out["test"]["n_leaked"] == 1
     assert out["test"]["leak_rate"] == 0.5
+
+
+def test_quality_by_split_uniform_corpus_balanced(spark):
+    """With every document identical, quality is constant, so each split's
+    mean/min/max collapse to the same value — the null case of the
+    split-balance audit; doc counts sum to the corpus size."""
+    import os
+    import tempfile
+
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, text, "en", "s", len(text)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="kvs-qsplit-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["documents_quality_by_split"](spark, d).collect()
+    assert sum(r["n_docs"] for r in out) == 60
+    vals = {(r["mean_quality"], r["min_quality"], r["max_quality"]) for r in out}
+    assert len(vals) == 1
+    m, lo, hi = vals.pop()
+    assert m == lo == hi and 0.0 < m <= 1.0
+
+
+def test_pq_recon_error_exact_on_representable_corpus(spark):
+    """A corpus of copies of ONE vector is exactly representable no matter
+    which rows the hash-sampled training keeps: every centroid lands on the
+    single distinct subvector, reconstruction is exact, every cosine is
+    1.0 (bin 19) and the corpus mean is 1.0."""
+    import os
+    import random
+    import tempfile
+
+    from k8s_vectordb_sync_spark.queries import QUERIES
+
+    rng = random.Random(3)
+    proto = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+    rows = [(i, list(proto)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = tempfile.mkdtemp(prefix="kvs-pqerr-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = QUERIES["embeddings_pq_recon_error"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 19 and r["bin_lo"] == 0.95
+    assert r["n_vectors"] == 40
+    assert r["mean_cos"] == 1.0
