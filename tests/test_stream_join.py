@@ -159,3 +159,53 @@ def test_windowed_agg_append_mode_late_data_contract(spark, tmp_path):
     assert w0_emissions == [2], got
     # and the straggler did not leak into any other window's count either
     assert sum(n for _, n in got) <= 5  # events 1,2,3,4,6 at most; 5 dropped
+
+
+def test_streaming_join_restart_preserves_buffered_click_state(
+    spark, tmp_path
+):
+    """Kill-and-restart across the join buffer: phase 1 streams ONLY clicks
+    (plus a purchase with no in-window click), stops; phase 2 adds the
+    purchases and restarts from the same checkpoint. Every attribution pair
+    spans the restart (click buffered in phase-1 state, purchase arriving
+    in phase 2), so the test proves the join's click buffer survives in the
+    state store and emits exactly once — no missed pairs, no duplicates."""
+    m = datetime.timedelta(minutes=1)
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    phase1 = [
+        (1, T0 - 90 * m, 1, "click", 0.0, "{}"),
+        (2, T0 - 20 * m, 1, "click", 0.0, "{}"),
+        (3, T0 - 5 * m, 1, "click", 0.0, "{}"),
+        (7, T0, 3, "click", 0.0, "{}"),
+        (8, T0 - 30 * m, 3, "click", 0.0, "{}"),
+        (6, T0, 2, "purchase", 50.0, "{}"),  # user 2: no in-window click
+    ]
+    phase2 = [
+        (4, T0, 1, "purchase", 100.0, "{}"),
+        (9, T0, 3, "purchase", 75.0, "{}"),
+        (10, T0, 4, "purchase", 25.0, "{}"),
+        (5, T0 + 5 * m, 2, "click", 0.0, "{}"),  # click after purchase
+    ]
+    _mk_events(spark, phase1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_phase(collected):
+        sc, sp = _sides(spark.readStream.schema(schema).parquet(src))
+        q = start_attribution_join(
+            sc, sp,
+            emit=lambda out, bid: collected.extend(
+                (r["purchase_id"], r["click_id"]) for r in out.collect()
+            ),
+            checkpoint_dir=ckpt,
+        )
+        assert q.awaitTermination(300), "phase did not finish"
+
+    got1: list = []
+    run_phase(got1)
+    assert got1 == []  # no purchase had an in-window click yet
+    _mk_events(spark, phase2).write.mode("append").parquet(src)
+    got2: list = []
+    run_phase(got2)
+    # all three pairs span the restart; exactly once each
+    assert sorted(got2) == [(4, 2), (4, 3), (9, 7)]
