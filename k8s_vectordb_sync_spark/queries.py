@@ -7645,6 +7645,67 @@ def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_semantic_indexed_capped(
+    threshold: float = _SEMANTIC_THRESHOLD, cap: int = _SEMANTIC_MAX_CLUSTER
+) -> str:
+    """Oracle for the ROUTED capped SemDeDup: the capped cosine-pair branch
+    (same HAVING predicate as _sql_semantic_capped) UNION ALL the overflow
+    branch — mega-cluster members grouped by their exact (double-cast) vector
+    value, star pairs against the min-id canonical, cosine 1.0 by identity
+    (0.0 for a zero-norm vector). Float->double widening is exact in both
+    engines, so the value-group fingerprint is bit-deterministic."""
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # ... through af
+    parts.append("sz AS (SELECT cluster, COUNT(*) AS n FROM af GROUP BY cluster)")
+    parts.append(f"ok AS (SELECT cluster FROM sz WHERE n <= {cap})")
+    parts.append(
+        f"big AS (SELECT af.* FROM af JOIN sz ON af.cluster = sz.cluster "
+        f"WHERE sz.n > {cap})"
+    )
+    parts.append(
+        "canon AS (SELECT cluster, v, MIN(vec_id) AS canon_id "
+        "FROM big GROUP BY cluster, v)"
+    )
+    body = ",\n    ".join(parts)
+    cos = SQL_COS.format(a="a.v", b="b.v")
+    return f"""WITH {body}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cluster AS BIGINT) AS cluster, round({cos}, 4) AS cosine,
+           'cosine' AS method
+    FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN ok ON ok.cluster = a.cluster
+    WHERE {cos} >= {threshold}
+    UNION ALL
+    SELECT c.canon_id AS vec_a, m.vec_id AS vec_b,
+           CAST(m.cluster AS BIGINT) AS cluster,
+           CASE WHEN list_dot_product(m.v, m.v) > 0 THEN 1.0 ELSE 0.0 END AS cosine,
+           'exact' AS method
+    FROM big m JOIN canon c
+      ON m.cluster = c.cluster AND m.v = c.v AND m.vec_id <> c.canon_id"""
+
+
+@register("dedup_semantic_indexed_capped", _sql_semantic_indexed_capped())
+def dedup_semantic_indexed_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE serving form of semantic dedup (VERDICT r7 item 1):
+    persisted centroids (zero Lloyd iterations per run — the recurring-
+    pipeline posture of dedup_semantic_indexed) COMPOSED with the
+    mega-cluster guard, and the guarded overflow ROUTED through exact
+    vector-value dedup rather than dropped — star pairs against the min-id
+    canonical (operators/similarity.py::semantic_dedup_pairs_routed).
+
+    This retires the one measured super-linear registry query: the cosine
+    branch's pair volume is <= n * cap (linear for fixed cap) and the
+    overflow branch is one hash agg + one equi-join emitting O(|cluster|)
+    star rows — no shape in the plan grows faster than the corpus. The
+    uncapped dedup_semantic_indexed stays registered as the oracle-parity
+    recall reference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs_routed(
+        emb, threshold=_SEMANTIC_THRESHOLD,
+        max_cluster_size=_SEMANTIC_MAX_CLUSTER,
+        centroids=_kmeans_centroids_cached(spark, sf_dir),
+    )
+
+
 @register("embeddings_cluster_sizes_indexed", _sql_cluster_sizes())
 def embeddings_cluster_sizes_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balance audit probing the persisted centroids: assignment +

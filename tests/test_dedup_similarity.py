@@ -728,6 +728,60 @@ def test_semantic_cluster_cap_keeps_pathological_corpus_linear(spark):
     assert uncapped.count() == 298 * 297 // 2 + 3  # the quadratic blow-up the cap removes
 
 
+def test_semantic_routed_overflow_star_pairs(spark):
+    """semantic_dedup_pairs_routed (VERDICT r7 item 1): the mega-cluster is
+    ROUTED through exact vector-value dedup instead of dropped — 299
+    identical vectors emit 298 STAR pairs against the min-id canonical
+    (linear, never the ~44k all-pairs expansion), method='exact',
+    cosine 1.0 by identity; the small legitimate near-dup group still runs
+    the exact cosine branch (method='cosine'). A mega-cluster member whose
+    vector differs (no value-duplicate) emits nothing — routing is exact
+    dedup, not approximate recall."""
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        semantic_dedup_pairs_routed,
+    )
+
+    mega = [0.9, 0.1, 0.0, 0.2]
+    lone = [0.85, 0.2, 0.05, 0.15]  # lands in the mega cluster, unique value
+    legit = [-0.8, 0.7, -0.5, 0.1]
+    rows = [(0, mega), (1, legit), (2, legit), (3, legit), (4, lone)]
+    rows += [(10 + i, mega) for i in range(298)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_pairs_routed(
+        emb, threshold=0.5, n_clusters=2, iterations=2, max_cluster_size=10
+    ).collect()
+    exact = [r for r in out if r["method"] == "exact"]
+    cosine = [r for r in out if r["method"] == "cosine"]
+    # star shape: every exact pair anchors at the canonical min id (0)
+    assert len(exact) == 298
+    assert all(r["vec_a"] == 0 and r["cosine"] == 1.0 for r in exact)
+    assert {r["vec_b"] for r in exact} == {10 + i for i in range(298)}
+    # the small cluster still gets true SemDeDup cosine pairs
+    assert {(r["vec_a"], r["vec_b"]) for r in cosine} == {(1, 2), (1, 3), (2, 3)}
+    # the lone non-duplicate mega-cluster member emits nothing
+    assert all(4 not in (r["vec_a"], r["vec_b"]) for r in out)
+
+
+def test_semantic_routed_zero_norm_duplicates(spark):
+    """Zero-norm duplicate vectors in a routed mega-cluster pair with
+    cosine 0.0 (the 0/0 guard), not NaN — the degenerate-fixture contract."""
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        semantic_dedup_pairs_routed,
+    )
+
+    rows = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.5, 0.5, 0.1, 0.3]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_pairs_routed(
+        emb, threshold=0.5, n_clusters=2, iterations=2, max_cluster_size=5
+    ).collect()
+    assert all(r["method"] == "exact" for r in out)
+    zero = [r for r in out if r["vec_a"] == 0]
+    live = [r for r in out if r["vec_a"] == 100]
+    assert len(zero) == 19 and all(r["cosine"] == 0.0 for r in zero)
+    assert len(live) == 19 and all(r["cosine"] == 1.0 for r in live)
+
+
 def test_topk_per_query_two_phase_plan_and_equivalence(spark):
     """topk_per_query (the shared scored-tail ranker) must (a) produce the
     same rows as the naive single-window form and (b) contain the partial
@@ -1023,6 +1077,37 @@ def test_ivf_nprobe_sweep_monotone_and_full_scan_anchor(spark):
     assert all(r["n_queries"] == 4 for r in out.values())
     with pytest.raises(ValueError, match="outside"):
         ivf_nprobe_sweep(emb, q, n_clusters=4, nprobe_options=(8,)).collect()
+
+
+def test_ivf_nprobe_sweep_broadcast_bound(spark):
+    """max_broadcast_queries (VERDICT r7 nit 1): above the cap the probe
+    frame is NOT broadcast — the per-config scoring joins run as shuffled
+    equi-joins on cluster — and the sweep output is identical row-for-row
+    (the guard changes the physical join strategy only)."""
+    import random
+
+    rng = random.Random(13)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    kwargs = dict(k=5, n_clusters=4, nprobe_options=(1, 4))
+    bcast = ivf_nprobe_sweep(emb, q, **kwargs)  # 4 * 4 <= default cap
+    capped = ivf_nprobe_sweep(emb, q, max_broadcast_queries=8, **kwargs)
+    assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, capped.collect()))
+    plan_b = bcast._jdf.queryExecution().optimizedPlan().toString()
+    plan_c = capped._jdf.queryExecution().optimizedPlan().toString()
+    # the guard strips the FORCED broadcast hint from the per-config probe
+    # joins (2 configs here); AQE may still freely pick a broadcast at
+    # runtime from ACTUAL sizes — that adaptive fallback is the point, so
+    # assert on the hint, not the executed strategy
+    assert (
+        plan_c.count("strategy=broadcast")
+        == plan_b.count("strategy=broadcast") - 2
+    )
 
 
 def test_family_agreement_counts_scope_difference(spark):
