@@ -220,6 +220,47 @@ def cmd_build_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rebuild_index(args: argparse.Namespace) -> int:
+    """Zero-downtime retrain of a persisted index over the current corpus
+    (VERDICT r7 item 4): builds into a fresh version dir while probes keep
+    serving the old generation, then publishes with one atomic _CURRENT
+    pointer flip and resets the staleness ledger. With --if-stale, only
+    rebuilds when the ledger crosses the drift threshold (the
+    ann_needs_rebuild / needs_rebuild consumer)."""
+    from .operators import ann_index as ai
+    from .sources.tables import load_table
+
+    if args.if_stale:
+        if args.kind == "bm25":
+            from .operators.lexical_index import needs_rebuild
+
+            stale = needs_rebuild(args.path)
+        else:
+            stale = ai.ann_needs_rebuild(args.path)
+        if not stale:
+            print(json.dumps({"rebuilt": False, "reason": "not stale"}))
+            return 0
+    spark = build_spark(app_name="kvs-rebuild-index")
+    try:
+        if args.kind == "bm25":
+            from .operators import lexical_index as lx
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            meta = lx.bm25_index_rebuild(docs, args.path)
+        else:
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            fn = {
+                "ivfpq": ai.ivf_pq_index_rebuild,
+                "kmeans": ai.kmeans_index_rebuild,
+                "sign": ai.sign_index_rebuild,
+            }[args.kind]
+            meta = fn(emb, args.path)
+        print(json.dumps({"rebuilt": True, "path": args.path, "meta": meta}))
+    finally:
+        spark.stop()
+    return 0
+
+
 def cmd_probe_index(args: argparse.Namespace) -> int:
     """Probe a persisted ANN index with query vectors taken from the same
     embeddings table (vec_id < --queries) — the latency-sensitive serving
@@ -390,6 +431,17 @@ def main(argv: list[str] | None = None) -> int:
     p_bi.add_argument("--clusters", type=int, default=8)
     p_bi.add_argument("--train-sample", default="", help="hash-sample hex threshold")
     p_bi.set_defaults(fn=cmd_build_index)
+
+    p_ri = sub.add_parser(
+        "rebuild-index",
+        help="zero-downtime retrain + atomic version flip of a persisted index",
+    )
+    p_ri.add_argument("kind", choices=["ivfpq", "sign", "kmeans", "bm25"])
+    p_ri.add_argument("--path", required=True)
+    p_ri.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_ri.add_argument("--if-stale", action="store_true",
+                      help="only rebuild when the staleness ledger crosses the drift threshold")
+    p_ri.set_defaults(fn=cmd_rebuild_index)
 
     p_pi = sub.add_parser("probe-index", help="probe a persisted ANN index")
     p_pi.add_argument("kind", choices=["ivfpq", "sign", "kmeans", "bm25"])

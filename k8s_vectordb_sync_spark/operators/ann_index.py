@@ -62,6 +62,77 @@ from .similarity import (
 )
 
 MARKER = "_INDEX_OK"
+CURRENT = "_CURRENT"
+
+
+def _active_dir(path: str) -> str:
+    """Resolve an index root to its ACTIVE artifact directory.
+
+    Two layouts coexist: the original FLAT layout (artifacts directly under
+    ``path`` — what build_* writes) and the VERSIONED layout a zero-downtime
+    rebuild creates (``path/v000001/...`` plus a ``_CURRENT`` pointer file
+    naming the active version). Every read and mutation resolves through
+    here, so a probe that captured the resolved dir sees ONE immutable
+    version end-to-end — artifacts and codes always from the same build,
+    never mixed — while the pointer flip (one atomic os.replace) moves new
+    probes to the new version. The previous version is retained until the
+    NEXT rebuild, so in-flight scans of the old codes table never lose
+    their files."""
+    cur = os.path.join(path, CURRENT)
+    if os.path.exists(cur):
+        with open(cur) as fh:
+            ver = fh.read().strip()
+        return os.path.join(path, ver)
+    return path
+
+
+def _next_version(path: str) -> str:
+    vers = [
+        d for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    n = max((int(d[1:]) for d in vers), default=0) + 1
+    return f"v{n:06d}"
+
+
+def _flip_current(path: str, version: str) -> None:
+    """Atomically repoint ``_CURRENT`` at ``version`` (tmp-write + rename —
+    the single metadata operation that publishes a rebuild; a crash before
+    it leaves the old index serving, byte-identical)."""
+    tmp = os.path.join(path, CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version + "\n")
+    os.replace(tmp, os.path.join(path, CURRENT))
+
+
+def _prune_old_versions(path: str, keep: set[str]) -> None:
+    """Drop version dirs outside ``keep`` (current + immediately-previous),
+    and — once the flat layout is two generations stale — its root
+    artifacts. Retention of exactly one previous generation is what lets a
+    probe that resolved before the flip finish its scan."""
+    import shutil
+
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("v") and d[1:].isdigit() and d not in keep and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+    if "" not in keep:  # "" = the flat root layout is still the retained previous
+        for d in ("centroids", "codebooks", "codes", "postings"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        for f in ("meta.json", MARKER):
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass
+
+
+def _guard_not_versioned(path: str, what: str) -> None:
+    if os.path.exists(os.path.join(path, CURRENT)):
+        raise ValueError(
+            f"{path} is a VERSIONED index root (has {CURRENT}); a direct "
+            f"{what} would write shadowed flat artifacts. Use the matching "
+            "*_rebuild op (zero-downtime retrain + atomic pointer flip)."
+        )
 
 
 def build_ivf_pq_index(
@@ -85,6 +156,7 @@ def build_ivf_pq_index(
     the partitioned write is the only shuffle-free full-corpus output.
     Training jobs before it are sample-sized (see training_sample).
     """
+    _guard_not_versioned(path, "build_ivf_pq_index")
     dim = _probe_dim(embeddings, vec_col)
     spark = embeddings.sparkSession
     marker = os.path.join(path, MARKER)
@@ -172,7 +244,7 @@ def build_ivf_pq_index(
 
 
 def index_is_built(path: str) -> bool:
-    return os.path.exists(os.path.join(path, MARKER))
+    return os.path.exists(os.path.join(_active_dir(path), MARKER))
 
 
 def _write_empty_meta(path: str, meta: dict) -> dict:
@@ -218,7 +290,7 @@ def ann_index_status(path: str, threshold: float = ANN_REBUILD_THRESHOLD) -> dic
     """Staleness report for the `index status` CLI (vector tiers)."""
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
-    with open(os.path.join(path, "meta.json")) as fh:
+    with open(os.path.join(_active_dir(path), "meta.json")) as fh:
         meta = json.load(fh)
     n_vecs = int(meta.get("n_vecs", 0))
     added = int(meta.get("vecs_added_since_build", 0))
@@ -257,7 +329,12 @@ def ivf_pq_index_add(
     slots). Appends are not atomic (a crashed add can leave a partial
     batch) — a deployment gates readers on a manifest/commit the same way
     the MERGE sink does. Returns {"added", "skipped_existing"}.
+
+    Mutations target the ACTIVE version; adds racing a concurrent rebuild
+    can land in the superseded version — the maintenance plane (add /
+    remove / rebuild) must be a single actor, while probes stay lock-free.
     """
+    path = _active_dir(path)
     spark = embeddings.sparkSession
     meta, centroids, books = load_ivf_pq_index(spark, path)
     if meta.get("empty"):
@@ -298,6 +375,7 @@ def load_ivf_pq_index(
     """Load (meta, centroids-by-cluster, codebooks[s][code]) from a built
     index — a few-KB collect of the two artifact tables, the only driver-side
     data a probe ever needs."""
+    path = _active_dir(path)
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
@@ -352,7 +430,12 @@ def ivf_pq_probe(
     clusters), reconstruct rows from broadcast codebook literals, and
     two-phase-top-k. Results are identical to similarity.ivf_pq_topk over the
     same corpus/params because training is deterministic.
+
+    The version resolution happens ONCE, up front: artifacts and the codes
+    scan below come from the same immutable version dir, so a rebuild
+    flipping ``_CURRENT`` mid-probe can never mix generations.
     """
+    path = _active_dir(path)
     meta, centroids, books = load_ivf_pq_index(spark, path)
     if meta.get("empty"):
         return spark.createDataFrame(
@@ -439,6 +522,7 @@ def build_kmeans_index(
     iterations, 6 dp centroid rounding — similarity.py::kmeans_centroids),
     so consumers probing the stored centroids are bit-identical to inline
     retraining and share the inline forms' oracles."""
+    _guard_not_versioned(path, "build_kmeans_index")
     spark = embeddings.sparkSession
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
@@ -464,6 +548,7 @@ def build_kmeans_index(
 def load_kmeans_centroids(path: str) -> list[list[float]]:
     """Driver-side pyarrow load of the persisted centroid list (a few KB —
     no Spark jobs; same rationale as load_ivf_pq_index)."""
+    path = _active_dir(path)
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete k-means index at {path} (missing {MARKER})")
     rows = sorted(
@@ -490,6 +575,7 @@ def build_sign_index(
     """
     from .similarity import BQ_WORD_BITS, sign_codes
 
+    _guard_not_versioned(path, "build_sign_index")
     dim = _probe_dim(embeddings, vec_col)
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
@@ -533,6 +619,7 @@ def sign_index_add(
     tier earns its place at 100 TB."""
     from .similarity import sign_codes
 
+    path = _active_dir(path)
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
@@ -576,6 +663,7 @@ def sign_index_probe(
     deterministic and parameter-free."""
     from .similarity import BQ_WORD_BITS, sign_codes
 
+    path = _active_dir(path)
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
@@ -620,6 +708,7 @@ def ivf_pq_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
     (rest.go:82-123); a Spark-native deployment also owns the index, so
     deletes must reach it or the ANN tier serves ghosts. Returns the audit
     dict ({"requested", "removed", "clusters_touched"})."""
+    path = _active_dir(path)
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     id_list = ids.selectExpr("vec_id").distinct()
@@ -652,6 +741,7 @@ def sign_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
     unpartitioned (Hamming probes always scan it whole — that is the
     tier's design), so removal is one anti-join rewrite of the 16 B/vector
     table; still delta-independent of the float corpus."""
+    path = _active_dir(path)
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete ANN index at {path} (missing {MARKER})")
     id_list = ids.selectExpr("vec_id").distinct()
@@ -667,3 +757,114 @@ def sign_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
     # unpartitioned): failure before the swap leaves the old table serving
     after = staged_table_rewrite(kept, codes_path)
     return {"requested": requested, "removed": int(before - after)}
+
+
+# ---------------------------------------------------------------------------
+# Zero-downtime rebuild (VERDICT r7 item 4): the consumer of the staleness
+# ledger. ann_needs_rebuild() says WHEN; these say HOW — retrain into a fresh
+# version dir while the old version keeps serving every probe untouched, then
+# publish with one atomic pointer rename. Probes resolve the pointer once per
+# probe, so each sees exactly one complete generation (old before the flip,
+# new after — never a mix); the superseded generation is retained until the
+# NEXT rebuild so in-flight scans keep their files.
+# ---------------------------------------------------------------------------
+
+
+def _rebuild_into_version(path: str, build) -> dict:
+    """Shared rebuild mechanics: build into path/v{N+1} via ``build(dir)``
+    (which writes a complete index incl. its own marker), flip ``_CURRENT``,
+    prune generations older than the one just superseded. Returns the new
+    meta (staleness counter reset to 0 by the fresh build)."""
+    if not index_is_built(path):
+        raise FileNotFoundError(
+            f"no complete index at {path}; rebuild retrains an EXISTING "
+            "index — use the build op for first construction"
+        )
+    prev = _active_dir(path)
+    version = _next_version(path)
+    meta = build(os.path.join(path, version))
+    _flip_current(path, version)
+    keep = {version}
+    if prev != path:
+        keep.add(os.path.basename(prev))
+    else:
+        keep.add("")  # flat layout just superseded: retain root artifacts
+    _prune_old_versions(path, keep)
+    return meta
+
+
+def ivf_pq_index_rebuild(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **overrides,
+) -> dict:
+    """Retrain the IVF-PQ index over ``embeddings`` (the CURRENT corpus —
+    base + everything added since) with zero probe downtime. Build
+    parameters default to the active generation's meta, so a scheduled
+    `rebuild when ann_needs_rebuild()` run reproduces the original
+    configuration; pass overrides (n_clusters=..., ...) to retune.
+    Maintenance-plane ops (add/remove/rebuild) are a single actor by
+    contract; probes are lock-free throughout."""
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete ANN index at {path} to rebuild")
+    with open(os.path.join(_active_dir(path), "meta.json")) as fh:
+        meta = json.load(fh)
+    params = dict(
+        n_clusters=meta.get("n_clusters", 8),
+        kmeans_iterations=meta.get("kmeans_iterations", 5),
+        m=meta.get("m", PQ_M),
+        n_codes=meta.get("n_codes", PQ_K),
+        pq_iterations=meta.get("pq_iterations", PQ_ITERATIONS),
+        sample_hex=meta.get("sample_hex") or None,
+    )
+    params.update(overrides)
+    return _rebuild_into_version(
+        path,
+        lambda d: build_ivf_pq_index(
+            embeddings, d, id_col=id_col, vec_col=vec_col, **params
+        ),
+    )
+
+
+def sign_index_rebuild(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Re-encode the sign index from the current corpus. The tier's adds are
+    exact, so this is COMPACTION (fold the append-tail into one clean code
+    table and reset the ops counter), not a correctness fix — same
+    zero-downtime swap either way."""
+    return _rebuild_into_version(
+        path, lambda d: build_sign_index(embeddings, d, id_col=id_col, vec_col=vec_col)
+    )
+
+
+def kmeans_index_rebuild(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **overrides,
+) -> dict:
+    """Retrain the persisted k-means centroid artifact (the SemDeDup /
+    cluster-audit blocking index) with the same versioned swap."""
+    if not index_is_built(path):
+        raise FileNotFoundError(f"no complete k-means index at {path} to rebuild")
+    with open(os.path.join(_active_dir(path), "meta.json")) as fh:
+        meta = json.load(fh)
+    params = dict(
+        n_clusters=meta.get("n_clusters", 8),
+        iterations=meta.get("iterations", 5),
+        sample_hex=meta.get("sample_hex") or None,
+    )
+    params.update(overrides)
+    return _rebuild_into_version(
+        path,
+        lambda d: build_kmeans_index(
+            embeddings, d, id_col=id_col, vec_col=vec_col, **params
+        ),
+    )

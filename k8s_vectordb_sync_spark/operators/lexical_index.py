@@ -42,7 +42,14 @@ from pyspark.sql import functions as F
 from ..functions.text import md5_prefix_long
 from ..sources.staging import staged_partition_rewrite
 from . import retrieval as ret
-from .ann_index import MARKER, _read_artifact_rows, index_is_built
+from .ann_index import (
+    MARKER,
+    _active_dir,
+    _guard_not_versioned,
+    _read_artifact_rows,
+    _rebuild_into_version,
+    index_is_built,
+)
 from .similarity import topk_per_query
 
 N_BUCKETS = 32
@@ -66,6 +73,7 @@ def build_bm25_index(
     feeds the posting frame; lengths/stats/idf derive from it (vocab-sized
     or 1-row); the impact projection + bucketed write is the only
     corpus-sized output. Marker removed first, written last."""
+    _guard_not_versioned(path, "build_bm25_index")
     spark = documents.sparkSession
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
@@ -132,6 +140,7 @@ def build_bm25_index(
 
 
 def load_bm25_meta(path: str) -> dict:
+    path = _active_dir(path)
     if not index_is_built(path):
         raise FileNotFoundError(f"no complete BM25 index at {path} (missing {MARKER})")
     with open(os.path.join(path, "meta.json")) as fh:
@@ -147,7 +156,12 @@ def bm25_index_probe(
     """Top-k BM25 from the persisted impacts: collect the (serving-sized)
     distinct query terms, prune the postings scan to their md5 buckets, one
     broadcast join, one DECIMAL-sum aggregate, two-phase top-k. The corpus
-    text is never read and no statistics job runs."""
+    text is never read and no statistics job runs.
+
+    Resolved to ONE immutable version up front (ann_index._active_dir):
+    meta and the postings scan always come from the same generation, so a
+    zero-downtime rebuild flipping the pointer mid-probe never mixes."""
+    path = _active_dir(path)
     meta = load_bm25_meta(path)
     if meta.get("empty"):
         return spark.createDataFrame(
@@ -176,6 +190,7 @@ def derive_query_terms_from_index(
     of each query doc, read from the stored postings (tf travels with
     impact for exactly this). Semantics identical to
     retrieval.derive_query_terms over the inline posting frame."""
+    path = _active_dir(path)
     meta = load_bm25_meta(path)  # marker check
     if meta.get("empty"):
         return spark.createDataFrame([], "query_id bigint, term string")
@@ -215,6 +230,7 @@ def bm25_index_add(
     way)."""
     import math
 
+    path = _active_dir(path)
     meta = load_bm25_meta(path)
     if meta.get("empty"):
         raise ValueError(
@@ -311,6 +327,7 @@ def bm25_index_remove(spark: SparkSession, path: str, doc_ids: DataFrame) -> dic
     bm25_index_add, corpus statistics stay at build-time values until the
     next rebuild — removed docs stop being SERVED immediately (the
     compliance requirement), idf drift re-trues at the rebuild cadence."""
+    path = _active_dir(path)
     meta = load_bm25_meta(path)
     id_list = doc_ids.selectExpr("doc_id").distinct()
     requested = id_list.count()
@@ -336,3 +353,32 @@ def bm25_index_remove(spark: SparkSession, path: str, doc_ids: DataFrame) -> dic
         "rows_removed": int(before - after),
         "buckets_touched": len(touched),
     }
+
+
+def bm25_index_rebuild(
+    documents: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **overrides,
+) -> dict:
+    """Zero-downtime re-true of the impact index (the consumer of
+    needs_rebuild): full rebuild over the CURRENT corpus into a fresh
+    version dir — re-deriving n_docs/avgdl/idf so the frozen-statistics
+    drift accumulated by adds goes back to zero — published by the atomic
+    ``_CURRENT`` pointer flip (ann_index._rebuild_into_version). Probes keep
+    serving the old generation until the flip and never see a mix. Build
+    parameters (k1/b/n_buckets) default to the active generation's meta."""
+    meta = load_bm25_meta(path)
+    params = dict(
+        k1=meta.get("k1", ret.BM25_K1),
+        b=meta.get("b", ret.BM25_B),
+        n_buckets=meta.get("n_buckets", N_BUCKETS),
+    )
+    params.update(overrides)
+    return _rebuild_into_version(
+        path,
+        lambda d: build_bm25_index(
+            documents, d, text_col=text_col, id_col=id_col, **params
+        ),
+    )

@@ -1,13 +1,13 @@
-"""sf0.1 -> sf1 scaling evidence (VERDICT r6 item 2).
+"""Scaling-decade evidence (VERDICT r6 item 2; r7 item 2 adds sf1->sf10).
 
-Runs bench.py's top cost classes as an idle best-of-3 triple at sf0.1 and
-at the generated sf1 (scripts/make_sf1.py, 10x rows), then prints the
-per-query scaling exponent alpha = log10(t_sf1 / t_sf0.1) — alpha ~= 1.0
-is linear-in-rows, < 1 is fixed-cost-dominated, > 1 is super-linear and
-needs a look.
+Runs bench.py's top cost classes as an idle best-of-3 triple at two scale
+factors a decade apart, then prints the per-query scaling exponent
+alpha = log10(t_hi / t_lo) — alpha ~= 1.0 is linear-in-rows, < 1 is
+fixed-cost-dominated, > 1 is super-linear and needs a look.
 
-Usage: python scripts/bench_scaling.py [out_prefix]
-Writes bench_logs/<prefix>_sf{0.1,1}_run{1..3}.json + <prefix>_summary.json.
+Usage: python scripts/bench_scaling.py [out_prefix] [lo_label=lo_dir hi_label=hi_dir] [--queries a,b,c]
+Defaults to the first decade (sf0.1 testdata -> generated bench_data/sf1).
+Writes bench_logs/<prefix>_<label>_run{1..3}.json + <prefix>_summary.json.
 """
 
 from __future__ import annotations
@@ -68,7 +68,7 @@ def run_bench(sf_dir: str, out_path: str) -> dict:
     env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(SUBSET)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
+        env=env, capture_output=True, text=True, timeout=7200,
     )
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     rec = json.loads(lines[0])  # full per-query record
@@ -78,14 +78,23 @@ def run_bench(sf_dir: str, out_path: str) -> dict:
 
 
 def main() -> None:
-    prefix = sys.argv[1] if len(sys.argv) > 1 else "bench_scaling_r7"
+    global SUBSET
+    args = list(sys.argv[1:])
+    if "--queries" in args:
+        i = args.index("--queries")
+        SUBSET = [q for q in args[i + 1].split(",") if q]
+        del args[i : i + 2]
+    prefix = args[0] if args else "bench_scaling_r7"
+    pairs = [a.split("=", 1) for a in args[1:]] or [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1", os.path.join(REPO, "bench_data", "sf1")),
+    ]
+    assert len(pairs) == 2, "need exactly lo_label=dir hi_label=dir"
+    (lo, _), (hi, _) = pairs
     logs = os.path.join(REPO, "bench_logs")
     os.makedirs(logs, exist_ok=True)
     best: dict[str, dict[str, float]] = {}
-    for label, sf_dir in (
-        ("sf0.1", "/root/testdata/sf0.1"),
-        ("sf1", os.path.join(REPO, "bench_data", "sf1")),
-    ):
+    for label, sf_dir in pairs:
         for i in range(1, RUNS + 1):
             out_path = os.path.join(logs, f"{prefix}_{label}_run{i}.json")
             rec = run_bench(sf_dir, out_path)
@@ -95,15 +104,15 @@ def main() -> None:
             print(f"{label} run {i}: total {rec['value']}s", flush=True)
     summary = {}
     for q, t in sorted(best.items()):
-        alpha = math.log10(t["sf1"] / t["sf0.1"]) if t["sf0.1"] > 0 else None
+        alpha = math.log10(t[hi] / t[lo]) if t[lo] > 0 else None
         summary[q] = {
-            "sf0.1_best_sec": t["sf0.1"],
-            "sf1_best_sec": t["sf1"],
+            f"{lo}_best_sec": t[lo],
+            f"{hi}_best_sec": t[hi],
             "exponent": round(alpha, 3) if alpha is not None else None,
         }
-        print(f"{q:40s} {t['sf0.1']:8.2f} {t['sf1']:8.2f}  alpha={summary[q]['exponent']}")
+        print(f"{q:40s} {t[lo]:8.2f} {t[hi]:8.2f}  alpha={summary[q]['exponent']}")
     with open(os.path.join(logs, f"{prefix}_summary.json"), "w") as fh:
-        json.dump({"runs": RUNS, "queries": summary}, fh, indent=1)
+        json.dump({"runs": RUNS, "decade": [lo, hi], "queries": summary}, fh, indent=1)
 
 
 if __name__ == "__main__":

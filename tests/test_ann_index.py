@@ -270,3 +270,127 @@ def test_semantic_pairs_from_stored_centroids_match_inline(
         ).collect()
     }
     assert stored == inline and len(stored) > 0
+
+
+# ---------------------------------------------------------------------------
+# Zero-downtime rebuild lifecycle (VERDICT r7 item 4) — the versioned-pointer
+# mechanics shared by every tier; the live serve-during-rebuild e2e is in
+# test_serving_stream.py::test_zero_downtime_rebuild_probes_never_mixed.
+# ---------------------------------------------------------------------------
+
+
+def test_rebuild_equals_fresh_build_and_resets_ledger(spark, sf_dir, tmp_path):
+    """Rebuild over the full corpus is bit-identical to a fresh build over
+    the same corpus (training determinism survives the versioned layout),
+    the staleness counter resets, and generation retention is exactly two:
+    current + immediately-previous (flat root artifacts count as the
+    previous generation right after the first rebuild, then get pruned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ai.build_ivf_pq_index(half, path, n_clusters=8, sample_hex=SAMPLE_HEX)
+    ai.ivf_pq_index_add(emb.filter(F.col("vec_id") % 2 == 1), path)
+    assert ai.ann_needs_rebuild(path)
+
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    meta = ai.ivf_pq_index_rebuild(emb, path)
+    assert meta["vecs_added_since_build"] == 0 and meta["n_vecs"] == emb.count()
+    assert not ai.ann_needs_rebuild(path)
+    rebuilt = sorted(tuple(r) for r in ai.ivf_pq_probe(spark, path, q, k=5).collect())
+
+    fresh_path = str(tmp_path / "fresh")
+    ai.build_ivf_pq_index(emb, fresh_path, n_clusters=8, sample_hex=SAMPLE_HEX)
+    fresh = sorted(tuple(r) for r in ai.ivf_pq_probe(spark, fresh_path, q, k=5).collect())
+    assert rebuilt == fresh and len(rebuilt) > 0
+
+    # generation retention: first rebuild keeps flat root + v000001 ...
+    names = set(os.listdir(path))
+    assert {"_CURRENT", "v000001", "codes"} <= names
+    # ... second prunes the flat root, third prunes v000001
+    ai.ivf_pq_index_rebuild(emb, path)
+    names = set(os.listdir(path))
+    assert "codes" not in names and {"v000001", "v000002"} <= names
+    ai.ivf_pq_index_rebuild(emb, path)
+    names = set(os.listdir(path))
+    assert "v000001" not in names and {"v000002", "v000003"} <= names
+
+
+def test_direct_build_on_versioned_root_is_rejected(spark, sf_dir, tmp_path):
+    """A flat build over a versioned root would write shadowed artifacts —
+    rejected with a pointer to the rebuild op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    ai.build_ivf_pq_index(emb, path, n_clusters=8, sample_hex=SAMPLE_HEX)
+    ai.ivf_pq_index_rebuild(emb, path)
+    with pytest.raises(ValueError, match="VERSIONED"):
+        ai.build_ivf_pq_index(emb, path, n_clusters=8, sample_hex=SAMPLE_HEX)
+    with pytest.raises(FileNotFoundError):
+        ai.ivf_pq_index_rebuild(emb, str(tmp_path / "nope"))
+
+
+def test_mutations_resolve_through_version_pointer(spark, sf_dir, tmp_path):
+    """add/remove/status on a rebuilt index target the ACTIVE generation:
+    an add is probe-visible, a remove stops serving the row, the ledger
+    counts both against the current generation's meta."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    most = emb.filter(F.col("vec_id") >= 4)
+    ai.build_ivf_pq_index(most, path, n_clusters=8, sample_hex=SAMPLE_HEX)
+    ai.ivf_pq_index_rebuild(most, path)  # now versioned
+
+    added = ai.ivf_pq_index_add(emb.filter(F.col("vec_id") < 4), path)
+    assert added["added"] == 4
+    assert ai.ann_index_status(path)["vecs_added_since_build"] == 4
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    served = {r["neighbor_id"] for r in ai.ivf_pq_probe(spark, path, q, k=3, n_probe=8).collect()}
+    assert 0 in served  # the added row is its own nearest neighbor
+    ids = spark.createDataFrame([(0,)], "vec_id long")
+    removed = ai.ivf_pq_index_remove(spark, path, ids)
+    assert removed["removed"] == 1
+    served = {r["neighbor_id"] for r in ai.ivf_pq_probe(spark, path, q, k=3, n_probe=8).collect()}
+    assert 0 not in served
+
+
+def test_sign_and_kmeans_and_bm25_rebuild(spark, sf_dir, tmp_path):
+    """The sign (compaction), kmeans (SemDeDup blocking), and BM25
+    (statistics re-true) tiers share the same versioned swap: rebuild equals
+    a fresh build bit-for-bit and the ledger resets."""
+    from k8s_vectordb_sync_spark.operators import lexical_index as lx
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    spath = str(tmp_path / "sign")
+    ai.build_sign_index(emb.filter(F.col("vec_id") % 2 == 0), spath)
+    ai.sign_index_add(emb.filter(F.col("vec_id") % 2 == 1), spath)
+    ai.sign_index_rebuild(emb, spath)
+    assert ai.ann_index_status(spath)["vecs_added_since_build"] == 0
+    fresh = str(tmp_path / "sign_fresh")
+    ai.build_sign_index(emb, fresh)
+    assert sorted(map(tuple, ai.sign_index_probe(spark, spath, q, k=4).collect())) == \
+        sorted(map(tuple, ai.sign_index_probe(spark, fresh, q, k=4).collect()))
+
+    kpath = str(tmp_path / "kmeans")
+    ai.build_kmeans_index(emb, kpath, n_clusters=8, sample_hex=SAMPLE_HEX)
+    before = ai.load_kmeans_centroids(kpath)
+    ai.kmeans_index_rebuild(emb, kpath)
+    assert ai.load_kmeans_centroids(kpath) == before  # same corpus, same params
+
+    bpath = str(tmp_path / "bm25")
+    lx.build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), bpath)
+    lx.bm25_index_add(docs.filter(F.col("doc_id") % 2 == 1), bpath)
+    assert lx.needs_rebuild(bpath)
+    meta = lx.bm25_index_rebuild(docs, bpath)
+    assert meta["docs_added_since_build"] == 0 and not lx.needs_rebuild(bpath)
+    qterms = lx.derive_query_terms_from_index(spark, bpath, 3, 5)
+    bfresh = str(tmp_path / "bm25_fresh")
+    lx.build_bm25_index(docs, bfresh)
+    assert sorted(map(tuple, lx.bm25_index_probe(spark, bpath, qterms, k=5).collect())) == \
+        sorted(map(tuple, lx.bm25_index_probe(spark, bfresh, qterms, k=5).collect()))

@@ -88,6 +88,98 @@ def test_serving_refuses_unbuilt_index(spark, serving_setup, tmp_path):
         )
 
 
+def test_zero_downtime_rebuild_probes_never_mixed(spark, sf_dir, tmp_path):
+    """VERDICT r7 item 4: the rebuild maintenance op retrains into a fresh
+    version dir and publishes with one atomic _CURRENT pointer flip while
+    the serving stream keeps probing. Every micro-batch served during the
+    rebuild must equal EITHER the old generation's top-k OR the new one's —
+    never a mix (a probe resolves the pointer once, so its artifacts and
+    codes scan always come from one immutable generation) — and the
+    staleness ledger the rebuild consumes resets to zero, visible through
+    the index-status CLI."""
+    import io
+    import json
+    import threading
+    import time
+    from contextlib import redirect_stdout
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    ai.build_ivf_pq_index(half, path, n_clusters=8, sample_hex=SAMPLE_HEX)
+    ai.ivf_pq_index_add(rest, path)
+    assert ai.ann_needs_rebuild(path)  # the ledger says retrain (drift 1.0)
+
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    old = sorted(tuple(r) for r in ai.ivf_pq_probe(spark, path, q, k=5, n_probe=2).collect())
+
+    qdir = str(tmp_path / "queries")
+    q.coalesce(1).write.mode("append").parquet(qdir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(qdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    results: list = []  # (emit wall-time, sorted row tuple list)
+    sq = start_ann_probe_stream(
+        spark, path, stream,
+        emit=lambda df, bid: results.append(
+            (time.monotonic(), sorted(tuple(r) for r in df.collect()))
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt-rebuild"),
+        trigger={"processingTime": "200 milliseconds"},
+        k=5, n_probe=2,
+    )
+    stop_feeding = threading.Event()
+
+    def feed():
+        # keep fresh arrivals coming so micro-batches fire before, during,
+        # and after the rebuild window
+        while not stop_feeding.is_set():
+            q.coalesce(1).write.mode("append").parquet(qdir)
+            time.sleep(0.2)
+
+    feeder = threading.Thread(target=feed, daemon=True)
+    feeder.start()
+    try:
+        time.sleep(2)  # let some old-generation batches serve first
+        t0 = time.monotonic()
+        meta = ai.ivf_pq_index_rebuild(emb, path)
+        t1 = time.monotonic()
+        assert meta["vecs_added_since_build"] == 0
+        time.sleep(2)  # and some new-generation batches after
+    finally:
+        stop_feeding.set()
+        feeder.join(timeout=10)
+        sq.stop()
+        sq.awaitTermination(60)
+
+    new = sorted(tuple(r) for r in ai.ivf_pq_probe(spark, path, q, k=5, n_probe=2).collect())
+    assert new != old  # the retrain actually changed the served answers
+    served = [r for _, r in results if r]
+    assert served, "serving stream never emitted a batch"
+    mixed = [r for r in served if r not in (old, new)]
+    assert not mixed, f"a probe mixed generations: {mixed[:1]}"
+    # at least one batch was served inside the rebuild window
+    assert any(t0 <= t <= t1 for t, r in results if r), (
+        "no probe overlapped the rebuild window — the zero-downtime claim "
+        "was not exercised"
+    )
+
+    # the ledger reset is visible through the ops CLI (index-status)
+    from k8s_vectordb_sync_spark.__main__ import main as cli_main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main(["index-status", "ivfpq", "--path", path])
+    status = json.loads(buf.getvalue())
+    assert status["vecs_added_since_build"] == 0
+    assert status["needs_rebuild"] is False
+
+
 def test_streaming_bm25_probe_matches_batch(spark, sf_dir, tmp_path):
     from k8s_vectordb_sync_spark.operators import lexical_index as lx
     from k8s_vectordb_sync_spark.operators import retrieval as ret
