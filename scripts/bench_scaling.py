@@ -41,6 +41,7 @@ SUBSET = [
     "hybrid_search_rrf_indexed",
     "dedup_semantic_indexed",
     "dedup_semantic_capped",
+    "dedup_semantic_indexed_capped",  # r8: the scale-safe serving form
     "embeddings_kmeans_inertia_indexed",
     "tpch_q1_pricing_summary",
     "tpch_q9_profit",

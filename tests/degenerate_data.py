@@ -225,3 +225,112 @@ def write_degenerate(dir_path: str) -> None:
 def write_empty(dir_path: str) -> None:
     for name in SCHEMAS:
         _write(dir_path, name, [])
+
+
+def write_skewed(dir_path: str) -> None:
+    """Zipf-keyed fixture (VERDICT r7 item 3): one key holds ~30% of the
+    rows in every fact table — the hot-key regime the skew toolkit
+    (operators/skew.py) exists for. customer 1 owns 30% of orders, orderkey
+    1 carries 30% of lineitem rows, user 1 emits 30% of events, src_hot
+    publishes half the documents, and 30% of embeddings sit in one
+    near-identical pile. Deterministic arithmetic only (no RNG), sized so
+    the registry-wide gate stays fast while every groupBy/join key
+    distribution is maximally lopsided instead of uniform."""
+    import datetime
+
+    _write(dir_path, "region", [
+        {"r_regionkey": i, "r_name": n}
+        for i, n in enumerate(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])
+    ])
+    _write(dir_path, "nation", [
+        {"n_nationkey": i, "n_name": f"NATION_{i}", "n_regionkey": i % 5}
+        for i in range(6)
+    ])
+    _write(dir_path, "customer", [
+        {"c_custkey": c, "c_name": f"Customer#{c:09d}", "c_nationkey": c % 6,
+         "c_acctbal": float(50 + (c * 37) % 900),
+         "c_mktsegment": ["BUILDING", "MACHINERY", "AUTOMOBILE"][c % 3]}
+        for c in range(1, 21)
+    ])
+    _write(dir_path, "supplier", [
+        {"s_suppkey": s, "s_name": f"Supplier#{s:09d}", "s_nationkey": s % 6,
+         "s_acctbal": float(100 + s * 13)}
+        for s in range(1, 6)
+    ])
+    _write(dir_path, "part", [
+        {"p_partkey": p, "p_name": f"part {p} copper", "p_brand": f"Brand#{p % 4}",
+         "p_type": ["PROMO", "STANDARD", "ECONOMY"][p % 3], "p_size": 1 + p % 9,
+         "p_retailprice": float(10 + p)}
+        for p in range(1, 11)
+    ])
+    # 400 orders: custkey 1 owns the first 120 (30%), the rest spread
+    # Zipf-ish over 2..20; dates walk across two months
+    def custkey(k: int) -> int:
+        if k <= 120:
+            return 1
+        return 2 + ((k * 7) % 19)
+
+    d0 = datetime.datetime(1996, 1, 1)
+    _write(dir_path, "orders", [
+        {"o_orderkey": k, "o_custkey": custkey(k),
+         "o_orderstatus": "OF"[k % 2],
+         "o_totalprice": float(100 + (k * 31) % 5000),
+         "o_orderdate": d0 + datetime.timedelta(days=k % 60),
+         "o_orderpriority": f"{1 + k % 5}-P"}
+        for k in range(1, 401)
+    ])
+    # 1000 lineitems: orderkey 1 carries the first 300 (30%); partkey 1 is
+    # hot the same way; two suppliers carry most rows
+    _write(dir_path, "lineitem", [
+        {"l_orderkey": 1 if i <= 300 else 1 + ((i * 11) % 399),
+         "l_partkey": 1 if i % 10 < 3 else 1 + ((i * 3) % 9),
+         "l_suppkey": 1 + (i % 5 if i % 4 == 0 else 0),
+         "l_linenumber": i, "l_quantity": float(1 + i % 50),
+         "l_extendedprice": float(100 + (i * 17) % 900),
+         "l_discount": round(0.01 * (i % 10), 2), "l_tax": 0.02,
+         "l_returnflag": "ARN"[i % 3], "l_linestatus": "OF"[i % 2],
+         "l_shipdate": d0 + datetime.timedelta(days=(i * 3) % 70)}
+        for i in range(1, 1001)
+    ])
+    # 1200 events: user 1 emits the first 360 (30%), spread over 5 days
+    types = ["view", "click", "purchase", "signup", "error"]
+    _write(dir_path, "events", [
+        {"event_id": i,
+         "ts": _ts(1 + (i % 5), (i * 7) % 24, (i * 13) % 60, i % 60),
+         "user_id": 1 if i <= 360 else 2 + ((i * 3) % 40),
+         "event_type": types[i % 5],
+         "value": float((i * 7) % 100) / 10.0,
+         "props": '{"k": %d}' % (i % 3)}
+        for i in range(1, 1201)
+    ])
+    # 60 documents: src_hot publishes half, including one 10x-duplicated
+    # text pile (the dedup hot group); vocab skew via repeated tokens
+    words = ["stream", "filter", "merge", "batch", "shard", "spill",
+             "probe", "scan", "sort", "hash"]
+
+    def text(i: int) -> str:
+        if i % 6 < 3:
+            return "hot shard spill " + " ".join(
+                words[(i + j) % 10] for j in range(8)
+            )
+        return " ".join(words[(i * (j + 3)) % 10] + str((i * j) % 7) for j in range(12))
+
+    _write(dir_path, "documents", [
+        {"doc_id": i, "text": text(i) if i % 10 else "hot shard spill dup pile",
+         "lang": "en" if i % 4 else "de",
+         "source": "src_hot" if i % 2 == 0 else f"src{i % 5}",
+         "n_chars": len(text(i))}
+        for i in range(1, 61)
+    ])
+    # 50 embeddings: 15 near-identical (one mega-cluster / hot LSH bucket),
+    # the rest spread; labels skewed 70/30
+    hot = [round(0.3 + 0.001 * ((i * 5) % 7), 4) for i in range(DIM)]
+    def vec(i: int) -> list:
+        if i <= 15:
+            return [round(v + 0.0001 * (i % 3), 4) for v in hot]
+        return [round(0.1 * (((i * 7 + j * 13) % 19) - 9), 4) for j in range(DIM)]
+
+    _write(dir_path, "embeddings", [
+        {"vec_id": i, "embedding": vec(i), "label": 0 if i % 10 < 7 else 1}
+        for i in range(1, 51)
+    ])

@@ -7,6 +7,8 @@ fixtures (tests/degenerate_data.py):
   single-row and empty groups, empty/whitespace documents, exact-duplicate
   documents/vectors, a zero-norm embedding, hash-samples that keep nothing.
 - ``empty``: every table present with zero rows.
+- ``skewed`` (round 8): Zipf-keyed — one key holds ~30% of the rows in
+  every fact table, the hot-key regime the skew toolkit targets.
 
 The assertion is the driver's own comparison — no exception on either
 engine, identical column names, row counts, and normalized values. This
@@ -24,7 +26,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-from degenerate_data import write_degenerate, write_empty
+from degenerate_data import write_degenerate, write_empty, write_skewed
 from test_oracle_parity import TABLES, _normalize
 
 QUERIES = entry_mod.queries()
@@ -42,6 +44,13 @@ def degenerate_dir(tmp_path_factory):
 def empty_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty-sf"))
     write_empty(d)
+    return d
+
+
+@pytest.fixture(scope="session")
+def skewed_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("skewed-sf"))
+    write_skewed(d)
     return d
 
 
@@ -75,3 +84,12 @@ def test_degenerate_corpus_parity(spark, degenerate_dir, name):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_empty_corpus_parity(spark, empty_dir, name):
     _check(spark, empty_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_skewed_corpus_parity(spark, skewed_dir, name):
+    """VERDICT r7 item 3: the Zipf-keyed fixture (one key = ~30% of rows in
+    every fact table) joins the gate — every registered query must stay
+    correct when its groupBy/join key distribution is maximally lopsided,
+    the regime AQE skew splitting and the manual salting toolkit target."""
+    _check(spark, skewed_dir, name)

@@ -1,5 +1,5 @@
 """Registry-wide physical-plan lint: every registered query's plan is built
-at sf0.001 and checked for the three scale smells the VERDICT audits hunt by
+at sf0.001 and checked for the scale smells the VERDICT audits hunt by
 hand — this freezes those audits into a regression gate.
 
 1. No CartesianProduct anywhere (BroadcastNestedLoopJoin over a 1-row build
@@ -19,6 +19,19 @@ hand — this freezes those audits into a regression gate.
      - events_key_skew_audit: rank over the O(#keys-sample) audit frame
      - events_session_paths: rank over capped path aggregates
 
+Round 8 adds two more gates (VERDICT r7 item 5):
+
+4. Broadcast discipline for sub-threshold dimensions: any FileScan of
+   nation/region whose NEAREST join ancestor is a SortMergeJoin or
+   ShuffledHashJoin fails — a dimension of a few KB must ride a broadcast,
+   never a shuffle. (supplier/part/customer scale with SF, so their join
+   strategy is rightly size-dependent and left to Catalyst/AQE.)
+5. Per-query shuffle-exchange budget: the static plan's Exchange count is
+   snapshotted in tests/plan_exchange_budget.json (regenerate with
+   scripts/update_plan_budget.py); growth fails. A refactor that silently
+   adds a shuffle to a 100 TB query is a regression even when results stay
+   correct — this makes it visible at review time.
+
 Planning only (executedPlan is forced, nothing runs), so the whole registry
 lints in under a minute. A new query with a global window over an unbounded
 frame fails here before any reviewer sees it.
@@ -26,6 +39,8 @@ frame fails here before any reviewer sees it.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 import pytest
@@ -51,6 +66,62 @@ def _unpartitioned_windows(plan: str) -> int:
     return sum(1 for f in firsts if " ASC" in f or " DESC" in f)
 
 
+BROADCAST_ONLY_DIMS = ("nation.parquet", "region.parquet")
+
+
+def _tree_nodes(plan: str):
+    """Yield (depth, name) for each node of Spark's tree-art plan string.
+    The art prefix is 3-char units ('   ', ':  ', '+- ', ':- '); depth is
+    the unit count. Codegen stage markers ('*(2) ') are stripped from the
+    name. Non-tree lines (section headers) parse as depth-0 noise and are
+    harmless — they never match a Join/FileScan name."""
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-")
+        if not stripped:
+            continue
+        depth = (len(line) - len(stripped)) // 3
+        yield depth, re.sub(r"^\*\(\d+\) ", "", stripped)
+
+
+def _shuffled_dim_scans(plan: str) -> list[str]:
+    """FileScan lines of the broadcast-only dimensions whose NEAREST join
+    ancestor shuffles (SortMergeJoin / ShuffledHashJoin). Nearest matters:
+    a nation scan under a BroadcastHashJoin nested inside a big SMJ is
+    fine — the dimension itself still rides the broadcast."""
+    bad: list[str] = []
+    stack: list[tuple[int, str]] = []  # (depth, node name) ancestor path
+    for depth, name in _tree_nodes(plan):
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if name.startswith("FileScan") and any(
+            d in name for d in BROADCAST_ONLY_DIMS
+        ):
+            for _, anc in reversed(stack):
+                if "Join" in anc:
+                    if anc.startswith(("SortMergeJoin", "ShuffledHashJoin")):
+                        bad.append(f"{anc.split(' ')[0]} <- {name[:80]}")
+                    break
+        stack.append((depth, name))
+    return bad
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    """Count shuffle Exchange nodes (BroadcastExchange excluded — broadcasts
+    are the cheap strategy the other gate pushes toward; ReusedExchange
+    excluded — it is a reference, not a second shuffle)."""
+    return sum(
+        1 for _, name in _tree_nodes(plan) if name.startswith("Exchange ")
+    )
+
+
+_BUDGET_PATH = os.path.join(os.path.dirname(__file__), "plan_exchange_budget.json")
+try:
+    with open(_BUDGET_PATH) as _fh:
+        EXCHANGE_BUDGET = json.load(_fh)
+except FileNotFoundError:  # pre-baseline checkout: every query fails loudly
+    EXCHANGE_BUDGET = {}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_is_scale_shaped(spark, sf_dir, name):
     plan = (
@@ -58,6 +129,23 @@ def test_plan_is_scale_shaped(spark, sf_dir, name):
     )
     assert "CartesianProduct" not in plan, f"{name}: real cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    shuffled_dims = _shuffled_dim_scans(plan)
+    assert not shuffled_dims, (
+        f"{name}: broadcast-only dimension rides a shuffle join: "
+        f"{shuffled_dims} — a few-KB nation/region table must be the build "
+        "side of a BroadcastHashJoin"
+    )
+    n_ex = _shuffle_exchanges(plan)
+    budget = EXCHANGE_BUDGET.get(name)
+    assert budget is not None, (
+        f"{name}: no shuffle-exchange budget recorded — run "
+        "scripts/update_plan_budget.py and review the new query's count"
+    )
+    assert n_ex <= budget, (
+        f"{name}: {n_ex} shuffle exchanges vs budget {budget} — a shuffle "
+        "was added to this plan; if intentional, re-baseline with "
+        "scripts/update_plan_budget.py and justify in the commit"
+    )
     n_unpart = _unpartitioned_windows(plan)
     if name in UNPARTITIONED_WINDOW_WHITELIST:
         return  # documented bounded-frame windows
