@@ -750,6 +750,83 @@ def semantic_dedup_pairs_routed(
     return cosine_pairs.unionByName(exact_pairs)
 
 
+def semantic_dedup_pairs_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    max_cluster_size: int | None = None,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_hex: str | None = None,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup: every near-duplicate pair touching today's
+    arrivals (``delta``), never the full corpus self-join — the daily-ingest
+    posture of semantic dedup (the vector twin of dedup_incremental_bloom's
+    exact form).
+
+    Candidate volume is |delta| x avg-cluster-occupancy instead of
+    sum(|c|^2): the delta side is assigned to (persisted, when ``centroids``
+    is given) clusters and equi-joined against the corpus assignment on the
+    cluster key only. Pairs are canonicalized (vec_a = least id) and
+    distinct-reduced, because a delta-delta pair arrives once from each
+    direction; corpus-delta pairs arrive once. ``max_cluster_size`` applies
+    the same mega-cluster guard as the batch forms — an oversized cluster is
+    excluded from BOTH sides before the join (its members belong to exact
+    fingerprint dedup, see semantic_dedup_pairs_routed).
+
+    Output: (vec_a, vec_b, cluster, cosine) — same shape as
+    semantic_dedup_pairs restricted to pairs with at least one delta member.
+    """
+    if centroids is None:
+        centroids = [
+            c
+            for _, c in kmeans_centroids(
+                corpus, n_clusters, iterations, vec_col=vec_col,
+                id_col=id_col, sample_hex=sample_hex,
+            )
+        ]
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return assign_clusters(df, centroids, vec_col).select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"{tag}_v"),
+            norm(F.col(vec_col)).alias(f"{tag}_n"),
+            "cluster",
+        )
+
+    corp = prep(corpus, "c")
+    dlt = prep(delta, "d")
+    if max_cluster_size is not None:
+        ok = (
+            corp.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .filter(F.col("__sz") <= max_cluster_size)
+            .select("cluster")
+        )
+        corp = corp.join(F.broadcast(ok), "cluster")
+        dlt = dlt.join(F.broadcast(ok), "cluster")
+    denom = F.col("c_n") * F.col("d_n")
+    cos = F.when(denom > 0, dot(F.col("c_v"), F.col("d_v")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        corp.join(dlt, "cluster")
+        .filter(F.col("c_id") != F.col("d_id"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            F.least("c_id", "d_id").alias("vec_a"),
+            F.greatest("c_id", "d_id").alias("vec_b"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.round("__cos", 4).alias("cosine"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization
 # ---------------------------------------------------------------------------

@@ -7706,6 +7706,110 @@ def dedup_semantic_indexed_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SEMANTIC_CAP_SWEEP = (10, 35, 70, 140)
+
+
+def _sql_semantic_cap_sweep(caps: tuple = _SEMANTIC_CAP_SWEEP) -> str:
+    """Oracle for the cap-calibration sweep: one assignment -> cluster-size
+    frame -> per-cap conditional aggregates (grouped by the cap literal, so
+    an empty corpus yields zero rows — the grouped-constant contract)."""
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # ... through af
+    parts.append("sz AS (SELECT cluster, COUNT(*) AS sz FROM af GROUP BY cluster)")
+    body = ",\n    ".join(parts)
+    selects = []
+    for cap in caps:
+        selects.append(f"""SELECT CAST({cap} AS BIGINT) AS cap,
+           CAST(COALESCE(SUM(CASE WHEN sz <= {cap} THEN 1 END), 0) AS BIGINT) AS clusters_kept,
+           CAST(COALESCE(SUM(CASE WHEN sz <= {cap} THEN sz END), 0) AS BIGINT) AS rows_kept,
+           CAST(COALESCE(SUM(CASE WHEN sz <= {cap} THEN sz * (sz - 1) / 2 END), 0) AS BIGINT) AS candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN sz > {cap} THEN sz END), 0) AS BIGINT) AS overflow_rows
+    FROM sz GROUP BY 1""")
+        u = "\n    UNION ALL\n    ".join(selects)
+    return f"WITH {body}\n    {u}"
+
+
+@register("dedup_semantic_cap_sweep", _sql_semantic_cap_sweep())
+def dedup_semantic_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-cluster-cap calibration sweep (round 8, companion to the
+    dedup_semantic_indexed_capped posture flip): before picking
+    max_cluster_size for a 100 TB SemDeDup run, read the tradeoff off the
+    cluster-size distribution — per candidate cap: clusters kept, rows kept
+    in the exact-cosine branch, the branch's candidate-pair volume
+    (sum sz*(sz-1)/2 — the quantity the cap exists to bound), and the rows
+    routed to exact fingerprint dedup instead.
+
+    The whole sweep costs ONE assignment scan + ONE n_clusters-row
+    aggregate; each cap is a conditional aggregate over that tiny frame —
+    the lsh_band_sweep discipline (never re-assign, never a pair join) with
+    a sizes-only analytic core. Serves from the persisted centroid index."""
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.assign_clusters(
+        emb, _kmeans_centroids_cached(spark, sf_dir), "embedding"
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    per = []
+    for cap in _SEMANTIC_CAP_SWEEP:
+        kept = F.col("sz") <= cap
+        per.append(
+            sizes.groupBy(F.lit(cap).cast("bigint").alias("cap")).agg(
+                F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+                .cast("bigint").alias("clusters_kept"),
+                F.coalesce(F.sum(F.when(kept, F.col("sz"))), F.lit(0))
+                .cast("bigint").alias("rows_kept"),
+                F.coalesce(
+                    F.sum(F.when(kept, F.col("sz") * (F.col("sz") - 1) / 2)),
+                    F.lit(0),
+                ).cast("bigint").alias("candidate_pairs"),
+                F.coalesce(F.sum(F.when(~kept, F.col("sz"))), F.lit(0))
+                .cast("bigint").alias("overflow_rows"),
+            )
+        )
+    return reduce(DataFrame.unionByName, per)
+
+
+def _sql_semantic_delta(
+    threshold: float = _SEMANTIC_THRESHOLD, cap: int = _SEMANTIC_MAX_CLUSTER
+) -> str:
+    """Oracle for incremental SemDeDup: pairs touching the odd-id 'today'
+    delta — corpus x delta within (capped) clusters, canonicalized and
+    DISTINCT-reduced (a delta-delta pair arrives from both directions)."""
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # ... through af
+    parts.append(
+        f"ok AS (SELECT cluster FROM af GROUP BY cluster HAVING COUNT(*) <= {cap})"
+    )
+    parts.append("d AS (SELECT * FROM af WHERE vec_id % 2 = 1)")
+    body = ",\n    ".join(parts)
+    cos = SQL_COS.format(a="a.v", b="d.v")
+    return f"""WITH {body}
+    SELECT DISTINCT LEAST(a.vec_id, d.vec_id) AS vec_a,
+           GREATEST(a.vec_id, d.vec_id) AS vec_b,
+           CAST(a.cluster AS BIGINT) AS cluster, round({cos}, 4) AS cosine
+    FROM af a JOIN d ON a.cluster = d.cluster AND a.vec_id <> d.vec_id
+    JOIN ok ON ok.cluster = a.cluster
+    WHERE {cos} >= {threshold}"""
+
+
+@register("dedup_semantic_incremental", _sql_semantic_delta())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup (round 8): only pairs touching 'today's
+    arrivals' (odd vec_ids stand in for the daily delta), joined
+    delta-vs-corpus within persisted-centroid clusters under the
+    mega-cluster cap — candidate volume |delta| x cluster occupancy, never
+    the corpus self-join (operators/similarity.py::semantic_dedup_pairs_delta).
+    The vector twin of dedup_incremental_bloom: a recurring pipeline dedups
+    each ingest batch against the corpus, not the corpus against itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs_delta(
+        emb,
+        emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=_SEMANTIC_THRESHOLD,
+        max_cluster_size=_SEMANTIC_MAX_CLUSTER,
+        centroids=_kmeans_centroids_cached(spark, sf_dir),
+    )
+
+
 @register("embeddings_cluster_sizes_indexed", _sql_cluster_sizes())
 def embeddings_cluster_sizes_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balance audit probing the persisted centroids: assignment +

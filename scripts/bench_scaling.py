@@ -72,6 +72,11 @@ def run_bench(sf_dir: str, out_path: str) -> dict:
         env=env, capture_output=True, text=True, timeout=7200,
     )
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py produced no JSON (rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-30:])
+        )
     rec = json.loads(lines[0])  # full per-query record
     with open(out_path, "w") as fh:
         json.dump(rec, fh)

@@ -2,7 +2,7 @@
 degenerate fixtures (tests/degenerate_data.py) and report crashes and parity
 mismatches — the iteration loop behind tests/test_degenerate_inputs.py.
 
-Usage: python scripts/degenerate_sweep.py [degenerate|empty|both] [name-substr]
+Usage: python scripts/degenerate_sweep.py [degenerate|empty|skewed|all] [name-substr]
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from degenerate_data import write_degenerate, write_empty  # noqa: E402
+from degenerate_data import write_degenerate, write_empty, write_skewed  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -44,7 +44,11 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "both":  # pre-r8 spelling: the two original fixtures
+        which = "degenerate,empty"
+    if which == "all":
+        which = "degenerate,empty,skewed"
     substr = sys.argv[2] if len(sys.argv) > 2 else ""
     from pyspark.sql import SparkSession
 
@@ -58,16 +62,16 @@ def main() -> int:
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     fixtures = []
     root = tempfile.mkdtemp(prefix="degen-")
-    if which in ("degenerate", "both"):
-        d = os.path.join(root, "degenerate")
+    writers = {
+        "degenerate": write_degenerate,
+        "empty": write_empty,
+        "skewed": write_skewed,
+    }
+    for label in which.split(","):
+        d = os.path.join(root, label)
         os.makedirs(d)
-        write_degenerate(d)
-        fixtures.append(("degenerate", d))
-    if which in ("empty", "both"):
-        d = os.path.join(root, "empty")
-        os.makedirs(d)
-        write_empty(d)
-        fixtures.append(("empty", d))
+        writers[label](d)
+        fixtures.append((label, d))
 
     failures = []
     for label, sf in fixtures:

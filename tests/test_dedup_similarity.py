@@ -782,6 +782,39 @@ def test_semantic_routed_zero_norm_duplicates(spark):
     assert len(live) == 19 and all(r["cosine"] == 1.0 for r in live)
 
 
+def test_semantic_delta_pairs_touch_delta_only(spark):
+    """semantic_dedup_pairs_delta: exactly the full-join pairs that touch a
+    delta member — corpus-corpus pairs are absent, delta-delta pairs appear
+    once (canonicalized + distinct), and the result equals the batch
+    semantic_dedup_pairs filtered to delta-touching pairs."""
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_delta,
+    )
+
+    base = [0.5, 0.1, -0.2, 0.3]
+    rows = [
+        (i, [round(v + 0.01 * (i % 5), 4) for v in base]) for i in range(30)
+    ]
+    rows += [(100 + i, [-0.7, 0.6, 0.2, -0.1]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    got = sorted(
+        map(tuple, semantic_dedup_pairs_delta(
+            emb, delta, threshold=0.9, n_clusters=2, iterations=2
+        ).collect())
+    )
+    full = semantic_dedup_pairs(
+        emb, threshold=0.9, n_clusters=2, iterations=2
+    ).collect()
+    want = sorted(
+        tuple(r) for r in full if r["vec_a"] % 2 == 1 or r["vec_b"] % 2 == 1
+    )
+    assert got == want and len(got) > 0
+    assert len(got) < len(full)  # corpus-corpus (even-even) pairs excluded
+    assert len(got) == len(set(got))  # delta-delta pairs not double-counted
+
+
 def test_topk_per_query_two_phase_plan_and_equivalence(spark):
     """topk_per_query (the shared scored-tail ranker) must (a) produce the
     same rows as the naive single-window form and (b) contain the partial
