@@ -32,6 +32,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     budget = {}
     for name in sorted(QUERIES):
+        spark.catalog.clearCache()  # match the lint's clean-cache state
         plan = (
             QUERIES[name](spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString()

@@ -124,6 +124,13 @@ except FileNotFoundError:  # pre-baseline checkout: every query fails loudly
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_is_scale_shaped(spark, sf_dir, name):
+    # Plans must be judged in a CLEAN cache state: queries persist() shared
+    # frames (callers own the lifecycle), and a frame left persist-marked by
+    # an earlier test substitutes InMemoryRelation for the scan subtree —
+    # shifting exchange counts and hiding FileScans from the dimension gate.
+    # The budget baseline (scripts/update_plan_budget.py) clears the same
+    # way, so counts compare fresh-vs-fresh regardless of suite order.
+    spark.catalog.clearCache()
     plan = (
         QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
