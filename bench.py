@@ -162,7 +162,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "events_ab_test",
     "events_daily_trend_ols",
-    "dedup_semantic_indexed",
+    "dedup_semantic_indexed_capped",
     "embeddings_cluster_sizes_indexed",
     "embeddings_kmeans_inertia_indexed",
     "events_rolling_7d",

@@ -64,6 +64,24 @@ from .similarity import (
 MARKER = "_INDEX_OK"
 CURRENT = "_CURRENT"
 
+# Ceiling for derived cluster counts: past this the coarse-quantizer artifact
+# itself (n_clusters x dim doubles on the driver and in every probe's
+# broadcast) stops being "a few KB" — a corpus needing more than 64Ki
+# clusters wants a hierarchical coarse quantizer, not a bigger flat one.
+MAX_DERIVED_CLUSTERS = 1 << 16
+
+
+def _sized_n_clusters(n_rows: int, target_rows_per_cluster: int) -> int:
+    """Cluster count from a per-cluster row-occupancy target (round-9 fix for
+    the fixed-n_clusters scale flaw, VERDICT r8 item 4): n_clusters =
+    ceil(n / target), clamped to [1, MAX_DERIVED_CLUSTERS]. Holding ROWS PER
+    CLUSTER flat — instead of cluster COUNT — is what keeps per-probe work
+    (candidates scanned = nprobe x rows-per-cluster) constant as the corpus
+    grows; a fixed count makes every probe linear in corpus size."""
+    import math
+
+    return max(1, min(MAX_DERIVED_CLUSTERS, math.ceil(n_rows / max(1, target_rows_per_cluster))))
+
 
 def _active_dir(path: str) -> str:
     """Resolve an index root to its ACTIVE artifact directory.
@@ -146,6 +164,7 @@ def build_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_hex: str | None = None,
+    target_rows_per_cluster: int | None = None,
 ) -> dict:
     """Train and persist an IVF-PQ index under ``path``; returns the meta
     dict. Overwrites any existing index at the path (the marker is removed
@@ -155,10 +174,19 @@ def build_ivf_pq_index(
     every subspace code in a single codegen'd projection over one scan, and
     the partitioned write is the only shuffle-free full-corpus output.
     Training jobs before it are sample-sized (see training_sample).
+
+    ``target_rows_per_cluster``: when set, ``n_clusters`` is DERIVED from the
+    corpus size (ceil(n / target), see _sized_n_clusters) and the target is
+    persisted in meta — every later *_rebuild re-derives the count from the
+    corpus it retrains over, so per-probe candidate volume stays flat across
+    corpus decades instead of growing linearly at a frozen cluster count.
     """
     _guard_not_versioned(path, "build_ivf_pq_index")
     dim = _probe_dim(embeddings, vec_col)
     spark = embeddings.sparkSession
+    n_rows = int(embeddings.count()) if dim is not None else 0
+    if target_rows_per_cluster:
+        n_clusters = _sized_n_clusters(n_rows, target_rows_per_cluster)
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
         os.remove(marker)
@@ -179,6 +207,7 @@ def build_ivf_pq_index(
             "kmeans_iterations": kmeans_iterations,
             "pq_iterations": pq_iterations, "sample_hex": sample_hex or "",
             "kind": "ivf_pq", "exact_adds": False,
+            "target_rows_per_cluster": target_rows_per_cluster or 0,
         })
 
     centroids = kmeans_centroids(
@@ -232,9 +261,11 @@ def build_ivf_pq_index(
         # so recall for added rows drifts as the corpus distribution moves;
         # ann_needs_rebuild() bounds that drift by counter, not wall clock.
         "kind": "ivf_pq",
-        "n_vecs": int(embeddings.count()),
+        "n_vecs": n_rows,
         "vecs_added_since_build": 0,
         "exact_adds": False,
+        # sizing rule, consumed by rebuilds: 0 = frozen n_clusters (legacy)
+        "target_rows_per_cluster": target_rows_per_cluster or 0,
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -510,6 +541,7 @@ def build_kmeans_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_hex: str | None = None,
+    target_rows_per_cluster: int | None = None,
 ) -> dict:
     """Train Lloyd centroids ONCE and persist only the centroid artifact —
     the build half of the clustering lifecycle shared by SemDeDup blocking,
@@ -524,6 +556,10 @@ def build_kmeans_index(
     retraining and share the inline forms' oracles."""
     _guard_not_versioned(path, "build_kmeans_index")
     spark = embeddings.sparkSession
+    if target_rows_per_cluster:
+        n_clusters = _sized_n_clusters(
+            int(embeddings.count()), target_rows_per_cluster
+        )
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
         os.remove(marker)
@@ -537,6 +573,7 @@ def build_kmeans_index(
     meta = {
         "kind": "kmeans", "n_clusters": n_clusters, "iterations": iterations,
         "sample_hex": sample_hex or "",
+        "target_rows_per_cluster": target_rows_per_cluster or 0,
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -818,6 +855,10 @@ def ivf_pq_index_rebuild(
         n_codes=meta.get("n_codes", PQ_K),
         pq_iterations=meta.get("pq_iterations", PQ_ITERATIONS),
         sample_hex=meta.get("sample_hex") or None,
+        # a persisted sizing rule RE-DERIVES n_clusters from the corpus this
+        # rebuild retrains over (build_ivf_pq_index does the math) — the
+        # frozen-count scale flaw never survives a rebuild
+        target_rows_per_cluster=meta.get("target_rows_per_cluster") or None,
     )
     params.update(overrides)
     return _rebuild_into_version(
@@ -860,6 +901,7 @@ def kmeans_index_rebuild(
         n_clusters=meta.get("n_clusters", 8),
         iterations=meta.get("iterations", 5),
         sample_hex=meta.get("sample_hex") or None,
+        target_rows_per_cluster=meta.get("target_rows_per_cluster") or None,
     )
     params.update(overrides)
     return _rebuild_into_version(

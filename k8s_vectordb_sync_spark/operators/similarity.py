@@ -750,6 +750,38 @@ def semantic_dedup_pairs_routed(
     return cosine_pairs.unionByName(exact_pairs)
 
 
+def choose_semantic_cap(sweep: DataFrame, pairs_per_row_budget: float = 8.0) -> int:
+    """Pick ``max_cluster_size`` from the cap-calibration sweep's readout
+    (queries.dedup_semantic_cap_sweep / the analytic sizes-only sweep over a
+    cluster assignment) — the documented sizing rule VERDICT r8 item 7 asks
+    for, so the capped SemDeDup posture is self-tuning instead of
+    hand-picked.
+
+    Rule: take the LARGEST swept cap whose exact-cosine branch stays within
+    the linear-volume budget ``candidate_pairs <= pairs_per_row_budget x
+    corpus_rows`` (corpus_rows = rows_kept + overflow_rows, identical on
+    every sweep row). Larger cap = higher recall (fewer rows routed to the
+    exact-fingerprint overflow branch); the budget is what keeps the pair
+    join's output linear in corpus size with a known constant — the whole
+    point of the cap. If even the smallest swept cap blows the budget (an
+    extremely collapsed corpus), return the smallest: the routed overflow
+    branch handles mass duplication in O(n) regardless.
+
+    Driver traffic: one collect of a len(caps)-row frame (the sweep is an
+    n_clusters-row aggregate upstream) — bounded by construction.
+    """
+    rows = sorted(sweep.collect(), key=lambda r: r["cap"])
+    if not rows:
+        raise ValueError(
+            "empty cap sweep (empty corpus?) — no cluster-size distribution "
+            "to size a cap from; any cap is safe on an empty corpus"
+        )
+    total = rows[0]["rows_kept"] + rows[0]["overflow_rows"]
+    budget = pairs_per_row_budget * max(total, 1)
+    fitting = [r["cap"] for r in rows if r["candidate_pairs"] <= budget]
+    return int(max(fitting) if fitting else rows[0]["cap"])
+
+
 def semantic_dedup_pairs_delta(
     corpus: DataFrame,
     delta: DataFrame,
@@ -770,12 +802,21 @@ def semantic_dedup_pairs_delta(
     Candidate volume is |delta| x avg-cluster-occupancy instead of
     sum(|c|^2): the delta side is assigned to (persisted, when ``centroids``
     is given) clusters and equi-joined against the corpus assignment on the
-    cluster key only. Pairs are canonicalized (vec_a = least id) and
-    distinct-reduced, because a delta-delta pair arrives once from each
-    direction; corpus-delta pairs arrive once. ``max_cluster_size`` applies
+    cluster key only, PLUS a delta-delta self-join within the same clusters —
+    so duplicates AMONG today's arrivals are found even when ``delta`` has
+    not been merged into ``corpus`` yet (a caller passing the pre-merge
+    corpus would otherwise silently miss them; when delta is already a
+    subset of the corpus the extra branch emits only pairs the corpus-delta
+    join already produced, and the final DISTINCT collapses them — output
+    identical either way). The delta-delta branch is |delta|-quadratic only
+    within clusters, i.e. bounded by |delta| x delta-cluster-occupancy —
+    the delta is the small side by definition. Pairs are canonicalized
+    (vec_a = least id) and distinct-reduced. ``max_cluster_size`` applies
     the same mega-cluster guard as the batch forms — an oversized cluster is
-    excluded from BOTH sides before the join (its members belong to exact
-    fingerprint dedup, see semantic_dedup_pairs_routed).
+    excluded from ALL sides before the joins (its members belong to exact
+    fingerprint dedup, see semantic_dedup_pairs_routed); occupancy is
+    measured over the CORPUS assignment (the persisted-index view of the
+    world — delta rows not yet in the corpus don't move it).
 
     Output: (vec_a, vec_b, cluster, cosine) — same shape as
     semantic_dedup_pairs restricted to pairs with at least one delta member.
@@ -812,9 +853,20 @@ def semantic_dedup_pairs_delta(
     cos = F.when(denom > 0, dot(F.col("c_v"), F.col("d_v")) / denom).otherwise(
         F.lit(0.0)
     )
+    corpus_delta = corp.join(dlt, "cluster").filter(F.col("c_id") != F.col("d_id"))
+    # delta-delta: arrivals vs arrivals, same cluster blocking. Rename one
+    # side to the c_* slots so the shared cosine expression and the union
+    # line up; d_id < c_id (strict) avoids the self-pair and halves the
+    # in-cluster expansion (canonicalization below makes direction moot).
+    dlt_as_c = dlt.select(
+        F.col("d_id").alias("c_id"),
+        F.col("d_v").alias("c_v"),
+        F.col("d_n").alias("c_n"),
+        "cluster",
+    )
+    delta_delta = dlt.join(dlt_as_c, "cluster").filter(F.col("d_id") < F.col("c_id"))
     return (
-        corp.join(dlt, "cluster")
-        .filter(F.col("c_id") != F.col("d_id"))
+        corpus_delta.unionByName(delta_delta)
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= threshold)
         .select(

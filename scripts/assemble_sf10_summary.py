@@ -29,7 +29,7 @@ def best(pattern: str) -> dict[str, float]:
 
 def main() -> None:
     lo = best("bench_scaling_r8_sf10_sf1_run*.json")
-    hi = best("bench_scaling_r8_sf10_sf10_run*.json*")
+    hi = best("bench_scaling_r8_sf10_sf10_run*.json")
     summary = {}
     for q in sorted(set(lo) & set(hi)):
         alpha = math.log10(hi[q] / lo[q]) if lo[q] > 0 else None

@@ -39,7 +39,7 @@ SUBSET = [
     "ann_ivf_pq_topk_indexed",
     "documents_bm25_topk_indexed",
     "hybrid_search_rrf_indexed",
-    "dedup_semantic_indexed",
+    "dedup_semantic_indexed_diagnostic",
     "dedup_semantic_capped",
     "dedup_semantic_indexed_capped",  # r8: the scale-safe serving form
     "embeddings_kmeans_inertia_indexed",

@@ -153,6 +153,14 @@ def test_plan_is_scale_shaped(spark, sf_dir, name):
         "was added to this plan; if intentional, re-baseline with "
         "scripts/update_plan_budget.py and justify in the commit"
     )
+    # The gate is two-sided (round 9, ADVICE r8): a refactor that REMOVES a
+    # shuffle must re-baseline too, else the stale budget would silently let
+    # the plan regress all the way back up to the old count later.
+    assert n_ex >= budget, (
+        f"{name}: {n_ex} shuffle exchanges vs budget {budget} — the plan "
+        "IMPROVED; lock in the win by re-baselining with "
+        "scripts/update_plan_budget.py so it can't silently regress"
+    )
     n_unpart = _unpartitioned_windows(plan)
     if name in UNPARTITIONED_WINDOW_WHITELIST:
         return  # documented bounded-frame windows
