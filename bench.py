@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_topk_indexed",
+    "ann_ivf_pq_topk_autosized",
     "cdc_key_churn",
     "documents_duplicate_spans",
     "ann_pq_adc_topk",

@@ -71,16 +71,25 @@ CURRENT = "_CURRENT"
 MAX_DERIVED_CLUSTERS = 1 << 16
 
 
-def _sized_n_clusters(n_rows: int, target_rows_per_cluster: int) -> int:
+def _sized_n_clusters(
+    n_rows: int, target_rows_per_cluster: int, floor: int = 1
+) -> int:
     """Cluster count from a per-cluster row-occupancy target (round-9 fix for
     the fixed-n_clusters scale flaw, VERDICT r8 item 4): n_clusters =
-    ceil(n / target), clamped to [1, MAX_DERIVED_CLUSTERS]. Holding ROWS PER
-    CLUSTER flat — instead of cluster COUNT — is what keeps per-probe work
+    ceil(n / target), clamped to [floor, MAX_DERIVED_CLUSTERS]. Holding ROWS
+    PER CLUSTER flat — instead of cluster COUNT — is what keeps per-probe work
     (candidates scanned = nprobe x rows-per-cluster) constant as the corpus
-    grows; a fixed count makes every probe linear in corpus size."""
+    grows; a fixed count makes every probe linear in corpus size.
+
+    ``floor`` is the hand-set minimum (the build call's n_clusters argument):
+    a small corpus still trains that many clusters so probe selectivity never
+    degrades below the configured baseline, and — because rebuilds re-derive
+    from the floor persisted in meta, not from the previous DERIVED count —
+    a corpus that shrinks gets its cluster count shrunk back too."""
     import math
 
-    return max(1, min(MAX_DERIVED_CLUSTERS, math.ceil(n_rows / max(1, target_rows_per_cluster))))
+    sized = math.ceil(n_rows / max(1, target_rows_per_cluster))
+    return max(max(1, floor), min(MAX_DERIVED_CLUSTERS, sized))
 
 
 def _active_dir(path: str) -> str:
@@ -185,8 +194,11 @@ def build_ivf_pq_index(
     dim = _probe_dim(embeddings, vec_col)
     spark = embeddings.sparkSession
     n_rows = int(embeddings.count()) if dim is not None else 0
+    n_clusters_floor = n_clusters
     if target_rows_per_cluster:
-        n_clusters = _sized_n_clusters(n_rows, target_rows_per_cluster)
+        n_clusters = _sized_n_clusters(
+            n_rows, target_rows_per_cluster, floor=n_clusters_floor
+        )
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
         os.remove(marker)
@@ -208,6 +220,7 @@ def build_ivf_pq_index(
             "pq_iterations": pq_iterations, "sample_hex": sample_hex or "",
             "kind": "ivf_pq", "exact_adds": False,
             "target_rows_per_cluster": target_rows_per_cluster or 0,
+            "n_clusters_floor": n_clusters_floor,
         })
 
     centroids = kmeans_centroids(
@@ -264,8 +277,12 @@ def build_ivf_pq_index(
         "n_vecs": n_rows,
         "vecs_added_since_build": 0,
         "exact_adds": False,
-        # sizing rule, consumed by rebuilds: 0 = frozen n_clusters (legacy)
+        # sizing rule, consumed by rebuilds: 0 = frozen n_clusters (legacy).
+        # The FLOOR (the hand-set n_clusters argument) is persisted alongside
+        # so a rebuild re-derives from corpus-size + floor, never from the
+        # previous derived count (which would make the count monotonic).
         "target_rows_per_cluster": target_rows_per_cluster or 0,
+        "n_clusters_floor": n_clusters_floor,
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -556,9 +573,11 @@ def build_kmeans_index(
     retraining and share the inline forms' oracles."""
     _guard_not_versioned(path, "build_kmeans_index")
     spark = embeddings.sparkSession
+    n_clusters_floor = n_clusters
     if target_rows_per_cluster:
         n_clusters = _sized_n_clusters(
-            int(embeddings.count()), target_rows_per_cluster
+            int(embeddings.count()), target_rows_per_cluster,
+            floor=n_clusters_floor,
         )
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
@@ -574,6 +593,7 @@ def build_kmeans_index(
         "kind": "kmeans", "n_clusters": n_clusters, "iterations": iterations,
         "sample_hex": sample_hex or "",
         "target_rows_per_cluster": target_rows_per_cluster or 0,
+        "n_clusters_floor": n_clusters_floor,
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -848,8 +868,15 @@ def ivf_pq_index_rebuild(
         raise FileNotFoundError(f"no complete ANN index at {path} to rebuild")
     with open(os.path.join(_active_dir(path), "meta.json")) as fh:
         meta = json.load(fh)
+    sized = bool(meta.get("target_rows_per_cluster"))
     params = dict(
-        n_clusters=meta.get("n_clusters", 8),
+        # under a sizing rule, seed the rebuild with the persisted FLOOR (the
+        # original hand-set count) so build_ivf_pq_index re-derives from the
+        # retrained corpus's size — never from the previous derived count,
+        # which would only ever ratchet upward
+        n_clusters=(
+            meta.get("n_clusters_floor", 1) if sized else meta.get("n_clusters", 8)
+        ),
         kmeans_iterations=meta.get("kmeans_iterations", 5),
         m=meta.get("m", PQ_M),
         n_codes=meta.get("n_codes", PQ_K),
@@ -897,8 +924,11 @@ def kmeans_index_rebuild(
         raise FileNotFoundError(f"no complete k-means index at {path} to rebuild")
     with open(os.path.join(_active_dir(path), "meta.json")) as fh:
         meta = json.load(fh)
+    sized = bool(meta.get("target_rows_per_cluster"))
     params = dict(
-        n_clusters=meta.get("n_clusters", 8),
+        n_clusters=(
+            meta.get("n_clusters_floor", 1) if sized else meta.get("n_clusters", 8)
+        ),
         iterations=meta.get("iterations", 5),
         sample_hex=meta.get("sample_hex") or None,
         target_rows_per_cluster=meta.get("target_rows_per_cluster") or None,

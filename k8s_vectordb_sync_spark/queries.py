@@ -1180,6 +1180,7 @@ def _sql_ivf_parts(
     n_probe: int = 2,
     sample_hex: str = _TRAIN_SAMPLE_HEX,
     train_extra: str = "",
+    sized_target: int | None = None,
 ) -> list:
     """Unrolled k-means oracle for IVF: the Spark path is fully deterministic
     (min-id seeds, fixed Lloyd iterations, ties to the lowest cluster index),
@@ -1206,10 +1207,31 @@ def _sql_ivf_parts(
     parts = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"train AS ({_sql_train_cte('base', sample_hex, train_extra)})",
-        f"""c0 AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
-          FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {n_clusters}))""",
     ]
+    if sized_target:
+        # Mirror of ann_index._sized_n_clusters(n, target, floor=n_clusters):
+        # k = clamp(ceil(corpus / target), n_clusters .. MAX_DERIVED_CLUSTERS),
+        # computed from the SAME full-corpus count the Spark build counts —
+        # the oracle derives the cluster count instead of freezing it, so one
+        # static SQL string stays correct at every scale factor.
+        parts.append(
+            f"""nc AS (
+          SELECT GREATEST({n_clusters}, LEAST(65536,
+                 CAST(CEIL(COUNT(*) / {sized_target}.0) AS BIGINT))) AS k
+          FROM base)"""
+        )
+        parts.append(
+            """c0 AS (
+          SELECT cluster, c FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+            FROM train) t, nc WHERE t.cluster < nc.k)"""
+        )
+    else:
+        parts.append(
+            f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+          FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {n_clusters}))"""
+        )
     for it in range(1, iterations + 1):
         prev = f"c{it - 1}"
         parts.append(f"""a{it} AS (
@@ -4249,6 +4271,7 @@ def _sql_ivf_pq(
     pq_iterations: int = 3,
     dim: int = 64,
     train_extra: str = "",
+    sized_target: int | None = None,
 ) -> str:
     """Composed IVF-PQ oracle: the IVF CTE chain up through `probes` (which
     clusters each query scans) + the PQ CTE chain through the per-subspace
@@ -4261,7 +4284,7 @@ def _sql_ivf_pq(
     body = ",\n    ".join(
         _sql_ivf_pq_parts(
             n_clusters, iterations, n_probe, m, pq_k, pq_iterations, dim,
-            train_extra,
+            train_extra, sized_target,
         )
     )
     return f"""WITH {body}
@@ -4279,11 +4302,13 @@ def _sql_ivf_pq_parts(
     pq_iterations: int = 3,
     dim: int = 64,
     train_extra: str = "",
+    sized_target: int | None = None,
 ) -> list:
     """The IVF-PQ CTE chain ending in `ranked` — shared by the top-k oracle
     and the indexed-hybrid oracle."""
     ivf = _sql_ivf_parts(
-        n_clusters, iterations, n_probe, train_extra=train_extra
+        n_clusters, iterations, n_probe, train_extra=train_extra,
+        sized_target=sized_target,
     )[:-2]  # ... probes
     pq = _sql_pq_cte_parts(m, pq_k, pq_iterations, dim, train_extra=train_extra)
     parts = ivf + pq
@@ -4322,12 +4347,14 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-def _ivf_pq_index_dir(sf_dir: str) -> str:
+def _ivf_pq_index_dir(sf_dir: str, variant: str = "") -> str:
     """Repo-local cache path for the persisted IVF-PQ index over a given
     corpus: keyed on the corpus identity (absolute path + parquet file
     size/mtime, so a regenerated corpus invalidates the index) and every
-    build parameter. In a deployment this would be a warehouse path the
-    serving fleet shares; locally it lives under <repo>/.ann_index."""
+    build parameter (``variant`` carries non-default parameterizations,
+    e.g. the autosized build). In a deployment this would be a warehouse
+    path the serving fleet shares; locally it lives under
+    <repo>/.ann_index."""
     import hashlib
 
     emb = os.path.join(sf_dir, "embeddings.parquet")
@@ -4337,7 +4364,7 @@ def _ivf_pq_index_dir(sf_dir: str) -> str:
             [
                 os.path.abspath(sf_dir), str(st.st_size), str(int(st.st_mtime)),
                 "ivfpq", "8", "5", str(sim.PQ_M), str(sim.PQ_K),
-                str(sim.PQ_ITERATIONS), _TRAIN_SAMPLE_HEX,
+                str(sim.PQ_ITERATIONS), _TRAIN_SAMPLE_HEX, variant,
             ]
         ).encode()
     ).hexdigest()[:16]
@@ -4365,6 +4392,45 @@ def ann_ivf_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         ai.build_ivf_pq_index(
             emb, path, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX
+        )
+    out = ai.ivf_pq_probe(
+        spark, path, _queries_df(spark, sf_dir), k=ANN_K, n_probe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# Occupancy target for the AUTOSIZED serving index: ~2500 rows per cluster
+# keeps each probe's candidate volume (n_probe x rows-per-cluster) flat as
+# the corpus grows — at sf1 (20k vectors) the rule derives exactly the
+# hand-set 8; at sf10 (200k) it derives 80; at 100 TB it derives
+# corpus/2500 capped at MAX_DERIVED_CLUSTERS. The floor of 8 keeps small
+# corpora at the calibrated baseline the other ANN queries use.
+_ANN_TARGET_ROWS_PER_CLUSTER = 2500
+
+
+@register(
+    "ann_ivf_pq_topk_autosized",
+    _sql_ivf_pq(sized_target=_ANN_TARGET_ROWS_PER_CLUSTER),
+)
+def ann_ivf_pq_topk_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELF-SIZING serving form of the persisted IVF-PQ probe (VERDICT
+    r8 item 4): the index is built — and every rebuild retrained — with
+    ``target_rows_per_cluster`` instead of a frozen cluster count, so
+    n_clusters grows with the corpus and per-probe candidate volume
+    (n_probe x rows-per-cluster) stays FLAT across corpus decades. This
+    retires ann_ivf_pq_topk_indexed's measured alpha=1.07 (fixed 8 clusters
+    => every probe scans 1/4 of any corpus); that query stays registered as
+    the fixed-count reference. The oracle derives the same cluster count
+    from COUNT(*) (see _sql_ivf_parts sized_target), so one static SQL
+    string is correct at every scale factor."""
+    from .operators import ann_index as ai
+
+    path = _ivf_pq_index_dir(sf_dir, variant=f"rpc{_ANN_TARGET_ROWS_PER_CLUSTER}")
+    if not ai.index_is_built(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ai.build_ivf_pq_index(
+            emb, path, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX,
+            target_rows_per_cluster=_ANN_TARGET_ROWS_PER_CLUSTER,
         )
     out = ai.ivf_pq_probe(
         spark, path, _queries_df(spark, sf_dir), k=ANN_K, n_probe=2

@@ -37,6 +37,7 @@ SUBSET = [
     "dedup_exact",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_topk_indexed",
+    "ann_ivf_pq_topk_autosized",  # r9: the self-sizing serving form
     "documents_bm25_topk_indexed",
     "hybrid_search_rrf_indexed",
     "dedup_semantic_indexed_diagnostic",

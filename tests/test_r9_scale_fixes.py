@@ -165,3 +165,123 @@ def test_choose_semantic_cap_degenerate_budget_returns_smallest(spark):
     empty = sweep.filter(F.col("cap") < 0)
     with pytest.raises(ValueError, match="empty cap sweep"):
         choose_semantic_cap(empty)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 4: self-sizing index rebuilds keep per-probe work flat
+# ---------------------------------------------------------------------------
+
+
+def _mk_vectors(spark, n: int, dim: int = 8):
+    rows = [
+        (i, [float((i * 7 + d * 13) % 17) / 17.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sized_n_clusters_rule():
+    from k8s_vectordb_sync_spark.operators.ann_index import (
+        MAX_DERIVED_CLUSTERS,
+        _sized_n_clusters,
+    )
+
+    assert _sized_n_clusters(20_000, 2_500, floor=8) == 8
+    assert _sized_n_clusters(200_000, 2_500, floor=8) == 80
+    assert _sized_n_clusters(100, 2_500, floor=8) == 8  # floor wins
+    assert _sized_n_clusters(10**12, 2_500, floor=8) == MAX_DERIVED_CLUSTERS
+    assert _sized_n_clusters(0, 2_500) == 1
+
+
+def test_rebuild_resizes_and_occupancy_stays_flat(spark, tmp_path):
+    """The decade test in miniature: build an autosized index over n rows,
+    rebuild over 10n — cluster count must grow ~10x so MEAN ROWS PER CLUSTER
+    (what a probe scans per probed partition) stays flat instead of growing
+    10x; rebuilding back over the small corpus must SHRINK the count again
+    (the floor is persisted, not the previous derived count)."""
+    import json as _json
+
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+
+    path = str(tmp_path / "sized-ivfpq")
+    small, big = _mk_vectors(spark, 200), _mk_vectors(spark, 2_000)
+    meta0 = ai.build_ivf_pq_index(
+        small, path, n_clusters=2, m=2, n_codes=2,
+        target_rows_per_cluster=50,
+    )
+    assert meta0["n_clusters"] == 4 and meta0["n_clusters_floor"] == 2
+
+    meta1 = ai.ivf_pq_index_rebuild(big, path)
+    assert meta1["n_clusters"] == 40, "rebuild did not re-derive from corpus"
+    occ0 = 200 / meta0["n_clusters"]
+    occ1 = 2_000 / meta1["n_clusters"]
+    assert occ1 == occ0, "per-cluster occupancy (per-probe work) grew"
+
+    # the probe scans the resized generation: n_probe partitions of ~occ rows
+    qdf = small.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ai.ivf_pq_probe(spark, path, qdf, k=3, n_probe=1)
+    assert got.count() > 0
+
+    meta2 = ai.ivf_pq_index_rebuild(small, path)
+    assert meta2["n_clusters"] == 4, "count ratcheted: floor not persisted"
+
+    # meta on disk carries the rule for the NEXT rebuild too
+    with open(os.path.join(ai._active_dir(path), "meta.json")) as fh:
+        disk = _json.load(fh)
+    assert disk["target_rows_per_cluster"] == 50 and disk["n_clusters_floor"] == 2
+
+
+def test_kmeans_rebuild_resizes(spark, tmp_path):
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+
+    path = str(tmp_path / "sized-kmeans")
+    meta0 = ai.build_kmeans_index(
+        _mk_vectors(spark, 100), path, n_clusters=2, target_rows_per_cluster=25
+    )
+    assert meta0["n_clusters"] == 4
+    meta1 = ai.kmeans_index_rebuild(_mk_vectors(spark, 1_000), path)
+    assert meta1["n_clusters"] == 40
+    assert len(ai.load_kmeans_centroids(path)) == 40
+
+
+def test_autosized_probe_matches_dynamic_k_oracle(spark, sf_dir, tmp_path):
+    """Oracle parity where the derived count EXCEEDS the floor (the
+    registered query only reaches that regime at sf>=10, which no parity
+    sweep runs): target 50 over the 500-vector sf0.001 corpus derives k=10,
+    and the sized_target SQL must agree row-for-row with the Spark probe
+    against the autosized index."""
+    import duckdb
+
+    from k8s_vectordb_sync_spark.operators import ann_index as ai
+    from k8s_vectordb_sync_spark.queries import (
+        ANN_K,
+        _TRAIN_SAMPLE_HEX,
+        _queries_df,
+        _sql_ivf_pq,
+    )
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sized-parity")
+    meta = ai.build_ivf_pq_index(
+        emb, path, n_clusters=8, sample_hex=_TRAIN_SAMPLE_HEX,
+        target_rows_per_cluster=50,
+    )
+    assert meta["n_clusters"] == 10, "expected ceil(500/50)=10 > floor 8"
+    got = ai.ivf_pq_probe(
+        spark, path, _queries_df(spark, sf_dir), k=ANN_K, n_probe=2
+    ).collect()
+    spark_rows = sorted(
+        (r["query_id"], r["neighbor_id"], round(float(r["score"]), 4), r["rank"])
+        for r in got
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    drows = con.execute(_sql_ivf_pq(sized_target=50)).fetchall()
+    duck_rows = sorted((q, n, round(float(s), 4), r) for q, n, s, r in drows)
+    assert spark_rows == duck_rows
