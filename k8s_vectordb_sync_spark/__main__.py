@@ -372,6 +372,24 @@ def cmd_tune(args: argparse.Namespace) -> int:
 
             docs = load_table(spark, args.sf_dir, "documents")
             rows = lsh_band_sweep(docs, threshold=args.threshold).collect()
+        elif args.what == "semantic-cap":
+            from .operators.similarity import (
+                choose_semantic_cap,
+                semantic_cap_sweep,
+            )
+
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            caps = tuple(int(c) for c in args.caps.split(","))
+            sweep = semantic_cap_sweep(emb, caps, n_clusters=args.clusters)
+            for r in sweep.collect():
+                print(json.dumps(r.asDict()))
+            print(json.dumps({
+                "chosen_cap": choose_semantic_cap(
+                    sweep, pairs_per_row_budget=args.pairs_budget
+                ),
+                "pairs_per_row_budget": args.pairs_budget,
+            }))
+            return 0
         else:  # ivf-nprobe
             from .operators.similarity import ivf_nprobe_sweep
 
@@ -473,14 +491,21 @@ def main(argv: list[str] | None = None) -> int:
                       help="adds/corpus drift ratio that flags a rebuild (default 0.10)")
     p_is.set_defaults(fn=cmd_index_status)
 
-    p_tu = sub.add_parser("tune", help="dedup-LSH banding / IVF nprobe tuning sweeps")
-    p_tu.add_argument("what", choices=["lsh-bands", "ivf-nprobe"])
+    p_tu = sub.add_parser(
+        "tune",
+        help="dedup-LSH banding / IVF nprobe / SemDeDup cap tuning sweeps",
+    )
+    p_tu.add_argument("what", choices=["lsh-bands", "ivf-nprobe", "semantic-cap"])
     p_tu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_tu.add_argument("--threshold", type=float, default=0.5,
                       help="lsh-bands: signature-estimate Jaccard gate")
     p_tu.add_argument("--clusters", type=int, default=8)
     p_tu.add_argument("--n-queries", type=int, default=8)
     p_tu.add_argument("--k", type=int, default=5)
+    p_tu.add_argument("--caps", default="10,35,70,140",
+                      help="semantic-cap: comma-separated caps to sweep")
+    p_tu.add_argument("--pairs-budget", type=float, default=8.0,
+                      help="semantic-cap: linear pair-volume budget per corpus row")
     p_tu.set_defaults(fn=cmd_tune)
 
     args = parser.parse_args(argv)

@@ -750,6 +750,56 @@ def semantic_dedup_pairs_routed(
     return cosine_pairs.unionByName(exact_pairs)
 
 
+def semantic_cap_sweep(
+    embeddings: DataFrame,
+    caps: tuple[int, ...],
+    n_clusters: int = 8,
+    iterations: int = 5,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_hex: str | None = None,
+) -> DataFrame:
+    """Mega-cluster-cap calibration sweep (the readout choose_semantic_cap
+    consumes): per candidate cap — clusters kept, rows kept in the
+    exact-cosine branch, that branch's candidate-pair volume (sum
+    sz*(sz-1)/2, the quantity the cap exists to bound), and the rows routed
+    to exact fingerprint dedup instead. ONE assignment scan + ONE
+    n_clusters-row sizes aggregate; each cap is a conditional aggregate over
+    that tiny frame, grouped by the cap literal so an empty corpus yields
+    zero rows. Shared by the registered query (persisted centroids) and the
+    `tune semantic-cap` CLI (inline training)."""
+    from functools import reduce
+
+    if centroids is None:
+        centroids = [
+            c for _, c in kmeans_centroids(
+                embeddings, n_clusters, iterations, vec_col=vec_col,
+                id_col=id_col, sample_hex=sample_hex,
+            )
+        ]
+    assigned = assign_clusters(embeddings, centroids, vec_col)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    per = []
+    for cap in caps:
+        kept = F.col("sz") <= cap
+        per.append(
+            sizes.groupBy(F.lit(cap).cast("bigint").alias("cap")).agg(
+                F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+                .cast("bigint").alias("clusters_kept"),
+                F.coalesce(F.sum(F.when(kept, F.col("sz"))), F.lit(0))
+                .cast("bigint").alias("rows_kept"),
+                F.coalesce(
+                    F.sum(F.when(kept, F.col("sz") * (F.col("sz") - 1) / 2)),
+                    F.lit(0),
+                ).cast("bigint").alias("candidate_pairs"),
+                F.coalesce(F.sum(F.when(~kept, F.col("sz"))), F.lit(0))
+                .cast("bigint").alias("overflow_rows"),
+            )
+        )
+    return reduce(DataFrame.unionByName, per)
+
+
 def choose_semantic_cap(sweep: DataFrame, pairs_per_row_budget: float = 8.0) -> int:
     """Pick ``max_cluster_size`` from the cap-calibration sweep's readout
     (queries.dedup_semantic_cap_sweep / the analytic sizes-only sweep over a

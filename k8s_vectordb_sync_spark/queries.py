@@ -7815,32 +7815,15 @@ def dedup_semantic_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole sweep costs ONE assignment scan + ONE n_clusters-row
     aggregate; each cap is a conditional aggregate over that tiny frame —
     the lsh_band_sweep discipline (never re-assign, never a pair join) with
-    a sizes-only analytic core. Serves from the persisted centroid index."""
-    from functools import reduce
-
+    a sizes-only analytic core. Serves from the persisted centroid index.
+    The sweep body lives in similarity.semantic_cap_sweep, shared with the
+    `tune semantic-cap` CLI; choose_semantic_cap turns the readout into a
+    max_cluster_size default."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = sim.assign_clusters(
-        emb, _kmeans_centroids_cached(spark, sf_dir), "embedding"
+    return sim.semantic_cap_sweep(
+        emb, _SEMANTIC_CAP_SWEEP,
+        centroids=_kmeans_centroids_cached(spark, sf_dir),
     )
-    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
-    per = []
-    for cap in _SEMANTIC_CAP_SWEEP:
-        kept = F.col("sz") <= cap
-        per.append(
-            sizes.groupBy(F.lit(cap).cast("bigint").alias("cap")).agg(
-                F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
-                .cast("bigint").alias("clusters_kept"),
-                F.coalesce(F.sum(F.when(kept, F.col("sz"))), F.lit(0))
-                .cast("bigint").alias("rows_kept"),
-                F.coalesce(
-                    F.sum(F.when(kept, F.col("sz") * (F.col("sz") - 1) / 2)),
-                    F.lit(0),
-                ).cast("bigint").alias("candidate_pairs"),
-                F.coalesce(F.sum(F.when(~kept, F.col("sz"))), F.lit(0))
-                .cast("bigint").alias("overflow_rows"),
-            )
-        )
-    return reduce(DataFrame.unionByName, per)
 
 
 def _sql_semantic_delta(

@@ -170,3 +170,29 @@ def test_cli_tune_emits_sweep_json_lines():
     rows = [json.loads(ln) for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
     assert rows[-1]["mean_recall"] == 1.0 and rows[-1]["scan_frac"] == 1.0
+
+
+def test_cli_tune_semantic_cap_emits_sweep_and_choice():
+    """`tune semantic-cap` prints one JSON line per swept cap plus a final
+    chosen_cap line that agrees with choose_semantic_cap's documented rule
+    (largest swept cap within the linear pair-volume budget)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "k8s_vectordb_sync_spark", "tune", "semantic-cap",
+         "--sf-dir", "/root/testdata/sf0.001", "--caps", "5,20,80",
+         "--pairs-budget", "8.0"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    rows = [json.loads(ln) for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    sweep, choice = rows[:-1], rows[-1]
+    assert [r["cap"] for r in sweep] == [5, 20, 80]
+    assert all(
+        {"clusters_kept", "rows_kept", "candidate_pairs", "overflow_rows"} <= set(r)
+        for r in sweep
+    )
+    total = sweep[0]["rows_kept"] + sweep[0]["overflow_rows"]
+    fitting = [r["cap"] for r in sweep if r["candidate_pairs"] <= 8.0 * total]
+    assert choice["chosen_cap"] == (max(fitting) if fitting else 5)
