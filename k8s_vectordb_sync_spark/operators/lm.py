@@ -51,6 +51,33 @@ def _doc_tokens_outer(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_mean_4dp_expr(sum_units_sql: str, n_col: str) -> F.Column:
+    """round(sum/n, 4) computed ENTIRELY in BIGINT arithmetic, half away
+    from zero — ``sum_units_sql`` is a SQL expression for the sum as an
+    exact BIGINT count of 1e-4 units (e.g. ``CAST(lp_sum * 10000 AS
+    BIGINT)`` for a DECIMAL(_,4) sum), ``n_col`` a positive BIGINT count.
+
+    The double formulation round(double(sum)/n, 4) diverges between engines
+    exactly when the true quotient lands on a .00005 boundary (a fixed-dp
+    sum divided by a small n does land there): the quotient's nearest
+    double sits on one side or the other, and Spark's
+    BigDecimal-of-shortest-repr HALF_UP disagrees with DuckDB's C-library
+    rounding about which. Integer half-away-from-zero —
+    sign * floor((2|S| + n) / (2n)) in 1e-4 units — has no boundary to
+    disagree about: both engines produce the identical integer, and /1e4
+    of an integer this size is exact in a double. Found by the first full
+    sf0.1 parity sweep (round 9); at smaller SFs no row hit a boundary.
+    The DuckDB oracles inline the same arithmetic with ``//`` for DIV."""
+    s = sum_units_sql
+    # CAST ... AS DOUBLE before the /10000.0: a bare decimal literal makes
+    # the division DECIMAL-typed in both engines (scale-7 Decimals in the
+    # output), and the contract is a DOUBLE column
+    return F.expr(
+        f"CAST(CASE WHEN {s} < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs({s}) + {n_col}) DIV (2 * {n_col})) AS DOUBLE) / 10000.0"
+    )
+
+
 def unigram_logprob(
     corpus: DataFrame,
     text_col: str = "text",
@@ -91,9 +118,7 @@ def unigram_logprob(
         "n_tokens",
         F.when(
             F.col("n_tokens") > 0,
-            F.round(
-                F.col("lp_sum").cast("double") / F.col("n_tokens").cast("double"), 4
-            ),
+            exact_mean_4dp_expr("CAST(lp_sum * 10000 AS BIGINT)", "n_tokens"),
         )
         .otherwise(F.lit(0.0))
         .alias("mean_logprob"),
@@ -284,11 +309,7 @@ def bigram_logprob(
             "n_bigrams",
             F.when(
                 F.col("n_bigrams") > 0,
-                F.round(
-                    F.col("lp_sum").cast("double")
-                    / F.col("n_bigrams").cast("double"),
-                    4,
-                ),
+                exact_mean_4dp_expr("CAST(lp_sum * 10000 AS BIGINT)", "n_bigrams"),
             )
             .otherwise(F.lit(0.0))
             .alias("mean_bigram_logprob"),

@@ -3708,7 +3708,9 @@ def documents_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
            CASE WHEN COALESCE(p.n_tokens, 0) > 0
-                THEN round(CAST(p.lp_sum AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 4)
+                THEN (CASE WHEN CAST(p.lp_sum * 10000 AS BIGINT) < 0 THEN -1 ELSE 1 END
+                      * ((2 * abs(CAST(p.lp_sum * 10000 AS BIGINT)) + p.n_tokens)
+                         // (2 * p.n_tokens))) / 10000.0
                 ELSE 0.0 END AS mean_logprob
     FROM documents d LEFT JOIN per p USING (doc_id)""",
 )
@@ -3983,7 +3985,9 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CASE WHEN COALESCE(p.n_bigrams, 0) > 0
-                THEN round(CAST(p.lp_sum AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE), 4)
+                THEN (CASE WHEN CAST(p.lp_sum * 10000 AS BIGINT) < 0 THEN -1 ELSE 1 END
+                      * ((2 * abs(CAST(p.lp_sum * 10000 AS BIGINT)) + p.n_bigrams)
+                         // (2 * p.n_bigrams))) / 10000.0
                 ELSE 0.0 END AS mean_bigram_logprob
     FROM documents d LEFT JOIN per p USING (doc_id)""",
 )
@@ -6222,8 +6226,17 @@ def _sql_incremental_bloom() -> str:
             f"((w.words[({pos} // 32) + 1] & (1::BIGINT << CAST({pos} % 32 AS INT))) <> 0)"
         )
     hit = " AND ".join(checks)
+    # fp must be the SAME value Spark hashes into the bloom: fingerprint()
+    # is the 60-bit BIGINT md5-prefix, and the bloom positions hash its
+    # DECIMAL string ('j:405898258478784026'), not the 32-hex digest. With
+    # the hex form here, true members still hit (no false negatives either
+    # way) but FALSE POSITIVES land on different keys — invisible at
+    # sf<=0.01 where both sides realize zero FPs, caught by the round-9
+    # sf0.1 full-registry sweep (17 asymmetric candidates).
     return f"""WITH fp AS (
-      SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents),
+      SELECT doc_id,
+             CAST(('0x' || substring(md5({SQL_NORM}), 1, 15)) AS BIGINT) AS fp
+      FROM documents),
     hist AS (
       SELECT fp, MIN(doc_id) AS matched_doc FROM fp
       WHERE doc_id % 4 <> 0 GROUP BY fp),
@@ -7329,7 +7342,10 @@ def orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined AS (
       SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n,
              CASE WHEN h.n IS NOT NULL
-                  THEN round(CAST(h.sv AS DOUBLE) / h.n, 4) END AS avg_value
+                  THEN CAST((CASE WHEN CAST(h.sv * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END
+                             * ((2 * abs(CAST(h.sv * 1000000 AS BIGINT)) + 100 * h.n)
+                                // (200 * h.n))) / 10000.0 AS DOUBLE)
+                  END AS avg_value
       FROM spine s LEFT JOIN hourly h
         ON s.event_type = h.event_type AND s.hr = h.hr)
     SELECT event_type, epoch_ms(hr) AS hour_ms, n,
@@ -7372,14 +7388,20 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = events.select("event_type").distinct()
     spine = F.broadcast(types).crossJoin(F.broadcast(hours))
+    # exact-integer 4-dp mean (lm.exact_mean_4dp_expr discipline): the
+    # DECIMAL(18,6) sum divided by a small n lands on .00005 boundaries,
+    # where Spark's and DuckDB's round-on-double disagree — first seen on
+    # the round-9 sf0.1 full-registry sweep
+    avg4 = F.expr(
+        "CAST(CASE WHEN CAST(sv * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(CAST(sv * 1000000 AS BIGINT)) + 100 * n)"
+        " DIV (200 * n)) AS DOUBLE) / 10000.0"
+    )
     joined = spine.join(hourly, ["event_type", "hr"], "left").select(
         "event_type",
         "hr",
         F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
-        F.when(
-            F.col("n").isNotNull(),
-            F.round(F.col("sv").cast("double") / F.col("n"), 4),
-        ).alias("avg_value"),
+        F.when(F.col("n").isNotNull(), avg4).alias("avg_value"),
     )
     w = (
         Window.partitionBy("event_type")
