@@ -8006,7 +8006,9 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(SUM(sv) AS DOUBLE) / SUM(n) AS mean_all
       FROM base GROUP BY event_type)
     SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, b.n,
-           round(CAST(b.sv AS DOUBLE) / b.n, 4) AS mean_value,
+           CAST((CASE WHEN CAST(b.sv * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END
+                 * ((2 * abs(CAST(b.sv * 1000000 AS BIGINT)) + 100 * b.n)
+                    // (200 * b.n))) / 10000.0 AS DOUBLE) AS mean_value,
            CASE WHEN t.mean_all <> 0 THEN
              round((CAST(b.sv AS DOUBLE) / b.n) / t.mean_all, 4)
            END AS seasonal_index
@@ -8033,11 +8035,20 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("sv").cast("double") / F.sum("n")).alias("mean_all")
     )
     mean_dow = F.col("sv").cast("double") / F.col("n")
+    # mean_value: exact-integer 4-dp mean (the DECIMAL-sum / count class the
+    # round-9 sf0.1 sweep caught in gap_fill — same fix, see
+    # lm.exact_mean_4dp_expr); seasonal_index divides two identical doubles
+    # in both engines, a non-terminating quotient with no boundary exposure
+    mean4 = F.expr(
+        "CAST(CASE WHEN CAST(sv * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(CAST(sv * 1000000 AS BIGINT)) + 100 * n)"
+        " DIV (200 * n)) AS DOUBLE) / 10000.0"
+    )
     return base.join(F.broadcast(tot), "event_type").select(
         "event_type",
         F.col("dow").cast("bigint").alias("dow"),
         "n",
-        F.round(mean_dow, 4).alias("mean_value"),
+        mean4.alias("mean_value"),
         # degenerate guard (round-7 gate): a type whose values sum to zero
         # has mean_all == 0 — its seasonal index is undefined (NULL), not a
         # DIVIDE_BY_ZERO crash under ANSI; the oracle writes the same CASE
