@@ -380,12 +380,17 @@ def cmd_tune(args: argparse.Namespace) -> int:
 
             emb = load_table(spark, args.sf_dir, "embeddings")
             caps = tuple(int(c) for c in args.caps.split(","))
-            sweep = semantic_cap_sweep(emb, caps, n_clusters=args.clusters)
-            for r in sweep.collect():
+            # collect ONCE: choose_semantic_cap accepts the collected rows,
+            # so the inline k-means training + assignment scan runs a single
+            # time for both the printout and the sizing rule (ADVICE r9).
+            sweep_rows = semantic_cap_sweep(
+                emb, caps, n_clusters=args.clusters
+            ).collect()
+            for r in sweep_rows:
                 print(json.dumps(r.asDict()))
             print(json.dumps({
                 "chosen_cap": choose_semantic_cap(
-                    sweep, pairs_per_row_budget=args.pairs_budget
+                    sweep_rows, pairs_per_row_budget=args.pairs_budget
                 ),
                 "pairs_per_row_budget": args.pairs_budget,
             }))

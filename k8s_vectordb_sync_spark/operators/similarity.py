@@ -818,9 +818,14 @@ def choose_semantic_cap(sweep: DataFrame, pairs_per_row_budget: float = 8.0) -> 
     branch handles mass duplication in O(n) regardless.
 
     Driver traffic: one collect of a len(caps)-row frame (the sweep is an
-    n_clusters-row aggregate upstream) — bounded by construction.
+    n_clusters-row aggregate upstream) — bounded by construction. ``sweep``
+    may also be the ALREADY-COLLECTED rows (any iterable of Rows/dicts with
+    cap/rows_kept/overflow_rows/candidate_pairs) so a caller that prints the
+    sweep and then sizes from it pays for the k-means training exactly once
+    (ADVICE r9: the CLI was collecting — and retraining — twice).
     """
-    rows = sorted(sweep.collect(), key=lambda r: r["cap"])
+    raw = sweep.collect() if isinstance(sweep, DataFrame) else list(sweep)
+    rows = sorted(raw, key=lambda r: r["cap"])
     if not rows:
         raise ValueError(
             "empty cap sweep (empty corpus?) — no cluster-size distribution "
@@ -891,14 +896,19 @@ def semantic_dedup_pairs_delta(
     corp = prep(corpus, "c")
     dlt = prep(delta, "d")
     if max_cluster_size is not None:
-        ok = (
+        # Exclude OVERSIZED clusters (anti-join) rather than inner-joining
+        # against kept ones: a delta row assigned to a cluster with zero
+        # corpus members has occupancy 0 <= cap and must be KEPT — an inner
+        # join against corpus-derived kept clusters would silently drop it,
+        # losing delta-delta pairs among unmerged arrivals.
+        oversized = (
             corp.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("__sz"))
-            .filter(F.col("__sz") <= max_cluster_size)
+            .filter(F.col("__sz") > max_cluster_size)
             .select("cluster")
         )
-        corp = corp.join(F.broadcast(ok), "cluster")
-        dlt = dlt.join(F.broadcast(ok), "cluster")
+        corp = corp.join(F.broadcast(oversized), "cluster", "left_anti")
+        dlt = dlt.join(F.broadcast(oversized), "cluster", "left_anti")
     denom = F.col("c_n") * F.col("d_n")
     cos = F.when(denom > 0, dot(F.col("c_v"), F.col("d_v")) / denom).otherwise(
         F.lit(0.0)

@@ -39,6 +39,14 @@ def main() -> None:
 
     spark = build_spark(app_name="bench-streaming-state")
     spark.sparkContext.setLogLevel("ERROR")
+    # Spark retains only numRecentProgressUpdates (default 100) progress
+    # entries; a longer run would silently report peaks over the tail only
+    # (ADVICE r9). Raise the retention far above any plausible batch count
+    # and FAIL LOUDLY below if the run still brushes the cap.
+    PROGRESS_RETENTION = 100_000
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(PROGRESS_RETENTION)
+    )
 
     ckpt = tempfile.mkdtemp(prefix="kvs-state-ckpt-")
     staged = tempfile.mkdtemp(prefix="kvs-state-src-")
@@ -73,6 +81,12 @@ def main() -> None:
         if not finished:
             q.stop()
             raise RuntimeError(f"pipeline did not finish within {budget}s")
+        if len(progress) >= PROGRESS_RETENTION:
+            raise RuntimeError(
+                f"progress history hit the {PROGRESS_RETENTION}-entry retention "
+                "cap — peak metrics would be computed over a truncated window; "
+                "raise PROGRESS_RETENTION"
+            )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)

@@ -121,6 +121,41 @@ def test_semantic_delta_finds_pairs_among_unmerged_arrivals(spark):
     assert {(r["vec_a"], r["vec_b"]) for r in sub} == pairs
 
 
+def test_semantic_delta_capped_keeps_empty_corpus_clusters(spark):
+    """ADVICE r9 (medium): with max_cluster_size set, a delta pair assigned
+    to a cluster with ZERO corpus members (occupancy 0 <= cap) must still be
+    emitted. Explicit centroids pin the assignment: the corpus lives wholly
+    in dims 3/4 (cluster 0), the two near-identical arrivals in dims 1/2
+    (cluster 1, empty on the corpus side). An inner join against kept
+    corpus clusters would drop them; the anti-join against OVERSIZED
+    clusters keeps them."""
+    from k8s_vectordb_sync_spark.operators.similarity import (
+        semantic_dedup_pairs_delta,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 0.0]), (2, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    delta = spark.createDataFrame(
+        [(900, [0.7, 0.7, 0.0, 0.0]), (901, [0.69, 0.71, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = [[0.0, 0.0, 0.5, 0.5], [0.5, 0.5, 0.0, 0.0]]
+    got = semantic_dedup_pairs_delta(
+        corpus, delta, threshold=0.95, centroids=centroids, max_cluster_size=10
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (900, 901) in pairs, "capped path dropped the empty-cluster arrivals"
+    # and the cap still bites: cap=1 makes the corpus cluster (size 2)
+    # oversized -- its members leave the cosine branch -- while the
+    # empty-on-the-corpus-side delta cluster is untouched.
+    capped = semantic_dedup_pairs_delta(
+        corpus, delta, threshold=0.95, centroids=centroids, max_cluster_size=1
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in capped} == {(900, 901)}
+
+
 def test_choose_semantic_cap_on_skewed_fixture(spark, skewed_dir):
     """The sizing rule on the corpus shape the cap exists for: the Zipf
     fixture's embeddings collapse ~30% of rows into one mega-cluster.
