@@ -7889,6 +7889,66 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_semantic_delta_disjoint(
+    threshold: float = _SEMANTIC_THRESHOLD, cap: int = _SEMANTIC_MAX_CLUSTER
+) -> str:
+    """Oracle for cold-start incremental SemDeDup: corpus and delta are
+    DISJOINT halves (even/odd vec_ids), so the cap must be applied as an
+    exclusion of clusters OVERSIZED on the corpus side — a cluster with
+    zero corpus members has occupancy 0 <= cap and keeps its delta rows
+    (the ADVICE r9 contract). Pairs = corpus x delta plus delta x delta,
+    both within kept clusters, canonicalized and UNION-deduplicated."""
+    parts = _sql_ivf_parts(n_clusters=8, iterations=5)[:-3]  # ... through af
+    parts.append("c AS (SELECT * FROM af WHERE vec_id % 2 = 0)")
+    parts.append("d AS (SELECT * FROM af WHERE vec_id % 2 = 1)")
+    parts.append(
+        f"big AS (SELECT cluster FROM c GROUP BY cluster HAVING COUNT(*) > {cap})"
+    )
+    parts.append(
+        "cf AS (SELECT * FROM c WHERE cluster NOT IN (SELECT cluster FROM big))"
+    )
+    parts.append(
+        "df AS (SELECT * FROM d WHERE cluster NOT IN (SELECT cluster FROM big))"
+    )
+    body = ",\n    ".join(parts)
+    cos = SQL_COS.format(a="a.v", b="b.v")
+    return f"""WITH {body}
+    SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b,
+           CAST(a.cluster AS BIGINT) AS cluster, round({cos}, 4) AS cosine
+    FROM cf a JOIN df b ON a.cluster = b.cluster
+    WHERE {cos} >= {threshold}
+    UNION
+    SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b,
+           CAST(a.cluster AS BIGINT) AS cluster, round({cos}, 4) AS cosine
+    FROM df a JOIN df b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}"""
+
+
+@register("dedup_semantic_delta_coldstart", _sql_semantic_delta_disjoint())
+def dedup_semantic_delta_coldstart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start incremental semantic dedup (round 10): the delta is
+    DISJOINT from the corpus — the first ingest day against a warehouse
+    that has never seen these rows (even ids = corpus, odd ids = arrivals).
+    Exercises both branches of semantic_dedup_pairs_delta end-to-end:
+    corpus-vs-delta pairs AND duplicates among the arrivals themselves,
+    under the mega-cluster cap applied as an anti-join against clusters
+    oversized ON THE CORPUS SIDE — so arrivals landing in a cluster the
+    corpus has never populated (occupancy 0 <= cap) are kept, the ADVICE r9
+    contract (operators/similarity.py::semantic_dedup_pairs_delta).
+    dedup_semantic_incremental covers the steady-state posture (delta
+    already merged); this covers day zero."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs_delta(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=_SEMANTIC_THRESHOLD,
+        max_cluster_size=_SEMANTIC_MAX_CLUSTER,
+        centroids=_kmeans_centroids_cached(spark, sf_dir),
+    )
+
+
 @register("embeddings_cluster_sizes_indexed", _sql_cluster_sizes())
 def embeddings_cluster_sizes_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balance audit probing the persisted centroids: assignment +
