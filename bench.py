@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "events_ab_test",
     "events_daily_trend_ols",
     "dedup_semantic_indexed_capped",
+    "dedup_semantic_delta_coldstart",
     "embeddings_cluster_sizes_indexed",
     "embeddings_kmeans_inertia_indexed",
     "events_rolling_7d",

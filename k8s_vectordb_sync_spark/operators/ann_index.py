@@ -54,6 +54,7 @@ from .similarity import (
     PQ_K,
     PQ_M,
     _probe_dim,
+    arr_lit as sim_arr_lit,
     assign_clusters,
     kmeans_centroids,
     nearest_centroid_expr,
@@ -530,9 +531,7 @@ def ivf_pq_probe(
     # the decode half of asymmetric distance, zero joins, all codegen
     pieces = []
     for s in range(m):
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in cent]) for cent in books[s]]
-        )
+        book_lit = sim_arr_lit(books[s])
         pieces.append(F.element_at(book_lit, F.col(f"code{s}").cast("int") + 1))
     recon = codes.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -104,6 +104,44 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _sql_double_lit(v: float) -> str:
+    """Render one double as a Spark SQL literal that parses back to the
+    bit-identical IEEE value: Python's repr is shortest-round-trip, and a
+    SQL literal with an exponent is typed DOUBLE (plain decimals would be
+    DECIMAL), so append E0 when repr carries no exponent. NaN/Inf have no
+    literal form — cast from string, which Spark routes through
+    Double.parseDouble."""
+    v = float(v)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'Infinity' if v > 0 else '-Infinity'}' AS DOUBLE)"
+    s = repr(v)
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
+def arr_lit(values):
+    """A (possibly nested) float-array literal built as ONE SQL-string
+    F.expr instead of the elementwise F.array(*[F.lit(v) ...]) tree.
+    Values and schema are identical (same doubles via round-trip repr,
+    array<double> / array<array<double>>, asserted equal incl. NaN in
+    tests), but the build cost collapses: the elementwise form crosses
+    py4j once per element (~280-360 ms for an 8x64 centroid set), the
+    string form once per ARRAY (~3 ms) — the difference dominates the
+    iterative trainers (kmeans / PQ / power iteration), which rebuild
+    their literals every iteration."""
+    if not values:
+        raise ValueError("arr_lit needs a non-empty value list")
+    if isinstance(values[0], (list, tuple)):
+        body = ",".join(
+            "array(" + ",".join(_sql_double_lit(v) for v in row) + ")"
+            for row in values
+        )
+    else:
+        body = ",".join(_sql_double_lit(v) for v in values)
+    return F.expr(f"array({body})")
+
+
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     """Read one row's vector length — a LIMIT-1 job, cheap at any scale.
     Returns None for an EMPTY frame (a legitimate state: a filtered-out
@@ -167,7 +205,7 @@ def hyperplane_bucket(vec_col, planes: list[list[float]] | None = None):
     planes = planes if planes is not None else HYPERPLANES
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
+        plane_col = arr_lit(plane)
         bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane_col) > 0,
                      F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
@@ -319,32 +357,35 @@ def kmeans_centroids(
         # through unchanged plans — the oracle's empty-CTE behavior.
         return []
     centroids = [list(map(float, r[vec_col])) for r in seed_rows]
+    dim = len(centroids[0])
+    # Per-dimension means as ONE groupBy(cluster) aggregate with an
+    # array-of-round(avg(element_at)) expression: a single exchange whose
+    # payload is k x dim (sum, count) partials with map-side combine — the
+    # posexplode -> groupBy(cluster, idx) -> regroup(cluster) formulation
+    # this replaces paid a 64x row fan-out and a SECOND shuffle just to
+    # reassemble vectors. The expression is built as one parsed SQL string:
+    # the column-API form costs ~2 py4j round trips per dimension PER
+    # ITERATION (see arr_lit). round to 6 dp: FP addition is
+    # order-sensitive, so an unrounded mean could differ in the last ulp
+    # between engines (and between Spark plans / shuffle merge orders) and
+    # flip a near-tie assignment in the next iteration. Rounding pins both
+    # engines to the same centroid unless the true mean sits within float
+    # error of a rounding boundary — measure-zero in practice.
+    mean_expr = F.expr(
+        "array("
+        + ",".join(
+            f"round(avg(element_at(__v,{i + 1})),6)" for i in range(dim)
+        )
+        + ")"
+    ).alias("c")
     for _ in range(iterations):
         assigned = assign_clusters(work, centroids, vec_col)
-        # Per-dimension mean via posexplode -> groupBy(cluster, idx) -> avg:
-        # one aggregate regardless of dim (a per-dimension F.sum column list
-        # would be a 1000-column aggregate at dim 1024). collect_list order is
-        # non-deterministic, so the vector is reassembled by array_sort over
-        # (idx, mean) structs — struct ordering sorts on idx first.
         means = (
             assigned.select(
-                "cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "val")
+                "cluster", F.col(vec_col).cast("array<double>").alias("__v")
             )
-            .groupBy("cluster", "idx")
-            # round to 6 dp: FP addition is order-sensitive, so an unrounded
-            # mean could differ in the last ulp between engines (and between
-            # Spark plans) and flip a near-tie assignment in the next
-            # iteration. Rounding pins both engines to the same centroid
-            # unless the true mean sits within float error of a rounding
-            # boundary — measure-zero in practice.
-            .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
-                    lambda s: s["m"],
-                ).alias("c")
-            )
+            .agg(mean_expr)
             .collect()
         )
         # clusters that lost all members keep their previous centroid
@@ -368,9 +409,7 @@ def nearest_centroid_expr(vec, centroids: list[list[float]]):
     double evaluation)."""
     if not centroids:
         return F.lit(0)
-    cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in cvec]) for cvec in centroids]
-    )
+    cents = arr_lit(centroids)
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -1069,22 +1108,22 @@ def pq_codebooks(
                 if assign is None
                 else assign.when(F.col("s") == s, branch)
             )
+        # ONE groupBy(s, cluster) aggregate with an array-of-avg expression
+        # (same single-exchange shape as kmeans_centroids): payload is
+        # m x k x sub (sum, count) partials with map-side combine, replacing
+        # the posexplode sub-vector fan-out + second reassembly shuffle.
         means = (
             exploded.withColumn("cluster", assign)
-            .select(
-                "s",
-                "cluster",
-                F.posexplode(F.col("subv").cast("array<double>")).alias(
-                    "idx", "val"
-                ),
-            )
-            .groupBy("s", "cluster", "idx")
-            .agg(F.round(F.avg("val"), 6).alias("mn"))
+            .select("s", "cluster", F.col("subv").cast("array<double>").alias("__v"))
             .groupBy("s", "cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "mn"))),
-                    lambda st: st["mn"],
+                F.expr(
+                    "array("
+                    + ",".join(
+                        f"round(avg(element_at(__v,{i + 1})),6)"
+                        for i in range(sub)
+                    )
+                    + ")"
                 ).alias("c")
             )
             .collect()
@@ -1104,9 +1143,7 @@ def pq_reconstruct_expr(vec, codebooks: list[list[list[float]]], sub: int):
     pieces = []
     for s, book in enumerate(codebooks):
         code = nearest_centroid_expr(F.slice(vec, s * sub + 1, sub), book)
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in cent]) for cent in book]
-        )
+        book_lit = arr_lit(book)
         pieces.append(F.element_at(book_lit, code + 1))
     return F.concat(*pieces)
 
@@ -1728,54 +1765,55 @@ def power_iteration_top_component(
 
     x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
     base = embeddings.select(x.alias("x"))
-    # one job answers both "is it empty" and the per-dim means
+    # one job answers both "is it empty" and the per-dim means. The wide
+    # per-dim expressions are built as ONE SQL string each: the column-API
+    # form costs ~2 py4j round trips per dimension per build (~0.4 s/job at
+    # dim 64), the parsed form one call total — identical expression trees,
+    # identical results (see arr_lit).
     mu_row = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.round(F.avg(F.element_at("x", i + 1)), 6).alias(f"m{i}")
-            for i in range(dim)
-        ],
+        F.expr("count(1)").alias("n"),
+        F.expr(
+            "array("
+            + ",".join(f"round(avg(element_at(x,{i + 1})),6)" for i in range(dim))
+            + ")"
+        ).alias("ms"),
     ).collect()[0]
     if mu_row["n"] == 0:
         return embeddings.sparkSession.createDataFrame(
             [], "dim bigint, loading double, explained_ratio double"
         )
-    mu = [mu_row[f"m{i}"] for i in range(dim)]
-    mu_lit = F.array(*[F.lit(m) for m in mu])
+    mu = list(mu_row["ms"])
+    mu_lit = arr_lit(mu)
     xc = base.select(
         F.zip_with("x", mu_lit, lambda a, b: a - b).alias("x")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     v = [round(1.0 / 8.0, 6)] * dim  # 0.125 exactly representable
     for _ in range(iterations):
-        vlit = F.array(*[F.lit(c) for c in v])
+        vlit = arr_lit(v)
         s = F.aggregate(
             F.zip_with("x", vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, e: acc + e
         )
         w_agg = xc.select(s.alias("s"), "x").agg(
-            *[
-                F.round(F.sum(F.col("s") * F.element_at("x", i + 1)), 6).alias(f"w{i}")
-                for i in range(dim)
-            ]
+            F.expr(
+                "array("
+                + ",".join(
+                    f"round(sum(s * element_at(x,{i + 1})),6)" for i in range(dim)
+                )
+                + ")"
+            ).alias("w")
         )
         # normalization stays Spark-side so rounding semantics (HALF_UP)
-        # match the oracle exactly; the driver only transports literals
-        nrm = F.sqrt(
-            F.aggregate(
-                F.array(*[F.col(f"w{i}") for i in range(dim)]),
-                F.lit(0.0),
-                lambda acc, e: acc + e * e,
-            )
-        )
-        v_row = w_agg.select(
-            *[
-                F.when(nrm > 0, F.round(F.col(f"w{i}") / nrm, 6))
-                .otherwise(F.lit(0.0))
-                .alias(f"v{i}")
-                for i in range(dim)
-            ]
+        # match the oracle exactly; the driver only transports literals.
+        # Same arithmetic as the historical per-column form: nrm =
+        # sqrt(sum w_i^2) folded in element order, v_i = round(w_i/nrm, 6),
+        # all-zero (or NaN-normed) components -> 0.0.
+        v_row = w_agg.selectExpr(
+            "sqrt(aggregate(w, 0.0D, (acc, e) -> acc + e * e)) AS nrm", "w"
+        ).selectExpr(
+            "transform(w, e -> IF(nrm > 0, round(e / nrm, 6), 0.0D)) AS v"
         ).collect()[0]
-        v = [v_row[f"v{i}"] for i in range(dim)]
-    vlit = F.array(*[F.lit(c) for c in v])
+        v = list(v_row["v"])
+    vlit = arr_lit(v)
     s = F.aggregate(
         F.zip_with("x", vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, e: acc + e
     )
