@@ -75,11 +75,8 @@ def project(a: Column, planes: list[list[float]]) -> Column:
     sequential left-to-right fold (matching DuckDB's list_dot_product), and
     components round to 6 places so both engines emit identical doubles.
     """
+    from ..operators.similarity import arr_lit
+
     return F.array(
-        *[
-            F.round(
-                dot(a, F.array(*[F.lit(float(c)) for c in plane])), 6
-            )
-            for plane in planes
-        ]
+        *[F.round(dot(a, arr_lit(plane)), 6) for plane in planes]
     )

@@ -6851,9 +6851,7 @@ def _kmeans_inertia_body(emb: DataFrame, centroids: list) -> DataFrame:
         return emb.sparkSession.createDataFrame(
             [], "cluster bigint, n_vectors bigint, sse double, mean_d2 double"
         )
-    cent_mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cent_mat = sim.arr_lit(centroids)
     assigned = sim.assign_clusters(emb, centroids)
     cvec = F.element_at(cent_mat, F.col("cluster").cast("int") + 1)
     d2 = F.aggregate(
