@@ -105,6 +105,39 @@ def _shuffled_dim_scans(plan: str) -> list[str]:
     return bad
 
 
+_SCAN_RE = re.compile(
+    r"FileScan parquet \[([^\]]*)\].*?Location: \w+\(\d+ paths?\)\[([^\],]*)"
+)
+
+
+def _scan_footprints(plan: str) -> list[str]:
+    """Every FileScan's (table, pruned column set) as sorted
+    'table[col1,col2,...]' strings — the scan footprint the ReadSchema /
+    column-pruning audit checks by hand ('a scan that reads all columns for
+    a 2-column projection is wrong'). Table names come from the scan path
+    with hash-named cache components (persisted-index dirs keyed on corpus
+    identity) normalized away, so the snapshot survives testdata and index
+    regeneration; expression IDs (#123L) are stripped from columns."""
+    out = []
+    for line in plan.splitlines():
+        m = _SCAN_RE.search(line)
+        if not m:
+            continue
+        cols = sorted(
+            re.sub(r"#\d+[A-Z]?", "", c.strip())
+            for c in m.group(1).split(",")
+            if c.strip()
+        )
+        parts = [
+            p
+            for p in m.group(2).replace("file:", "").split("/")
+            if p and not re.fullmatch(r"[0-9a-f]{12,}(-[a-z0-9]+)?", p)
+        ]
+        table = (parts[-1] if parts else "unknown").removesuffix(".parquet")
+        out.append(f"{table}[{','.join(cols)}]")
+    return sorted(out)
+
+
 def _shuffle_exchanges(plan: str) -> int:
     """Count shuffle Exchange nodes (BroadcastExchange excluded — broadcasts
     are the cheap strategy the other gate pushes toward; ReusedExchange
@@ -120,6 +153,13 @@ try:
         EXCHANGE_BUDGET = json.load(_fh)
 except FileNotFoundError:  # pre-baseline checkout: every query fails loudly
     EXCHANGE_BUDGET = {}
+
+_FOOTPRINT_PATH = os.path.join(os.path.dirname(__file__), "plan_scan_footprint.json")
+try:
+    with open(_FOOTPRINT_PATH) as _fh:
+        SCAN_FOOTPRINT = json.load(_fh)
+except FileNotFoundError:
+    SCAN_FOOTPRINT = {}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -160,6 +200,23 @@ def test_plan_is_scale_shaped(spark, sf_dir, name):
         f"{name}: {n_ex} shuffle exchanges vs budget {budget} — the plan "
         "IMPROVED; lock in the win by re-baselining with "
         "scripts/update_plan_budget.py so it can't silently regress"
+    )
+    # Gate 6 (round 10): frozen scan column footprint. Column pruning is
+    # what keeps a 100 TB scan reading MB instead of TB; a refactor that
+    # widens any scan's pruned column set (or scans a new table) must
+    # re-baseline and justify it. Two-sided like the exchange budget: a
+    # NARROWED footprint is a win to lock in.
+    feet = _scan_footprints(plan)
+    baseline = SCAN_FOOTPRINT.get(name)
+    assert baseline is not None, (
+        f"{name}: no scan-footprint baseline recorded — run "
+        "scripts/update_plan_budget.py and review the new query's scans"
+    )
+    assert feet == baseline, (
+        f"{name}: scan footprint changed.\n  now:      {feet}\n"
+        f"  baseline: {baseline}\n— a scan reads different columns (or a "
+        "different table set); if intentional, re-baseline with "
+        "scripts/update_plan_budget.py and justify in the commit"
     )
     n_unpart = _unpartitioned_windows(plan)
     if name in UNPARTITIONED_WINDOW_WHITELIST:
