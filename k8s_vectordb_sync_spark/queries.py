@@ -502,10 +502,10 @@ _DF = "CAST({x} AS DECIMAL(4,2))"   # discount/tax factors (< 100)
 @register(
     "tpch_q1_pricing_summary",
     f"""SELECT l_returnflag, l_linestatus,
-        CAST(SUM({_DP.format(x='l_quantity')}) AS DOUBLE) AS sum_qty,
-        CAST(SUM({_DP.format(x='l_extendedprice')}) AS DOUBLE) AS sum_base_price,
-        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')} * {_DF.format(x='1 + l_tax')}) AS DOUBLE) AS sum_charge,
+        CAST(CAST(SUM({_DP.format(x='l_quantity')}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')} * {_DF.format(x='1 + l_tax')}) AS VARCHAR) AS DOUBLE) AS sum_charge,
         CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -543,7 +543,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q3_shipping_priority",
     f"""SELECT l_orderkey,
-        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue,
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue,
         epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -592,7 +592,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_local_supplier",
     f"""SELECT n_name,
-        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -645,7 +645,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q6_revenue_forecast",
-    f"""SELECT CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='l_discount')}) AS DOUBLE) AS revenue,
+    f"""SELECT CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue,
         CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -678,7 +678,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q10_returned_items",
     f"""SELECT c_custkey, c_name, n_name,
-        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -723,7 +723,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_windowed_agg",
     """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2""",
 )
 def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1433,10 +1433,10 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     f"""SELECT
-      CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      CAST(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
             THEN {_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}
-            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-         / CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE)
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE)
       AS DOUBLE) AS promo_revenue_pct,
       CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1503,7 +1503,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q18_large_orders",
     f"""WITH totals AS (
-      SELECT l_orderkey, CAST(SUM({_DP.format(x='l_quantity')}) AS DOUBLE) AS total_qty
+      SELECT l_orderkey, CAST(CAST(SUM({_DP.format(x='l_quantity')}) AS VARCHAR) AS DOUBLE) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM({_DP.format(x='l_quantity')}) > CAST(300 AS DECIMAL(12,2)))
     SELECT c_custkey, c_name, o_orderkey, total_qty
@@ -1698,7 +1698,7 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_volume_shipping",
     f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
@@ -1754,8 +1754,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_profit",
     f"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}
-                 - {_DP.format(x='p_retailprice')} * {_DF.format(x='0.8')} * {_DP.format(x='l_quantity')}) AS DOUBLE) AS profit
+        CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}
+                 - {_DP.format(x='p_retailprice')} * {_DF.format(x='0.8')} * {_DP.format(x='l_quantity')}) AS VARCHAR) AS DOUBLE) AS profit
     FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -1822,7 +1822,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q19_disjunctive",
-    f"""SELECT CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE) AS revenue,
+    f"""SELECT CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue,
         CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1955,7 +1955,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c_acctbal > ab)
     SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM eligible e
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
     GROUP BY c_nationkey""",
@@ -2107,10 +2107,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q8_market_share",
     f"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+      CAST(CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
                     THEN {_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}
-                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-         / CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS DOUBLE)
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM({_DP.format(x='l_extendedprice')} * {_DF.format(x='1 - l_discount')}) AS VARCHAR) AS DOUBLE)
          AS DOUBLE) AS mkt_share
     FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -2237,7 +2237,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
     FROM rev JOIN supplier ON l_suppkey = s_suppkey
     QUALIFY total_rev = MAX(total_rev) OVER ()""",
 )
@@ -2308,9 +2308,9 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q17_small_qty_revenue",
     f"""WITH th AS (
       SELECT l_partkey AS pk,
-             0.2 * (CAST(SUM({_DP.format(x='l_quantity')}) AS DOUBLE) / COUNT(*)) AS threshold
+             0.2 * (CAST(CAST(SUM({_DP.format(x='l_quantity')}) AS VARCHAR) AS DOUBLE) / COUNT(*)) AS threshold
       FROM lineitem GROUP BY l_partkey)
-    SELECT CAST(CAST(SUM({_DP.format(x='l_extendedprice')}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    SELECT CAST(CAST(CAST(SUM({_DP.format(x='l_extendedprice')}) AS VARCHAR) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
     FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN th ON l_partkey = pk
@@ -3296,7 +3296,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(hr, -1) AS BIGINT) AS hr,
            CAST(2 * GROUPING(event_type) + GROUPING(hr) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM ev GROUP BY CUBE (event_type, hr)""",
 )
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6600,7 +6600,7 @@ _ROLLUP_CUTOFF = "1997-01-01"
     "lineitem_rollup_incremental",
     f"""SELECT l_returnflag, CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
            CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem GROUP BY 1, 2""",
 )
@@ -7178,7 +7178,7 @@ def documents_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cust CROSS JOIN b)
     SELECT quintile,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue,
            round(CAST(SUM(rev) AS DOUBLE)
                  / (SELECT CAST(SUM(rev) AS DOUBLE) FROM cust), 4) AS share
     FROM q GROUP BY quintile""",
@@ -8450,8 +8450,8 @@ def documents_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_priority_revenue_salted",
     """SELECT o.o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority""",
 )

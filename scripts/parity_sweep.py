@@ -53,7 +53,10 @@ def main() -> int:
     spark = build_spark(app_name="parity-sweep")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):  # Spark-written directory table (bench_data/sf1+)
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     # multimodal_segments parity rests on the corpus being pure ASCII (the
     # oracle slices VARCHAR char-addressed, Spark slices BINARY bytes; this
