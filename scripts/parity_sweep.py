@@ -52,6 +52,14 @@ def main() -> int:
 
     spark = build_spark(app_name="parity-sweep")
     con = duckdb.connect()
+    # Co-residence discipline: DuckDB's default memory_limit is 80% of RAM,
+    # sized as if it owned the machine — next to the Spark JVM a big oracle
+    # (the sf1 semantic CTE chains) dies on malloc instead of spilling,
+    # because an in-memory connection has no temp_directory to spill to.
+    # Cap the budget and give it a spill dir so oracle size costs time,
+    # never a false ERROR in the parity log.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb-parity-spill'")
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(src):  # Spark-written directory table (bench_data/sf1+)
