@@ -203,6 +203,18 @@ _SUBSET = [q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
 if _SUBSET:
     BENCH_QUERIES = [q for q in _SUBSET if q != "streaming_sync"]
 
+# Structural guard: diagnostic-only registry entries (quadratic reference
+# forms kept for oracle-parity recall checks) never enter a timing set —
+# even via the env-var subset path.
+from k8s_vectordb_sync_spark.queries import DIAGNOSTIC_QUERIES  # noqa: E402
+
+_diag_hits = sorted(set(BENCH_QUERIES) & DIAGNOSTIC_QUERIES)
+if _diag_hits:
+    raise SystemExit(
+        f"refusing to bench diagnostic-only queries: {_diag_hits} "
+        "(see queries.DIAGNOSTIC_QUERIES)"
+    )
+
 
 def time_streaming_sync(spark) -> float:
     """Full streaming pipeline end-to-end over the sf events (availableNow)."""

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.exact import exact_ratio
 
 DEFAULT_NGRAM_K = 5
 
@@ -70,7 +71,7 @@ def ngram_contamination(
             # which is NULL in Spark but NaN in DuckDB (IEEE division)
             F.when(
                 F.col("n_grams") > 0,
-                F.round(F.col("n_hits") / F.col("n_grams"), 4),
+                exact_ratio("n_hits", "n_grams", 4),
             )
             .otherwise(F.lit(0.0))
             .alias("contamination"),

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.exact import exact_ratio
 
 
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -241,7 +242,7 @@ def oov_rate(
         "n_oov",
         F.when(
             F.col("n_tokens") > 0,
-            F.round(F.col("n_oov") / F.col("n_tokens"), 4),
+            exact_ratio("n_oov", "n_tokens", 4),
         )
         .otherwise(F.lit(0.0))
         .alias("oov_rate"),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from typing import Iterable, Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -839,7 +840,9 @@ def semantic_cap_sweep(
     return reduce(DataFrame.unionByName, per)
 
 
-def choose_semantic_cap(sweep: DataFrame, pairs_per_row_budget: float = 8.0) -> int:
+def choose_semantic_cap(
+    sweep: DataFrame | Iterable[Mapping], pairs_per_row_budget: float = 8.0
+) -> int:
     """Pick ``max_cluster_size`` from the cap-calibration sweep's readout
     (queries.dedup_semantic_cap_sweep / the analytic sizes-only sweep over a
     cluster assignment) — the documented sizing rule VERDICT r8 item 7 asks
@@ -1721,10 +1724,13 @@ def ivf_nprobe_sweep(
         per_config.append(
             hits.groupBy(F.lit(p).cast("bigint").alias("nprobe")).agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-                F.round(
-                    F.sum("hits").cast("double")
-                    / (F.count(F.lit(1)) * F.lit(k)),
-                    4,
+                # exact-integer rounding (queries.exact_ratio discipline):
+                # sum(hits) and n_queries*k are both exact BIGINTs, and the
+                # quotient lands on 5e-5 boundaries where round-on-double
+                # diverges cross-engine
+                F.expr(
+                    "CAST((2 * sum(hits) * 10000 + count(1) * "
+                    f"{k}) DIV (2 * count(1) * {k}) AS DOUBLE) / 10000.0"
                 ).alias("mean_recall"),
             ).withColumn(
                 "scan_frac", F.lit(round(p / n_clusters, 4))
@@ -1783,6 +1789,17 @@ def power_iteration_top_component(
             [], "dim bigint, loading double, explained_ratio double"
         )
     mu = list(mu_row["ms"])
+    # avg() over an all-NULL dimension returns NULL even with n>0; the old
+    # per-element F.lit(None) path silently propagated NULL through every
+    # downstream product, arr_lit would raise a bare TypeError. Fail with a
+    # diagnosis instead — an all-NULL embedding dimension is a data bug.
+    null_dims = [i for i, m in enumerate(mu) if m is None]
+    if null_dims:
+        raise ValueError(
+            "power_iteration_top_component: embedding dimensions "
+            f"{null_dims[:8]} are NULL in every row (avg returned NULL); "
+            "clean or impute the vector column before PCA"
+        )
     mu_lit = arr_lit(mu)
     xc = base.select(
         F.zip_with("x", mu_lit, lambda a, b: a - b).alias("x")

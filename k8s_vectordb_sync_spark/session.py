@@ -52,6 +52,12 @@ def build_spark(
         # cost a full shuffle of the payload to fix the same problem.
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # The plan-lint scan-footprint gate parses FileScan column lists out
+        # of explain() strings; Spark truncates those at maxToStringFields
+        # (default 25) with "... N more fields", which would freeze a
+        # truncated footprint. Pin high so the generator and the test
+        # session always see full column lists.
+        .config("spark.sql.debug.maxToStringFields", "1000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -57,8 +57,17 @@ def main() -> int:
     # (the sf1 semantic CTE chains) dies on malloc instead of spilling,
     # because an in-memory connection has no temp_directory to spill to.
     # Cap the budget and give it a spill dir so oracle size costs time,
-    # never a false ERROR in the parity log.
-    con.execute("SET memory_limit='24GB'")
+    # never a false ERROR in the parity log. The cap scales down on small
+    # hosts (40% of physical RAM) so Spark JVM + DuckDB never overcommit;
+    # PARITY_DUCKDB_MEM overrides for manual tuning.
+    mem_cap = os.environ.get("PARITY_DUCKDB_MEM")
+    if not mem_cap:
+        try:
+            page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            mem_cap = f"{max(1, min(24, int(page * 0.4 / 2**30)))}GB"
+        except (ValueError, OSError):
+            mem_cap = "24GB"
+    con.execute(f"SET memory_limit='{mem_cap}'")
     con.execute("SET temp_directory='/tmp/duckdb-parity-spill'")
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"

@@ -123,6 +123,15 @@ def _scan_footprints(plan: str) -> list[str]:
         m = _SCAN_RE.search(line)
         if not m:
             continue
+        # build_spark pins spark.sql.debug.maxToStringFields high; if a
+        # session without that pin (or a scan wider than the pin) produced
+        # this plan, the column list is truncated and freezing it would
+        # silently hide columns added beyond the cutoff. Fail loudly.
+        if "more fields" in m.group(1):
+            raise AssertionError(
+                "truncated FileScan column list (maxToStringFields too low "
+                f"for this scan): {line.strip()[:200]}"
+            )
         cols = sorted(
             re.sub(r"#\d+[A-Z]?", "", c.strip())
             for c in m.group(1).split(",")
