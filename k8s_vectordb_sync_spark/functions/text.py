@@ -81,6 +81,69 @@ def quality_score(text: Column) -> Column:
     return (length_component + punct_component + stop_component) / F.lit(3.0)
 
 
+# --- exact-integer 4-dp emissions of the quality family -------------------
+# The composite quality score and its component ratios are rationals over
+# integer counts, so their ROUNDED forms ride the functions/exact.py
+# integer half-away-from-zero discipline instead of round-on-double (which
+# diverges cross-engine on 5e-5 boundaries). The unrounded Column forms
+# above stay for comparisons/filters, where both engines compute the
+# identical IEEE double. NULL text scores like empty text (counts coalesce
+# to 0), mirrored in the oracle fragments.
+
+QUALITY_COUNT_NAMES = ("q_nchars", "q_nt", "q_ns", "q_dp", "q_np", "q_chars")
+
+
+def quality_count_cols(text: Column) -> list[Column]:
+    """The integer counts behind the quality family, null-safe, as aliased
+    columns: raw char count, token count, stopword count, non-space char
+    count, punctuation char count, summed token length."""
+    toks = tokens(text)
+    nospace = F.regexp_replace(text, "\\s+", "")
+    return [
+        F.coalesce(F.length(text), F.lit(0)).cast("bigint").alias("q_nchars"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("q_nt"),
+        F.coalesce(
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))), F.lit(0)
+        ).cast("bigint").alias("q_ns"),
+        F.coalesce(F.length(nospace), F.lit(0)).cast("bigint").alias("q_dp"),
+        F.coalesce(
+            F.length(F.regexp_replace(nospace, "[a-zA-Z0-9]", "")), F.lit(0)
+        ).cast("bigint").alias("q_np"),
+        F.coalesce(
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x),
+            F.lit(0),
+        ).cast("bigint").alias("q_chars"),
+    ]
+
+
+def quality_4dp_from_counts() -> Column:
+    """round(quality_score, 4) over the quality_count_cols columns, exact:
+    quality = (min(L,500)/500 + (1 - min(4*np, dp)/dp) + min(5*ns, nt)/nt)/3
+    = num / (1500 * dp' * nt') with dp'/nt' floored at 1 (the floored
+    branch only fires when the corresponding numerator count is 0, so the
+    component value is unchanged)."""
+    from .exact import exact_ratio
+
+    num = (
+        "(least(q_nchars, 500) * greatest(q_dp, 1) * greatest(q_nt, 1)"
+        " + (greatest(q_dp, 1) - least(4 * q_np, greatest(q_dp, 1)))"
+        " * 500 * greatest(q_nt, 1)"
+        " + least(5 * q_ns, greatest(q_nt, 1)) * 500 * greatest(q_dp, 1))"
+    )
+    den = "(1500 * greatest(q_dp, 1) * greatest(q_nt, 1))"
+    return exact_ratio(num, den, 4)
+
+
+def with_quality_4dp(df, text_col: str = "text", out_col: str = "quality"):
+    """Append the exact-integer rounded composite quality column; the
+    intermediate count columns are dropped. One projection, no shuffle."""
+    return (
+        df.select("*", *quality_count_cols(F.col(text_col)))
+        .withColumn(out_col, quality_4dp_from_counts())
+        .drop(*QUALITY_COUNT_NAMES)
+    )
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Marker-hit count per language over the token set."""
     toks = tokens(text)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import md5_prefix_long
+from ..functions.exact import exact_ratio
 
 # per-ten-thousand rate grain: rates are exact multiples of 0.01%
 GRAIN = 10_000
@@ -150,7 +151,16 @@ def mixture_weights(
         "stratum",
         "n_docs",
         "n_tokens",
-        F.round(weight, 6).alias("weight"),
+        # the decimals are exact 1e-6-unit integers, so the rounded weight
+        # rides the exact-integer discipline (functions/exact.py); epochs
+        # keeps the double form, documented: its exact numerator
+        # budget * scaled_units * 10^6 (~1e21) overflows int64
+        F.when(
+            F.col("total_scaled") > 0,
+            exact_ratio("scaled * 1000000", "total_scaled * 1000000", 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
         F.when(
             F.col("n_tokens") > 0,
             F.round(

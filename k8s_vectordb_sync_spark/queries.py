@@ -838,6 +838,27 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
+# quality-family integer counts (DuckDB side), mirroring
+# functions.text.quality_count_cols — null-safe (NULL text scores like
+# empty text), so the rounded quality emissions ride the exact-integer
+# discipline in functions/exact.py instead of round-on-double
+_SQL_QCOUNTS = f"""COALESCE(length(text), 0) AS q_nchars,
+             COALESCE(len({SQL_TOKS}), 0) AS q_nt,
+             COALESCE(len(list_filter({SQL_TOKS}, t -> t IN ({_SQL_STOPS}))), 0) AS q_ns,
+             COALESCE(length(regexp_replace(text, '\\s+', '', 'g')), 0) AS q_dp,
+             COALESCE(length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[a-zA-Z0-9]', '', 'g')), 0) AS q_np,
+             COALESCE(list_sum(list_transform({SQL_TOKS}, t -> length(t))), 0) AS q_chars"""
+
+_SQL_QUALITY_NUM = (
+    "(least(q_nchars, 500) * greatest(q_dp, 1) * greatest(q_nt, 1)"
+    " + (greatest(q_dp, 1) - least(4 * q_np, greatest(q_dp, 1)))"
+    " * 500 * greatest(q_nt, 1)"
+    " + least(5 * q_ns, greatest(q_nt, 1)) * 500 * greatest(q_dp, 1))"
+)
+_SQL_QUALITY_DEN = "(1500 * greatest(q_dp, 1) * greatest(q_nt, 1))"
+# round(quality, 4) as one exact-integer expression over the q_* counts
+SQL_QUALITY_4DP = sql_exact_ratio(_SQL_QUALITY_NUM, _SQL_QUALITY_DEN, 4)
+
 # per-language marker IN-lists for oracle SQL, generated from the single
 # source of truth in functions.text (hand-copied literals desync silently)
 _SQL_MARK = {
@@ -848,40 +869,38 @@ _SQL_MARK = {
 
 @register(
     "text_quality",
-    f"""WITH base AS (
-      SELECT doc_id, text, {SQL_TOKS} AS toks,
-             regexp_replace(text, '\\s+', '', 'g') AS nospace
-      FROM documents),
-    m AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) > 0
-             THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
-             ELSE 0.0 END AS stop_ratio,
-        CASE WHEN length(nospace) > 0
-             THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
-             ELSE 0.0 END AS punct_ratio,
-        CASE WHEN len(toks) > 0
-             THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-             ELSE 0.0 END AS mean_word_len,
-        length(text) AS n_chars_text
-      FROM base)
-    SELECT doc_id, round(stop_ratio, 4) AS stop_ratio, round(punct_ratio, 4) AS punct_ratio,
-           round(mean_word_len, 4) AS mean_word_len,
-           round((least(n_chars_text / 500.0, 1.0)
-                  + (1.0 - least(punct_ratio * 4.0, 1.0))
-                  + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
+    f"""WITH m AS (
+      SELECT doc_id, {_SQL_QCOUNTS}
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN q_nt > 0 THEN {sql_exact_ratio("q_ns", "q_nt", 4)}
+                ELSE 0.0 END AS stop_ratio,
+           CASE WHEN q_dp > 0 THEN {sql_exact_ratio("q_np", "q_dp", 4)}
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN q_nt > 0 THEN {sql_exact_ratio("q_chars", "q_nt", 4)}
+                ELSE 0.0 END AS mean_word_len,
+           {SQL_QUALITY_4DP} AS quality
     FROM m""",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword/punctuation ratios, mean word length, and the
-    composite quality score — all codegen'd column expressions."""
+    """Quality scoring: stopword/punctuation ratios, mean word length, and
+    the composite quality score — all codegen'd column expressions, with
+    every rounded emission on the exact-integer discipline
+    (functions/exact.py) over the shared quality counts."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    m = docs.select("doc_id", *T.quality_count_cols(F.col("text")))
+    return m.select(
         "doc_id",
-        F.round(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
-        F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
-        F.round(T.mean_word_length(F.col("text")), 4).alias("mean_word_len"),
-        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+        F.when(F.col("q_nt") > 0, exact_ratio("q_ns", "q_nt", 4))
+        .otherwise(F.lit(0.0))
+        .alias("stop_ratio"),
+        F.when(F.col("q_dp") > 0, exact_ratio("q_np", "q_dp", 4))
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(F.col("q_nt") > 0, exact_ratio("q_chars", "q_nt", 4))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        T.quality_4dp_from_counts().alias("quality"),
     )
 
 
@@ -3387,9 +3406,9 @@ _MIX_ALPHA, _MIX_BUDGET = 0.5, 1_000_000
       FROM documents GROUP BY source),
     tot AS (SELECT SUM(scaled) AS total_scaled FROM per)
     SELECT stratum, n_docs, n_tokens,
-           round(CASE WHEN total_scaled > 0
-                      THEN CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE)
-                      ELSE 0.0 END, 6) AS weight,
+           CASE WHEN total_scaled > 0
+                THEN {sql_exact_ratio("scaled * 1000000", "total_scaled * 1000000", 6)}
+                ELSE 0.0 END AS weight,
            CASE WHEN n_tokens > 0 AND total_scaled > 0
                 THEN round({_MIX_BUDGET}.0 * (CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE))
                            / CAST(n_tokens AS DOUBLE), 6)
@@ -4121,18 +4140,10 @@ _GLOBAL_TOPK = 20
 @register(
     "documents_global_topk_quality",
     f"""WITH base AS (
-      SELECT doc_id, text, {SQL_TOKS} AS toks,
-             regexp_replace(text, '\\s+', '', 'g') AS nospace
+      SELECT doc_id, {_SQL_QCOUNTS}
       FROM documents),
     m AS (
-      SELECT doc_id,
-        round((least(length(text) / 500.0, 1.0)
-               + (1.0 - least(CASE WHEN length(nospace) > 0
-                      THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
-                      ELSE 0.0 END * 4.0, 1.0))
-               + least(CASE WHEN len(toks) > 0
-                      THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
-                      ELSE 0.0 END * 5.0, 1.0)) / 3.0, 4) AS quality
+      SELECT doc_id, {SQL_QUALITY_4DP} AS quality
       FROM base)
     SELECT doc_id, quality,
            CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
@@ -4145,8 +4156,8 @@ def documents_global_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     shape that survives a 100 TB corpus. Rank is attached after the take on
     the k surviving rows (deterministic tie-break on doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    scored = T.with_quality_4dp(docs.select("doc_id", "text")).select(
+        "doc_id", "quality"
     )
     topk = scored.orderBy(F.col("quality").desc(), F.col("doc_id")).limit(
         _GLOBAL_TOPK
@@ -5944,17 +5955,12 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # quality-scored documents CTE (rounded to 4 so rank ties are identical on
 # both engines) — shared by the domain-cap and percentile-calibration queries
-_SQL_QDOCS = f"""qdocs AS (
-  SELECT doc_id, source,
-    round((least(length(text) / 500.0, 1.0)
-           + (1.0 - least(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
-                  THEN length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[a-zA-Z0-9]', '', 'g'))
-                       / length(regexp_replace(text, '\\s+', '', 'g'))
-                  ELSE 0.0 END * 4.0, 1.0))
-           + least(CASE WHEN len({SQL_TOKS}) > 0
-                  THEN len(list_filter({SQL_TOKS}, t -> t IN ({_SQL_STOPS}))) / len({SQL_TOKS})
-                  ELSE 0.0 END * 5.0, 1.0)) / 3.0, 4) AS quality
-  FROM documents)"""
+_SQL_QDOCS = f"""qc AS (
+  SELECT doc_id, source, {_SQL_QCOUNTS}
+  FROM documents),
+qdocs AS (
+  SELECT doc_id, source, {SQL_QUALITY_4DP} AS quality
+  FROM qc)"""
 
 _DOMAIN_CAP = 40
 
@@ -5978,8 +5984,8 @@ def documents_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition before any single reducer sees the group, so the plan survives
     a domain holding 1% of a 100 TB corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "source", "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    scored = T.with_quality_4dp(docs.select("source", "doc_id", "text")).select(
+        "source", "doc_id", "quality"
     )
     return smp.group_cap(scored, "source", "quality", "doc_id", _DOMAIN_CAP).select(
         "source", "doc_id", "quality", "rnk"
@@ -5988,10 +5994,16 @@ def documents_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "documents_quality_percentile",
-    f"""WITH {_SQL_QDOCS}
+    f"""WITH {_SQL_QDOCS},
+    rk AS (
+      SELECT doc_id, source, quality,
+             rank() OVER (PARTITION BY source ORDER BY quality) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM qdocs)
     SELECT doc_id, source, quality,
-           round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4) AS pct
-    FROM qdocs""",
+           CASE WHEN n > 1 THEN {sql_exact_ratio("r - 1", "n - 1", 4)}
+                ELSE 0.0 END AS pct
+    FROM rk""",
 )
 def documents_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-source quality percentile (quantile normalization): maps each
@@ -6003,11 +6015,24 @@ def documents_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source; at 100 TB you swap in the approx-quantile boundary table
     (events_value_percentiles shows that shape) — this is the exact form."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "source", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    scored = T.with_quality_4dp(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", "quality"
     )
+    # percent_rank's (rank-1)/(n-1) is an integer ratio: round it on the
+    # exact-integer discipline (rank + count over the SAME window
+    # partitioning — no extra exchange, verified by the plan-lint budget)
     w = Window.partitionBy("source").orderBy("quality")
-    return scored.withColumn("pct", F.round(F.percent_rank().over(w), 4))
+    wp = Window.partitionBy("source")
+    return (
+        scored.withColumn("r", F.rank().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .select(
+            "doc_id", "source", "quality",
+            F.when(F.col("n") > 1, exact_ratio("r - 1", "n - 1", 4))
+            .otherwise(F.lit(0.0))
+            .alias("pct"),
+        )
+    )
 
 
 @register(
@@ -6409,11 +6434,14 @@ def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, {SQL_TOKS} AS toks, length(text) AS nc FROM documents),
     m AS (
       SELECT lang, len(toks) AS nw,
-             CASE WHEN len(toks) > 0 THEN CAST(nc AS DOUBLE) / len(toks) ELSE 0.0 END AS cpw
+             CASE WHEN len(toks) > 0 THEN CAST(nc AS DOUBLE) / len(toks) ELSE 0.0 END AS cpw,
+             CASE WHEN len(toks) > 0
+                  THEN CAST({sql_exact_ratio("nc", "len(toks)", 6)} AS DECIMAL(18,6))
+                  ELSE CAST(0.0 AS DECIMAL(18,6)) END AS cpw6
       FROM t)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nw) AS BIGINT) AS n_words,
-           round(AVG(cpw), 4) AS mean_chars_per_word,
+           {sql_exact_mean_units("CAST(SUM(cpw6) * 1000000 AS BIGINT)", "COUNT(*)", 4)} AS mean_chars_per_word,
            round(quantile_cont(cpw, 0.5), 4) AS p50_chars_per_word,
            round(quantile_cont(cpw, 0.95), 4) AS p95_chars_per_word
     FROM m GROUP BY lang""",
@@ -6438,11 +6466,21 @@ def documents_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(
             F.col("nw") > 0, F.col("nc").cast("double") / F.col("nw")
         ).otherwise(F.lit(0.0)).alias("cpw"),
+        # mean rides an exact DECIMAL sum of per-row 6-dp exact ratios:
+        # AVG over raw doubles is float-sum-order dependent, which neither
+        # engine (nor two Spark runs with different partitionings) is
+        # obliged to reproduce; percentiles keep the raw double (identical
+        # interpolation arithmetic on identical values in both engines)
+        F.when(
+            F.col("nw") > 0, exact_ratio("nc", "nw", 6).cast("decimal(18,6)")
+        ).otherwise(F.lit(0.0).cast("decimal(18,6)")).alias("cpw6"),
     )
     return m.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("nw").cast("bigint").alias("n_words"),
-        F.round(F.avg("cpw"), 4).alias("mean_chars_per_word"),
+        exact_mean_units(
+            "CAST(sum(cpw6) * 1000000 AS BIGINT)", "count(1)", 4
+        ).alias("mean_chars_per_word"),
         F.round(F.percentile("cpw", F.lit(0.5)), 4).alias("p50_chars_per_word"),
         F.round(F.percentile("cpw", F.lit(0.95)), 4).alias("p95_chars_per_word"),
     )
@@ -6742,8 +6780,8 @@ def documents_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducibility (no rand()), and the keep decision is a pure per-row
     predicate once the percentile window has run."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "source", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    scored = T.with_quality_4dp(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", "quality"
     )
     w = Window.partitionBy("source").orderBy(F.col("quality").desc())
     bucketed = scored.withColumn(
@@ -9232,7 +9270,7 @@ def _sql_family_agreement() -> str:
            CAST(COALESCE(SUM(in_m * in_s), 0) AS BIGINT) AS n_both,
            CAST(COUNT(*) AS BIGINT) AS n_either,
            CASE WHEN COUNT(*) > 0
-                THEN round(CAST(COALESCE(SUM(in_m * in_s), 0) AS DOUBLE) / COUNT(*), 4)
+                THEN {sql_exact_ratio("COALESCE(SUM(in_m * in_s), 0)", "COUNT(*)", 4)}
                 ELSE CAST(0.0 AS DOUBLE) END AS agreement
     FROM j"""
 
@@ -9271,13 +9309,7 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_either"),
         F.when(
             F.count(F.lit(1)) > 0,
-            F.round(
-                F.coalesce(F.sum(F.col("in_m") * F.col("in_s")), F.lit(0)).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
-                4,
-            ),
+            exact_ratio("coalesce(sum(in_m * in_s), 0)", "count(1)", 4),
         )
         .otherwise(F.lit(0.0))
         .alias("agreement"),
@@ -9302,7 +9334,7 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(sz AS BIGINT) AS cluster_size,
            CAST(n_clusters AS BIGINT) AS n_clusters,
            CAST(sz * n_clusters AS BIGINT) AS n_docs,
-           round(CAST(sz * n_clusters AS DOUBLE) / t.t, 4) AS doc_share
+           {sql_exact_ratio("sz * n_clusters", "t.t", 4)} AS doc_share
     FROM dist CROSS JOIN tot t""",
 )
 def dedup_cluster_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9324,9 +9356,7 @@ def dedup_cluster_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").cast("bigint").alias("cluster_size"),
         F.col("n_clusters").cast("bigint").alias("n_clusters"),
         (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
-        F.round(
-            (F.col("sz") * F.col("n_clusters")).cast("double") / F.col("t"), 4
-        ).alias("doc_share"),
+        exact_ratio("sz * n_clusters", "t", 4).alias("doc_share"),
     )
 
 
@@ -9398,30 +9428,17 @@ def embeddings_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "documents_quality_by_split",
     f"""WITH base AS (
-      SELECT doc_id, text, {SQL_TOKS} AS toks,
-             regexp_replace(text, '\\s+', '', 'g') AS nospace
-      FROM documents),
-    m AS (
       SELECT doc_id,
         CASE WHEN ({_SQL_SPLIT_PCT}) < 80 THEN 'train'
              WHEN ({_SQL_SPLIT_PCT}) < 90 THEN 'val'
              ELSE 'test' END AS split,
-        CASE WHEN len(toks) > 0
-             THEN len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) / len(toks)
-             ELSE 0.0 END AS stop_ratio,
-        CASE WHEN length(nospace) > 0
-             THEN length(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) / length(nospace)
-             ELSE 0.0 END AS punct_ratio,
-        length(text) AS n_chars_text
-      FROM base),
+        {_SQL_QCOUNTS}
+      FROM documents),
     q AS (
-      SELECT split,
-             round((least(n_chars_text / 500.0, 1.0)
-                    + (1.0 - least(punct_ratio * 4.0, 1.0))
-                    + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS q
-      FROM m)
+      SELECT split, {SQL_QUALITY_4DP} AS q
+      FROM base)
     SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           round(CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_quality,
+           {sql_exact_mean_units("CAST(SUM(CAST(q AS DECIMAL(18,4))) * 10000 AS BIGINT)", "COUNT(*)", 4)} AS mean_quality,
            MIN(q) AS min_quality, MAX(q) AS max_quality
     FROM q GROUP BY split""",
 )
@@ -9435,15 +9452,15 @@ def documents_quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     rests on float summation order."""
     docs = load_table(spark, sf_dir, "documents")
     assigned = smp.train_split(docs)
-    q = F.round(T.quality_score(F.col("text")), 4)
+    scored = T.with_quality_4dp(assigned.select("split", "text"), out_col="q")
     return (
-        assigned.select("split", q.alias("q"))
+        scored.select("split", "q")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(
-                F.sum(F.col("q").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)),
+            exact_mean_units(
+                "CAST(sum(CAST(q AS DECIMAL(18,4))) * 10000 AS BIGINT)",
+                "count(1)",
                 4,
             ).alias("mean_quality"),
             F.min("q").alias("min_quality"),
@@ -9474,7 +9491,7 @@ def _sql_pq_recon_error(m: int = 4, k: int = 4, iterations: int = 3, dim: int = 
              CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM cb GROUP BY 1)""")
     parts.append("""mn AS (
-      SELECT round(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+      SELECT CAST(CASE WHEN (CAST(SUM(CAST(c AS DECIMAL(18,6))) * 1000000 AS BIGINT)) < 0 THEN -1 ELSE 1 END * ((2 * abs(CAST(SUM(CAST(c AS DECIMAL(18,6))) * 1000000 AS BIGINT)) + CAST(COUNT(*) AS BIGINT)) // (2 * CAST(COUNT(*) AS BIGINT))) AS DOUBLE) / 1000000.0 AS mean_cos
       FROM cb)""")
     body = ",\n    ".join(parts)
     return f"""WITH {body}
@@ -9510,9 +9527,9 @@ def embeddings_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("c") / F.lit(0.05)), F.lit(19)).cast("bigint").alias("bin")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
     mn = cb.agg(
-        F.round(
-            F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
+        exact_mean_units(
+            "CAST(sum(CAST(c AS DECIMAL(18,6))) * 1000000 AS BIGINT)",
+            "count(1)",
             6,
         ).alias("mean_cos")
     )

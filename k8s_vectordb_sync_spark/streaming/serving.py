@@ -43,6 +43,7 @@ def start_ann_probe_stream(
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
     tier: str = "ivfpq",
+    query_name: str | None = None,
 ) -> StreamingQuery:
     """Start a standing top-k serving query over a persisted index.
 
@@ -82,7 +83,9 @@ def start_ann_probe_stream(
     writer = (
         query_stream.writeStream.outputMode("append")
         .foreachBatch(probe_batch)
-        .queryName(f"ann-serving-{tier}")
+        # query names must be unique per session: a serving fleet runs many
+        # concurrent standing queries of the same tier (bench_serving_concurrent)
+        .queryName(query_name or f"ann-serving-{tier}")
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,36 @@
+"""Concurrent serving (VERDICT r10 item 4): multiple standing probe
+streams — ANN and BM25 mixed — share one session and one index generation;
+a zero-downtime rebuild fired mid-run must leave every stream
+old-or-new-never-mixed, and the untouched BM25 index must be unaffected.
+The committed scale readout is bench_logs/bench_serving_concurrent_r11.json
+(scripts/bench_serving_concurrent.py at sf0.1); this test runs the same
+harness small."""
+
+from __future__ import annotations
+
+
+def test_concurrent_streams_survive_rebuild(spark, sf_dir, tmp_path):
+    from scripts.bench_serving_concurrent import run
+
+    report = run(
+        spark,
+        sf_dir,
+        str(tmp_path),
+        n_ann_streams=2,
+        n_bm25_streams=1,
+        queries_per_stream=3,
+        warm_s=2.0,
+        cool_s=2.0,
+    )
+    assert report["mixed"] == 0
+    assert len(report["streams"]) == 3
+    for name, s in report["streams"].items():
+        assert s["n_batches_served"] > 0, name
+        assert s["latency_p95_s"] >= s["latency_p50_s"] > 0, name
+    # the rebuild actually changed at least one ANN stream's answers —
+    # otherwise old-or-new is vacuous
+    assert any(
+        s["answer_changed_by_rebuild"]
+        for s in report["streams"].values()
+        if s["tier"] == "ivfpq"
+    )
