@@ -997,12 +997,12 @@ def _sql_minhash_ctes(threshold: float = 0.5, max_bucket_size: int | None = None
                                     AND l.doc_id < r.doc_id),
     verified AS (
       SELECT c.doc_a, c.doc_b,
-             len(list_intersect(a.s, b.s))::DOUBLE
-               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
       FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id),
     pairs AS (
-      SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
-      FROM verified WHERE jaccard >= {threshold})"""
+      SELECT doc_a, doc_b, {sql_exact_ratio("i", "u", 4)} AS jaccard
+      FROM verified WHERE i::DOUBLE / u >= {threshold})"""
 
 
 def _sql_minhash_pairs(threshold: float = 0.5) -> str:
@@ -1083,8 +1083,8 @@ def _sql_ngram_jaccard(threshold: float = 0.5) -> str:
              {sh} AS s
       FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+           {sql_exact_ratio("len(list_intersect(a.s, b.s))",
+                            "len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))", 4)} AS jaccard
     FROM base a JOIN base b
       ON a.blk = b.blk AND a.lbkt = b.lbkt AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s))::DOUBLE
@@ -3938,17 +3938,17 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     est AS (
       SELECT c.doc_a, c.doc_b,
              len(list_filter(range(1, {NUM_MINHASHES} + 1),
-                             i -> sa.sig[i] = sb.sig[i])) / {NUM_MINHASHES} AS est_j,
-             len(list_intersect(a.s, b.s))::DOUBLE
-               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS exact_j
+                             i -> sa.sig[i] = sb.sig[i])) AS m,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
       FROM cand c
       JOIN sigs sa ON c.doc_a = sa.doc_id
       JOIN sigs sb ON c.doc_b = sb.doc_id
       JOIN sh a ON c.doc_a = a.doc_id
       JOIN sh b ON c.doc_b = b.doc_id)
-    SELECT doc_a, doc_b, round(est_j, 4) AS est_jaccard,
-           round(exact_j, 4) AS jaccard,
-           round(abs(est_j - exact_j), 4) AS abs_err
+    SELECT doc_a, doc_b, {sql_exact_ratio("m", str(NUM_MINHASHES), 4)} AS est_jaccard,
+           {sql_exact_ratio("i", "u", 4)} AS jaccard,
+           {sql_exact_ratio(f"abs(m * u - {NUM_MINHASHES} * i)", f"{NUM_MINHASHES} * u", 4)} AS abs_err
     FROM est""",
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4737,11 +4737,11 @@ def _sql_minhash_sig_pairs(threshold: float = 0.5) -> str:
     est AS (
       SELECT c.doc_a, c.doc_b,
              len(list_filter(range(1, {NUM_MINHASHES} + 1),
-                             i -> a.sig[i] = b.sig[i]))::DOUBLE / {NUM_MINHASHES} AS jaccard
+                             i -> a.sig[i] = b.sig[i])) AS m
       FROM cand c JOIN sigs a ON c.doc_a = a.doc_id
                   JOIN sigs b ON c.doc_b = b.doc_id)
-    SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
-    FROM est WHERE jaccard >= {threshold}"""
+    SELECT doc_a, doc_b, {sql_exact_ratio("m", str(NUM_MINHASHES), 4)} AS jaccard
+    FROM est WHERE m::DOUBLE / {NUM_MINHASHES} >= {threshold}"""
 
 
 @register("dedup_minhash_sig_pairs", _sql_minhash_sig_pairs())
@@ -8639,8 +8639,7 @@ def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.source, b.source)
     SELECT p.source_a, p.source_b, p.shared,
            ma.n_spans AS spans_a, mb.n_spans AS spans_b,
-           round(CAST(p.shared AS DOUBLE)
-                 / (ma.n_spans + mb.n_spans - p.shared), 6) AS jaccard
+           {sql_exact_ratio("p.shared", "ma.n_spans + mb.n_spans - p.shared", 6)} AS jaccard
     FROM pairs p
     JOIN marg ma ON ma.source = p.source_a
     JOIN marg mb ON mb.source = p.source_b""",
@@ -8688,11 +8687,9 @@ def documents_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared",
             "spans_a",
             "spans_b",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("spans_a") + F.col("spans_b") - F.col("shared")),
-                6,
-            ).alias("jaccard"),
+            exact_ratio("shared", "spans_a + spans_b - shared", 6).alias(
+                "jaccard"
+            ),
         )
     )
 
