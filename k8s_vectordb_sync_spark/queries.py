@@ -3435,7 +3435,8 @@ def documents_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_winsorized",
     f"""WITH b AS (
-      SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
       FROM events GROUP BY event_type)
     SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
            {sql_exact_mean_units("CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi), 4) AS DECIMAL(14,4))) * 10000 AS BIGINT)", "COUNT(*)", 4)} AS winsorized_mean,
@@ -3447,7 +3448,7 @@ def documents_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type value stats: clip at the exact p05/p95 (Spark
-    `percentile` == DuckDB `quantile_cont`), report the clipped mean and how
+    `percentile` ~ DuckDB `quantile_cont`, 6-dp-rounded), report the clipped mean and how
     many rows hit each bound. Two passes over the fact table — inherent to
     exact percentiles (the bound must exist before clipping) — but the
     percentile frame is O(#event_types) and broadcast back onto the second
@@ -3455,9 +3456,15 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clipped values round to DECIMAL(14,4) before summing so the mean is
     order-independent across engines."""
     ev = load_table(spark, sf_dir, "events")
+    # Boundaries round to 6 dp BEFORE any comparison: Spark's percentile
+    # and DuckDB's quantile_cont interpolate up to 1 ulp apart, and a tie
+    # mass sitting exactly on the boundary flips `value < lo` for the
+    # whole mass (first seen at sf1, round 11 — cross-engine bug class #6).
+    # The data has 2-dp granularity, so 6-dp rounding collapses both
+    # engines' boundary doubles to the identical value.
     b = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
     )
     j = ev.join(F.broadcast(b), "event_type")
     # clip -> round to DECIMAL(14,4) -> sum (order-independent), then the
