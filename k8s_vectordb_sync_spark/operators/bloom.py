@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import exact_ratio
+
 from ..functions.text import md5_prefix_long
 
 BLOOM_BITS = 65536  # 8 KB of bits — the size class real runtime filters use
@@ -129,9 +131,5 @@ def bloom_prejoin_audit(
         "n_candidates",
         "n_true",
         "n_false_pos",
-        F.round(
-            F.col("n_false_pos").cast("double")
-            / (F.col("n_fact") - F.col("n_true")),
-            6,
-        ).alias("fp_rate"),
+        exact_ratio("n_false_pos", "n_fact - n_true", 6).alias("fp_rate"),
     )

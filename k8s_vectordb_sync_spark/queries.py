@@ -5290,41 +5290,50 @@ BLOOM_PRICE_THRESHOLD = 480000.0
 
 def _sql_bloom_prejoin() -> str:
     """DuckDB mirror of operators/bloom.py: identical md5 bit positions,
-    BIGINT-word bit_or build, unrolled AND-of-K probe."""
-    k, bits, words = bl.BLOOM_K, bl.BLOOM_BITS, bl.BLOOM_WORDS
+    BIGINT-word bit_or build, AND-of-K probe.
+
+    Oracle shape note (round 11): the hit predicate is a function of the
+    KEY alone, so probes run once per DISTINCT fact key (multiplicity
+    rejoined via a per-key count) and each probe position joins only ITS
+    word of the filter. The earlier form cross-joined the full
+    2048-long word array onto every fact row, which DuckDB
+    materializes per row — >78 GB of spill at sf1's 6M rows before dying
+    on disk. Spark never had this problem (the array rides one broadcast),
+    but the oracle must fit co-resident."""
+    k, bits = bl.BLOOM_K, bl.BLOOM_BITS
     pos_build = ", ".join(
         f"CAST(('0x' || substring(md5('{j}:' || CAST(__k AS VARCHAR)), 1, 15)) AS BIGINT) % {bits}"
         for j in range(k)
     )
-    checks = []
-    for j in range(k):
-        pos = (
-            f"(CAST(('0x' || substring(md5('{j}:' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
-            f" % {bits})"
-        )
-        checks.append(
-            f"((w.words[({pos} // 32) + 1] & (1::BIGINT << CAST({pos} % 32 AS INT))) <> 0)"
-        )
-    hit = " AND ".join(checks)
+    pos_probe = ", ".join(
+        f"CAST(('0x' || substring(md5('{j}:' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % {bits}"
+        for j in range(k)
+    )
     return f"""WITH keys AS (
       SELECT DISTINCT o_orderkey AS __k FROM orders WHERE o_totalprice > {BLOOM_PRICE_THRESHOLD}),
     pos AS (SELECT unnest([{pos_build}]) AS p FROM keys),
     bloom AS (SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
               FROM pos GROUP BY p // 32),
-    warr AS (SELECT list(COALESCE(b.bits, 0) ORDER BY g.w) AS words
-             FROM (SELECT unnest(range(0, {words})) AS w) g
-             LEFT JOIN bloom b ON b.word = g.w),
-    probed AS (SELECT l.l_orderkey,
-                      ({hit}) AS hit,
-                      (k.__k IS NOT NULL) AS is_member
-               FROM lineitem l CROSS JOIN warr w
-               LEFT JOIN keys k ON l.l_orderkey = k.__k)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
-           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
-           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-           CAST(SUM(CASE WHEN hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-           round(CAST(SUM(CASE WHEN hit AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
-                 / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)), 6) AS fp_rate
+    lk AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS mult
+           FROM lineitem GROUP BY l_orderkey),
+    pr AS (SELECT l_orderkey, unnest([{pos_probe}]) AS p FROM lk),
+    hitk AS (SELECT pr.l_orderkey,
+                    bool_and((COALESCE(b.bits, 0)
+                              & (1::BIGINT << CAST(pr.p % 32 AS INT))) <> 0) AS hit
+             FROM pr LEFT JOIN bloom b ON b.word = pr.p // 32
+             GROUP BY pr.l_orderkey),
+    probed AS (SELECT lk.mult, h.hit, (k.__k IS NOT NULL) AS is_member
+               FROM lk JOIN hitk h ON lk.l_orderkey = h.l_orderkey
+               LEFT JOIN keys k ON lk.l_orderkey = k.__k)
+    SELECT CAST(SUM(mult) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN hit THEN mult ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN is_member THEN mult ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN hit AND NOT is_member THEN mult ELSE 0 END) AS BIGINT) AS n_false_pos,
+           {sql_exact_ratio(
+               "SUM(CASE WHEN hit AND NOT is_member THEN mult ELSE 0 END)",
+               "SUM(mult) - SUM(CASE WHEN is_member THEN mult ELSE 0 END)",
+               6,
+           )} AS fp_rate
     FROM probed"""
 
 
