@@ -5325,7 +5325,7 @@ def _sql_bloom_prejoin() -> str:
     probed AS (SELECT lk.mult, h.hit, (k.__k IS NOT NULL) AS is_member
                FROM lk JOIN hitk h ON lk.l_orderkey = h.l_orderkey
                LEFT JOIN keys k ON lk.l_orderkey = k.__k)
-    SELECT CAST(SUM(mult) AS BIGINT) AS n_fact,
+    SELECT CAST(COALESCE(SUM(mult), 0) AS BIGINT) AS n_fact,
            CAST(SUM(CASE WHEN hit THEN mult ELSE 0 END) AS BIGINT) AS n_candidates,
            CAST(SUM(CASE WHEN is_member THEN mult ELSE 0 END) AS BIGINT) AS n_true,
            CAST(SUM(CASE WHEN hit AND NOT is_member THEN mult ELSE 0 END) AS BIGINT) AS n_false_pos,
