@@ -151,10 +151,11 @@ def mixture_weights(
         "stratum",
         "n_docs",
         "n_tokens",
-        # the decimals are exact 1e-6-unit integers, so the rounded weight
-        # rides the exact-integer discipline (functions/exact.py); epochs
-        # keeps the double form, documented: its exact numerator
-        # budget * scaled_units * 10^6 (~1e21) overflows int64
+        # the decimals are exact 1e-6-unit integers, so both rounded
+        # emissions ride the exact-integer discipline (functions/exact.py);
+        # epochs migrated off round-on-double in r12 — the DECIMAL(38,0)/
+        # HUGEINT-widened helper keeps budget * scaled_units * 10^6 (~1e21
+        # at the 100 TB target) exact, where int64 overflowed
         F.when(
             F.col("total_scaled") > 0,
             exact_ratio("scaled * 1000000", "total_scaled * 1000000", 6),
@@ -162,11 +163,10 @@ def mixture_weights(
         .otherwise(F.lit(0.0))
         .alias("weight"),
         F.when(
-            F.col("n_tokens") > 0,
-            F.round(
-                F.lit(float(token_budget))
-                * weight
-                / F.col("n_tokens").cast("double"),
+            (F.col("n_tokens") > 0) & (F.col("total_scaled") > 0),
+            exact_ratio(
+                f"CAST(scaled * 1000000 AS DECIMAL(38,0)) * {int(token_budget)}",
+                "CAST(total_scaled * 1000000 AS DECIMAL(38,0)) * n_tokens",
                 6,
             ),
         )

@@ -3410,8 +3410,8 @@ _MIX_ALPHA, _MIX_BUDGET = 0.5, 1_000_000
                 THEN {sql_exact_ratio("scaled * 1000000", "total_scaled * 1000000", 6)}
                 ELSE 0.0 END AS weight,
            CASE WHEN n_tokens > 0 AND total_scaled > 0
-                THEN round({_MIX_BUDGET}.0 * (CAST(scaled AS DOUBLE) / CAST(total_scaled AS DOUBLE))
-                           / CAST(n_tokens AS DOUBLE), 6)
+                THEN {sql_exact_ratio(f"CAST(scaled * 1000000 AS HUGEINT) * {_MIX_BUDGET}",
+                                      "CAST(total_scaled * 1000000 AS HUGEINT) * n_tokens", 6)}
                 ELSE 0.0 END AS epochs
     FROM per CROSS JOIN tot""",
 )
@@ -7338,8 +7338,8 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT brand_a, brand_b, pair_n,
              {sql_exact_ratio("pair_n", "n_orders", 6)} AS support,
              {sql_exact_ratio("pair_n", "ma.n_b", 6)} AS confidence,
-             round(CAST(pair_n AS DOUBLE) * n_orders
-                   / (CAST(ma.n_b AS DOUBLE) * mb.n_b), 6) AS lift
+             {sql_exact_ratio("CAST(pair_n AS HUGEINT) * n_orders",
+                              "CAST(ma.n_b AS HUGEINT) * mb.n_b", 6)} AS lift
       FROM pairs
       JOIN marg ma ON ma.brand = pairs.brand_a
       JOIN marg mb ON mb.brand = pairs.brand_b
@@ -7395,17 +7395,13 @@ def orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_n",
             exact_ratio("pair_n", "n_orders", 6).alias("support"),
             exact_ratio("pair_n", "na", 6).alias("confidence"),
-            # lift stays on round-on-double, documented: the exact form's
-            # numerator pair_n * n_orders * 10^6 exceeds int64 at the 100 TB
-            # target (1e6 pairs x 1e7 orders x 1e6 scale ~ 1e19), and Spark
-            # has no int128 to match DuckDB's HUGEINT. Boundary risk is far
-            # lower than the count/count class: a .5e-6 landing requires
-            # pair_n*n_orders*10^6 = k*na*nb + na*nb/2 exactly for large
-            # na*nb, and every parity sweep re-checks it.
-            F.round(
-                F.col("pair_n").cast("double")
-                * F.col("n_orders")
-                / (F.col("na").cast("double") * F.col("nb")),
+            # exact-integer lift (r12, closing the class-2 int64-overflow
+            # carve-out): the pre-cast DECIMAL(38,0)/HUGEINT product keeps
+            # pair_n*n_orders*10^6*2 (~2e30 at the 100 TB target) exact on
+            # both engines — no int64 stage ever materializes.
+            exact_ratio(
+                "CAST(pair_n AS DECIMAL(38,0)) * n_orders",
+                "CAST(na AS DECIMAL(38,0)) * nb",
                 6,
             ).alias("lift"),
         )
@@ -8148,21 +8144,18 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_dow_seasonality",
-    """WITH base AS (
+    f"""WITH base AS (
       SELECT event_type, dayofweek(ts) AS dow,
              CAST(COUNT(*) AS BIGINT) AS n,
              SUM(CAST(value AS DECIMAL(18,6))) AS sv
       FROM events GROUP BY 1, 2),
     tot AS (
-      SELECT event_type, CAST(SUM(sv) AS DOUBLE) / SUM(n) AS mean_all
+      SELECT event_type, SUM(sv) AS sv_all, CAST(SUM(n) AS BIGINT) AS n_all
       FROM base GROUP BY event_type)
     SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, b.n,
-           CAST((CASE WHEN CAST(b.sv * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END
-                 * ((2 * abs(CAST(b.sv * 1000000 AS BIGINT)) + 100 * b.n)
-                    // (200 * b.n))) / 10000.0 AS DOUBLE) AS mean_value,
-           CASE WHEN t.mean_all <> 0 THEN
-             round((CAST(b.sv AS DOUBLE) / b.n) / t.mean_all, 4)
-           END AS seasonal_index
+           {sql_exact_ratio("b.sv * 1000000", "CAST(b.n AS HUGEINT) * 1000000", 4)} AS mean_value,
+           {sql_exact_ratio("CAST(b.sv * 1000000 AS HUGEINT) * t.n_all",
+                            "CAST(t.sv_all * 1000000 AS HUGEINT) * b.n", 4)} AS seasonal_index
     FROM base b JOIN tot t ON b.event_type = t.event_type""",
 )
 def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8183,28 +8176,28 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
     )
     tot = base.groupBy("event_type").agg(
-        (F.sum("sv").cast("double") / F.sum("n")).alias("mean_all")
+        F.sum("sv").alias("sv_all"),
+        F.sum("n").cast("bigint").alias("n_all"),
     )
-    mean_dow = F.col("sv").cast("double") / F.col("n")
-    # mean_value: exact-integer 4-dp mean (the DECIMAL-sum / count class the
-    # round-9 sf0.1 sweep caught in gap_fill — same fix, see
-    # lm.exact_mean_4dp_expr); seasonal_index divides two identical doubles
-    # in both engines, a non-terminating quotient with no boundary exposure
-    mean4 = F.expr(
-        "CAST(CASE WHEN CAST(sv * 1000000 AS BIGINT) < 0 THEN -1 ELSE 1 END"
-        " * ((2 * abs(CAST(sv * 1000000 AS BIGINT)) + 100 * n)"
-        " DIV (200 * n)) AS DOUBLE) / 10000.0"
-    )
+    # both emissions ride the exact-integer discipline (functions/exact.py):
+    # mean_value as the 1e-6-grain DECIMAL-sum / count mean at 4 dp, and
+    # seasonal_index (r12, the last class-2 carve-out) as the exact rational
+    # (sv_dow * n_all) / (sv_all * n) — the DECIMAL(38,0)/HUGEINT widening
+    # keeps sv_units * n (~1e36 at the 100 TB target) exact on both engines,
+    # and the helper's den<>0 guard reproduces the old "mean_all == 0 ->
+    # NULL" degenerate behavior (round-7 gate) with the sign well-defined
+    # for negative-sum types.
     return base.join(F.broadcast(tot), "event_type").select(
         "event_type",
         F.col("dow").cast("bigint").alias("dow"),
         "n",
-        mean4.alias("mean_value"),
-        # degenerate guard (round-7 gate): a type whose values sum to zero
-        # has mean_all == 0 — its seasonal index is undefined (NULL), not a
-        # DIVIDE_BY_ZERO crash under ANSI; the oracle writes the same CASE
-        F.when(
-            F.col("mean_all") != 0, F.round(mean_dow / F.col("mean_all"), 4)
+        exact_ratio(
+            "sv * 1000000", "CAST(n AS DECIMAL(38,0)) * 1000000", 4
+        ).alias("mean_value"),
+        exact_ratio(
+            "CAST(sv * 1000000 AS DECIMAL(38,0)) * n_all",
+            "CAST(sv_all * 1000000 AS DECIMAL(38,0)) * n",
+            4,
         ).alias("seasonal_index"),
     )
 
