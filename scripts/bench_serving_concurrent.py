@@ -39,17 +39,94 @@ from pyspark.sql import functions as F  # noqa: E402
 SAMPLE_HEX = "0123"
 
 
-def _percentile(sorted_vals: list[float], p: float) -> float:
+def _percentile(sorted_vals: list[float], p: float) -> float | None:
     """Exact linear-interpolated percentile of an in-memory list (these are
-    per-stream batch latencies — dozens of values, driver-side by nature)."""
+    per-stream batch latencies — dozens of values, driver-side by nature).
+    Returns None (JSON null) on an empty list — NaN is not valid JSON and a
+    vacuous latency must read as absent, not as a number (ADVICE r11)."""
     if not sorted_vals:
-        return float("nan")
+        return None
     if len(sorted_vals) == 1:
         return sorted_vals[0]
     pos = p * (len(sorted_vals) - 1)
     lo = int(pos)
     hi = min(lo + 1, len(sorted_vals) - 1)
     return sorted_vals[lo] + (pos - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def _start_ingest(spark, sf_dir: str, work_dir: str, trigger_ms: int):
+    """Start the streaming_sync ingest pipeline against a staged source dir
+    and return (query, feeder_thread, stop_event, state).
+
+    The events table is pre-split into ts-ordered chunks; the feeder drops
+    one chunk per tick so event time advances monotonically and the
+    debounce watermark keeps releasing rows. state collects (wall_time,
+    resolved_rows) per sink batch; input-side progress comes from the
+    query's recentProgress (numInputRows per micro-batch).
+    """
+    from pyspark.sql.window import Window
+
+    from k8s_vectordb_sync_spark.config import EngineConfig
+    from k8s_vectordb_sync_spark.sources.cdc import read_change_stream
+    from k8s_vectordb_sync_spark.sources.tables import load_table
+    from k8s_vectordb_sync_spark.streaming.pipeline import start_instance_sync
+
+    n_chunks = 24
+    chunk_dir = os.path.join(work_dir, "ingest-chunks")
+    staged = os.path.join(work_dir, "ingest-src")
+    os.makedirs(os.path.join(staged, "events.parquet"), exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    # ts-ordered chunking: one single-partition sort of a bench-scale table,
+    # driver never holds rows; each chunk is a self-contained parquet dir
+    (
+        ev.withColumn(
+            "__chunk",
+            F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")),
+        )
+        .repartition("__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(chunk_dir)
+    )
+    chunks = sorted(
+        (d for d in os.listdir(chunk_dir) if d.startswith("__chunk=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+
+    state = {"emits": []}  # (wall time, resolved rows)
+    stop = threading.Event()
+
+    def _drop(idx: int) -> None:
+        src = os.path.join(chunk_dir, chunks[idx])
+        for j, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src, f),
+                    os.path.join(
+                        staged, "events.parquet", f"chunk{idx:03d}-{j}.parquet"
+                    ),
+                )
+
+    _drop(0)  # schema + first batch exist before the stream starts
+    stream = read_change_stream(spark, staged)
+    emits = state["emits"]
+    query = start_instance_sync(
+        stream,
+        EngineConfig(),
+        lambda df, bid: emits.append((time.monotonic(), df.count())),
+        checkpoint_dir=os.path.join(work_dir, "ingest-ckpt"),
+        trigger={"processingTime": f"{trigger_ms} milliseconds"},
+    )
+
+    def feed():
+        i = 1
+        while not stop.is_set() and i < len(chunks):
+            _drop(i)
+            i += 1
+            time.sleep(trigger_ms / 1000.0)
+
+    feeder = threading.Thread(target=feed, daemon=True)
+    return query, feeder, stop, state
 
 
 def run(
@@ -62,6 +139,7 @@ def run(
     warm_s: float = 3.0,
     cool_s: float = 3.0,
     trigger_ms: int = 200,
+    with_ingest: bool = True,
 ) -> dict:
     from k8s_vectordb_sync_spark.operators import ann_index as ai
     from k8s_vectordb_sync_spark.operators import lexical_index as lx
@@ -138,9 +216,19 @@ def run(
             out = lx.bm25_index_probe(spark, bm25_path, st["qdf"], k=5)
         return sorted(tuple(r) for r in out.collect())
 
+    # at a 200 ms trigger the default 100-entry progress retention evicts
+    # the rebuild-window batches before we read them — retain the whole run
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+
+    ingest = None
+    if with_ingest:  # VERDICT r11 item 7: a real fleet also INGESTS during rebuild
+        ingest = _start_ingest(spark, sf_dir, work_dir, trigger_ms)
+
     for st in streams:
         st["old"] = _ref(st)
         st["feeder"].start()
+    if ingest:
+        ingest[1].start()
 
     time.sleep(warm_s)  # old-generation batches under full concurrency
     t0 = time.monotonic()
@@ -178,6 +266,49 @@ def run(
             "n_mixed": len(mixed),
         }
     report["batches_inside_rebuild_window"] = overlapped
+
+    if ingest:
+        iq, feeder, istop, istate = ingest
+        istop.set()
+        feeder.join(timeout=10)
+        iprogress = list(iq.recentProgress)
+        iq.stop()
+        iq.awaitTermination(60)
+        # input-side progress from Spark's own per-micro-batch telemetry;
+        # batch wall time from the ISO timestamp (UTC). monotonic t0/t1 and
+        # wall timestamps live on different clocks — anchor via "now".
+        import datetime as _dt
+
+        wall_now = _dt.datetime.now(_dt.timezone.utc).timestamp()
+        mono_now = time.monotonic()
+        in_rows_total = 0
+        in_rows_rebuild = 0
+        in_batches_rebuild = 0
+        for p in iprogress:
+            if not p or not p.get("numInputRows"):
+                continue
+            in_rows_total += p["numInputRows"]
+            ts = p.get("timestamp")
+            if ts:
+                wall = _dt.datetime.fromisoformat(
+                    ts.replace("Z", "+00:00")
+                ).timestamp()
+                mono = mono_now - (wall_now - wall)
+                if t0 <= mono <= t1:
+                    in_rows_rebuild += p["numInputRows"]
+                    in_batches_rebuild += 1
+        resolved_rows = sum(n for _, n in istate["emits"])
+        report["ingest"] = {
+            "input_rows_total": in_rows_total,
+            "resolved_rows_total": resolved_rows,
+            "sink_batches_total": len(istate["emits"]),
+            "input_rows_during_rebuild": in_rows_rebuild,
+            "input_batches_during_rebuild": in_batches_rebuild,
+            "ingest_rows_per_s_during_rebuild": round(
+                in_rows_rebuild / max(t1 - t0, 1e-9), 1
+            ),
+        }
+
     # invariants the test asserts too — fail loudly here so a bad readout
     # never gets committed as evidence
     for name, s in report["streams"].items():
@@ -188,6 +319,27 @@ def run(
         if s["tier"] == "bm25" and s["answer_changed_by_rebuild"]:
             raise AssertionError(
                 f"BM25 stream {name} observed the sibling ANN rebuild"
+            )
+    # the "served during the rebuild" claim must not pass vacuously: at
+    # least one probe batch must land inside the rebuild window (ADVICE r11).
+    # On a toy corpus the rebuild can finish inside one trigger interval —
+    # there the window genuinely cannot contain a batch and the overlap
+    # claim is out of scope; at any real scale (the committed sf0.1 readout:
+    # 27 s window vs 0.2 s trigger) these assertions engage.
+    window_measurable = (t1 - t0) >= 10 * trigger_ms / 1000.0
+    if window_measurable and overlapped <= 0:
+        raise AssertionError(
+            "no probe batch landed inside the rebuild window — the "
+            "served-during-rebuild claim would be vacuous"
+        )
+    if ingest:
+        ing = report["ingest"]
+        if ing["input_rows_total"] <= 0 or ing["sink_batches_total"] <= 0:
+            raise AssertionError("ingest pipeline made no progress")
+        if window_measurable and ing["input_batches_during_rebuild"] <= 0:
+            raise AssertionError(
+                "ingest starved during the rebuild window — no micro-batch "
+                "committed while the rebuild's training jobs ran"
             )
     return report
 

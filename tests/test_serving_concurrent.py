@@ -24,6 +24,13 @@ def test_concurrent_streams_survive_rebuild(spark, sf_dir, tmp_path):
     )
     assert report["mixed"] == 0
     assert len(report["streams"]) == 3
+    # the ingest pipeline shared the session and made progress (r11 item 7);
+    # during-rebuild overlap is asserted inside run() whenever the rebuild
+    # window is long enough to contain a trigger (always at the sf0.1
+    # committed-readout scale)
+    assert report["ingest"]["input_rows_total"] > 0
+    assert report["ingest"]["sink_batches_total"] > 0
+    assert "batches_inside_rebuild_window" in report
     for name, s in report["streams"].items():
         assert s["n_batches_served"] > 0, name
         assert s["latency_p95_s"] >= s["latency_p50_s"] > 0, name
