@@ -8182,9 +8182,16 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both emissions ride the exact-integer discipline (functions/exact.py):
     # mean_value as the 1e-6-grain DECIMAL-sum / count mean at 4 dp, and
     # seasonal_index (r12, the last class-2 carve-out) as the exact rational
-    # (sv_dow * n_all) / (sv_all * n) — the DECIMAL(38,0)/HUGEINT widening
-    # keeps sv_units * n (~1e36 at the 100 TB target) exact on both engines,
-    # and the helper's den<>0 guard reproduces the old "mean_all == 0 ->
+    # (sv_dow * n_all) / (sv_all * n). Headroom (ADVICE r12): the binding
+    # term is the helper's internal 2*10^dp*|num|, so at dp=4 the raw
+    # numerator sv_units * n_all must stay under ~1.7e38 / 2e4 ≈ 8.5e33.
+    # At the tested scales it is tiny (sf10: sv_units ~1e13, n_all ~1e7 per
+    # type → ~1e20); at a pathological 100 TB single-type corpus it could
+    # reach ~1e36 and the widened arithmetic would then fail LOUDLY
+    # (Spark DECIMAL overflow / DuckDB HUGEINT conversion error), never
+    # silently — the mitigation at that scale is a coarser value grain
+    # (1e-3 units shave 3 orders) since the grain cancels in the ratio.
+    # The helper's den<>0 guard reproduces the old "mean_all == 0 ->
     # NULL" degenerate behavior (round-7 gate) with the sign well-defined
     # for negative-sum types.
     return base.join(F.broadcast(tot), "event_type").select(

@@ -231,6 +231,14 @@ def run(
         ingest[1].start()
 
     time.sleep(warm_s)  # old-generation batches under full concurrency
+    # wall/monotonic anchor PAIR captured at the window edge itself, not at
+    # readout time (ADVICE r12): over a multi-minute run a "now" anchor
+    # taken after cool-down lets wall-clock drift/adjustment shift every
+    # mapped batch time by the accumulated drift; anchoring at t0 bounds
+    # the mapping error to drift WITHIN the window (~seconds, negligible).
+    import datetime as _dt
+
+    wall_t0 = _dt.datetime.now(_dt.timezone.utc).timestamp()
     t0 = time.monotonic()
     ai.ivf_pq_index_rebuild(emb, ivf_path)
     t1 = time.monotonic()
@@ -276,11 +284,14 @@ def run(
         iq.awaitTermination(60)
         # input-side progress from Spark's own per-micro-batch telemetry;
         # batch wall time from the ISO timestamp (UTC). monotonic t0/t1 and
-        # wall timestamps live on different clocks — anchor via "now".
+        # wall timestamps live on different clocks — map via the (wall_t0,
+        # t0) anchor pair captured AT the window start (ADVICE r12), and
+        # count a batch as in-window if any part of its
+        # [start, start + triggerExecution] span overlaps [t0, t1] rather
+        # than point-testing its start, so edge batches aren't dropped or
+        # double-attributed by sub-second mapping error.
         import datetime as _dt
 
-        wall_now = _dt.datetime.now(_dt.timezone.utc).timestamp()
-        mono_now = time.monotonic()
         in_rows_total = 0
         in_rows_rebuild = 0
         in_batches_rebuild = 0
@@ -293,8 +304,11 @@ def run(
                 wall = _dt.datetime.fromisoformat(
                     ts.replace("Z", "+00:00")
                 ).timestamp()
-                mono = mono_now - (wall_now - wall)
-                if t0 <= mono <= t1:
+                mono = t0 + (wall - wall_t0)
+                dur_s = (
+                    p.get("durationMs", {}).get("triggerExecution") or 0
+                ) / 1000.0
+                if mono <= t1 and (mono + dur_s) >= t0:
                     in_rows_rebuild += p["numInputRows"]
                     in_batches_rebuild += 1
         resolved_rows = sum(n for _, n in istate["emits"])

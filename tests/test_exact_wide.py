@@ -66,9 +66,13 @@ def test_exact_ratio_sign_zero_matrix_both_engines(spark, num, den, dp, expected
 def test_exact_ratio_wide_product_agrees_beyond_int64(spark):
     s = _spark_scalar(spark, exact_ratio(WIDE_NUM_SPARK, WIDE_DEN_SPARK, 6))
     d = _duck_scalar(sql_exact_ratio(WIDE_NUM_DUCK, WIDE_DEN_DUCK, 6))
-    # reference: exact integer arithmetic in unbounded Python ints
+    # reference: exact integer arithmetic in unbounded Python ints — the
+    # floor must be integer floor division (//), not math.floor over a
+    # float quotient: (2*num+den)/(2*den) on ~1e25-digit ints goes through
+    # a 53-bit double, which a half-boundary case could round across the
+    # floor boundary (ADVICE r12).
     num, den = 3000000 * 4000000000000 * 10**6, 5000000000 * 6000000000
-    expected = math.floor((2 * num + den) / (2 * den)) / 10**6
+    expected = ((2 * num + den) // (2 * den)) / 10**6
     assert s == d == expected == 0.4
 
 
