@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "embeddings_top_component",
     "documents_quality_by_split",
     "embeddings_pq_recon_error",
+    # round 13: budget sampler + TF-IDF near-dup ranking
+    "documents_budget_alloc",
+    "documents_budget_sample",
+    "documents_tfidf_neardup_topk",
 ]
 
 # Best-of-N within one invocation; the sf10 scale probes drop to 1 via env

@@ -48,7 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.staging import staged_partition_rewrite, staged_table_rewrite
+from ..sources.staging import (
+    recover_staged_swap,
+    staged_partition_rewrite,
+    staged_table_rewrite,
+)
 from .similarity import (
     PQ_ITERATIONS,
     PQ_K,
@@ -773,6 +777,8 @@ def ivf_pq_index_remove(spark: SparkSession, path: str, ids: DataFrame) -> dict:
         if json.load(fh).get("empty"):
             return {"requested": requested, "removed": 0, "clusters_touched": 0}
     codes_path = os.path.join(path, "codes")
+    # self-heal an interrupted prior swap before building the read plan
+    recover_staged_swap(codes_path)
     codes = spark.read.parquet(codes_path)
     hit = codes.join(F.broadcast(id_list), "vec_id", "left_semi")
     touched = sorted(r["cluster"] for r in hit.select("cluster").distinct().collect())

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_prefix_long
-from ..sources.staging import staged_partition_rewrite
+from ..sources.staging import recover_staged_swap, staged_partition_rewrite
 from . import retrieval as ret
 from .ann_index import (
     MARKER,
@@ -334,6 +334,8 @@ def bm25_index_remove(spark: SparkSession, path: str, doc_ids: DataFrame) -> dic
     if meta.get("empty"):
         return {"requested": requested, "rows_removed": 0, "buckets_touched": 0}
     postings_path = os.path.join(path, "postings")
+    # self-heal an interrupted prior swap before building the read plan
+    recover_staged_swap(postings_path)
     postings = spark.read.parquet(postings_path)
     hit = postings.join(F.broadcast(id_list), "doc_id", "left_semi")
     touched = sorted(r["bucket"] for r in hit.select("bucket").distinct().collect())

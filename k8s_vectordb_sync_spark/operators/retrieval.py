@@ -222,6 +222,175 @@ def inverted_index(
     return stats.join(capped, "term")
 
 
+NEARDUP_SHINGLE_DF_MAX = 10  # candidate pairs must share a shingle this rare
+NEARDUP_TOPK = 50
+
+
+def tfidf_weights(postings: DataFrame) -> DataFrame:
+    """(doc_id, term, df, w): TF-IDF term weights over the posting frame —
+    w = round(tf * idf, 6) with the Lucene-style idf from idf_table (always
+    > 0, so every posted term carries weight). The df column rides along for
+    the rare-term candidate filter. One broadcast join against the
+    vocabulary-sized idf table; no second corpus scan."""
+    stats = corpus_stats(doc_lengths(postings))
+    idf = idf_table(postings, stats)
+    return postings.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", "df", F.round(F.col("tf") * F.col("idf"), 6).alias("w")
+    )
+
+
+def tfidf_doc_norms(weights: DataFrame) -> DataFrame:
+    """(doc_id, norm_sq): squared TF-IDF vector norm per document, summed as
+    6dp-rounded DECIMAL(28,6) terms so the value is exact and
+    partition-order-independent on both engines (the bm25_impact
+    discipline)."""
+    return weights.groupBy("doc_id").agg(
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 6).cast("decimal(28,6)")
+        ).alias("norm_sq")
+    )
+
+
+def neardup_candidates(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_df_max: int = NEARDUP_SHINGLE_DF_MAX,
+) -> DataFrame:
+    """(doc1, doc2) candidate pairs sharing at least one RARE word 3-shingle
+    (2 <= shingle-df <= shingle_df_max). Shingles, not unigrams, are the
+    blocking unit: a unigram vocabulary can be tiny (this corpus holds 31
+    distinct words, min unigram df 25 — unigram-rarity blocking is vacuous),
+    while the shingle space grows combinatorially and near-duplicates share
+    rare shingles by construction (Broder's shingling argument). The df cap
+    bounds every shingle's contribution at C(df_max, 2) pairs — the same
+    blowup bound as the LSH band join; df=1 shingles pair with nothing and
+    drop out via the df >= 2 side of the band."""
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col))).alias("s"),
+    )
+    sdf = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
+    rare = sh.join(
+        sdf.filter(
+            (F.col("sdf") >= 2) & (F.col("sdf") <= shingle_df_max)
+        ).select("s"),
+        "s",
+    )
+    return (
+        rare.alias("a")
+        .join(rare.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+
+
+def tfidf_neardup_topk(
+    documents: DataFrame,
+    postings: DataFrame,
+    shingle_df_max: int = NEARDUP_SHINGLE_DF_MAX,
+    k: int = NEARDUP_TOPK,
+) -> DataFrame:
+    """TF-IDF-weighted near-duplicate scoring: rank document pairs by full
+    TF-IDF cosine similarity, candidates generated through rare shared
+    shingles (neardup_candidates). The threshold-free complement to the
+    dedup miners (operators/dedup.py): MinHash/SimHash ANSWER "is this a
+    dup at cutoff t"; this RANKS pairs by graded lexical overlap weighted
+    by term informativeness — the curation view for choosing a cutoff or
+    auditing near-miss pairs (Broder's shingling ranks by raw Jaccard;
+    weighting by idf is the standard refinement when ubiquitous-term
+    overlap must not dominate the score).
+
+    Semantics: candidates = pairs sharing >= 1 shingle with df in
+    [2, shingle_df_max] (the documented truncation that makes the operator
+    subquadratic); each candidate's score is then the EXACT TF-IDF cosine
+    over ALL shared terms of the posting frame, not just the blocking
+    shingles.
+
+    Scale shape: the candidate self-join is df-capped (<= C(df_max, 2)
+    pairs per shingle — no hot-shingle blowup, the LSH band-join bound).
+    The dot product joins the bounded candidate set back to the weight
+    frame on doc_id (hash-partitioned, corpus-sized but linear),
+    contributions sum as 6dp DECIMAL(28,6) (exact, order-independent), and
+    norms are decimal-exact, so score = round(dot / sqrt(n1 * n2), 6) is
+    bit-identical across engines. Final global top-k is orderBy + limit
+    (TakeOrderedAndProject: per-partition top-k, k-row driver merge, never
+    a global sort) with the rank attached over the k-row survivor frame.
+    """
+    cand = neardup_candidates(documents, shingle_df_max=shingle_df_max)
+    # the weight frame is referenced four ways (norms x2 via the pair join
+    # and both dot-product legs) — pin it like the posting frame so the
+    # corpus-derived subtree computes once; the static plan re-expands per
+    # reference (the lint baseline counts that fresh-cache shape), but at
+    # runtime every reference reads this cache and the identical
+    # broadcast-idf subtrees are ReuseExchange'd.
+    weights = tfidf_weights(postings).persist(StorageLevel.MEMORY_AND_DISK)
+    norms = tfidf_doc_norms(weights)
+    wa = weights.select(
+        F.col("doc_id").alias("doc1"), "term", F.col("w").alias("w1")
+    )
+    wb = weights.select(
+        F.col("doc_id").alias("doc2"), "term", F.col("w").alias("w2")
+    )
+    dots = (
+        cand.join(wa, "doc1")
+        .join(wb, ["doc2", "term"])
+        .select(
+            "doc1",
+            "doc2",
+            F.round(F.col("w1") * F.col("w2"), 6)
+            .cast("decimal(28,6)")
+            .alias("c"),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.sum("c").cast("double").alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    scored = (
+        dots.join(
+            norms.select(
+                F.col("doc_id").alias("doc1"), F.col("norm_sq").alias("n1")
+            ),
+            "doc1",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("doc2"), F.col("norm_sq").alias("n2")
+            ),
+            "doc2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared",
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.round(
+                    F.col("dot")
+                    / F.sqrt(
+                        F.col("n1").cast("double") * F.col("n2").cast("double")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col("doc1").asc(), F.col("doc2").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("score").desc(), F.col("doc1").asc(), F.col("doc2").asc()
+    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 def rrf_fuse(
     lexical: DataFrame,
     vector: DataFrame,

@@ -236,6 +236,113 @@ def weighted_sample(
     )
 
 
+def budget_allocation(
+    df: DataFrame,
+    total_n: int,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sample budget
+    across strata: stratum s gets base_s = floor(N * n_s / n) rows, and the
+    N - sum(base) leftover seats go to the strata with the largest division
+    remainders (ties by stratum name asc). Capped at the stratum population,
+    so the realized total is exactly min(N, n). This is the allocation rule
+    survey samplers use for proportional allocation with a hard total — the
+    budget-constrained knob rate-based sampling can't give.
+
+    Output: (stratum, n_rows, base, rem, alloc).
+
+    Exactness: N * n_s runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB
+    oracle) — at a 1e6-row budget over a 1e13-row stratum the product is
+    ~1e19, past int64; the widened arithmetic keeps floor/mod exact on both
+    engines with ~1e38 headroom. base/rem/alloc re-narrow to BIGINT (each is
+    bounded by N or n).
+
+    Scale shape: one map-side-combined count per stratum, then all windows
+    run over the O(#strata) aggregate frame (the mixture_weights pattern) —
+    the corpus is scanned once; the ordered leftover rank is a bounded-frame
+    unpartitioned window, documented in the plan-lint whitelist.
+    """
+    n_lit = int(total_n)
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.withColumn("n", F.sum("n_rows").over(Window.partitionBy()))
+    based = tot.select(
+        "stratum",
+        "n_rows",
+        F.expr(
+            f"CAST(CAST(n_rows AS DECIMAL(38,0)) * {n_lit} "
+            f"DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST(pmod(CAST(n_rows AS DECIMAL(38,0)) * {n_lit}, "
+            f"CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("rem"),
+    )
+    staged = based.withColumn(
+        "leftover", F.lit(n_lit) - F.sum("base").over(Window.partitionBy())
+    ).withColumn(
+        "pr",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+        ),
+    )
+    # a bonus seat always lands on a stratum with rem > 0 (the leftover count
+    # is sum(rem)/n, strictly below the number of nonzero remainders), so
+    # base + 1 <= n_rows whenever N <= n; least() also covers the N > n case
+    # (keep the whole stratum).
+    return staged.select(
+        "stratum",
+        "n_rows",
+        "base",
+        "rem",
+        F.least(
+            F.col("base")
+            + F.when(F.col("pr") <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+            F.col("n_rows"),
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+def budget_sample(
+    df: DataFrame,
+    total_n: int,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Stratified/reservoir hybrid sampler with a hard total budget: allocate
+    exactly N rows across strata proportionally (budget_allocation), then
+    take each stratum's allocation as its reservoir — the top-alloc rows by
+    a deterministic uniform hash tag. Ranking rows by a uniform random tag
+    and keeping the smallest k IS reservoir sampling in its mergeable,
+    distribution-friendly form (each partition keeps a partial top-k, merged
+    by the shuffle) — with a hashed tag instead of rand() so every engine
+    and every run draws the identical sample (the oracle reproduces it
+    bit-for-bit).
+
+    Scale shape: one count aggregate for the allocation (O(#strata) rows,
+    broadcast back), one hash-partitioned window per stratum for the rank.
+    A dominant stratum puts its population through one task's sort — same
+    mitigation as fixed_size_sample: pre-thin with stratified_sample at a
+    rate overshooting its allocation, then rank the survivors.
+    """
+    alloc = budget_allocation(df, total_n, strata_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(strata_col), F.col(key_col)), F.col(key_col)
+    )
+    ranked = df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    return ranked.join(
+        F.broadcast(
+            alloc.select(F.col("stratum").alias(strata_col), "alloc")
+        ),
+        strata_col,
+    ).filter(F.col("rk") <= F.col("alloc"))
+
+
 def group_cap(
     df: DataFrame,
     group_col: str,

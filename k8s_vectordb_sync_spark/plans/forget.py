@@ -34,10 +34,12 @@ directories swapped in with per-bucket renames (old bucket parked in
 with the index delete-propagation ops). A failure any time during the
 heavy phase — scan, anti-join, staging write — leaves the target byte-for-
 byte untouched. The swap itself is O(buckets) metadata renames; a crash
-inside it leaves the previous bucket content in the trash dir for manual
-restore (a plain filesystem cannot commit N renames atomically — that
-final gap is exactly what Delta/Iceberg snapshot commits close in a real
-deployment).
+inside it parks the previous bucket content in a journaled trash dir, and
+every staged-rewrite entry point (this sweep, the sink merge, the index
+delete ops) rolls the table back automatically via
+sources/staging.py::recover_staged_swap before its next read (a plain
+filesystem cannot commit N renames atomically — that final gap is exactly
+what Delta/Iceberg snapshot commits close in a real deployment).
 
 The audit dict is the compliance artifact: requested keys, matched keys,
 rows removed, buckets touched, and whether the layout was verified against
@@ -74,7 +76,7 @@ def read_layout_meta(target_path: str) -> dict | None:
 
 # staged write + per-bucket rename swap shared with the index
 # delete-propagation ops (extracted round 7)
-from ..sources.staging import staged_partition_rewrite  # noqa: E402
+from ..sources.staging import recover_staged_swap, staged_partition_rewrite  # noqa: E402
 
 
 def forget_keys(
@@ -111,6 +113,9 @@ def forget_keys(
         key_col = key_col or "id"
         num_buckets = num_buckets or 64
 
+    # self-heal an interrupted prior swap before building the read plan
+    # (restores journaled in-flight buckets; no-op on a clean target)
+    recover_staged_swap(target_path)
     target = spark.read.parquet(target_path)
     if "_bucket" not in target.columns:
         raise ValueError(

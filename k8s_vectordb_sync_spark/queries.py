@@ -9552,3 +9552,137 @@ def embeddings_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         "mean_cos",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13: TF-IDF near-dup ranking + budget-constrained hybrid sampler
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as smp13  # noqa: E402
+
+BUDGET_SAMPLE_N = 137  # deliberately non-round: exercises the remainder seats
+
+# Shared hash fragment (operators/sampling.py::sample_hash mirror)
+_SQL_SAMPLE_HASH = (
+    "CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 10000"
+)
+
+
+def _sql_budget_alloc_parts(total_n: int) -> list[str]:
+    """Hamilton largest-remainder allocation CTE chain (DuckDB), mirroring
+    operators/sampling.py::budget_allocation: HUGEINT product/floor-div/mod
+    (the DECIMAL(38,0) twin), leftover seats to the largest remainders."""
+    return [
+        "counts AS (SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM documents GROUP BY 1)",
+        "tot AS (SELECT stratum, n_rows, SUM(n_rows) OVER () AS n FROM counts)",
+        f"based AS (SELECT stratum, n_rows, "
+        f"CAST(CAST(n_rows AS HUGEINT) * {total_n} // n AS BIGINT) AS base, "
+        f"CAST(CAST(n_rows AS HUGEINT) * {total_n} % n AS BIGINT) AS rem FROM tot)",
+        f"staged AS (SELECT *, CAST({total_n} AS BIGINT) - SUM(base) OVER () AS leftover, "
+        "row_number() OVER (ORDER BY rem DESC, stratum ASC) AS pr FROM based)",
+        "alloc AS (SELECT stratum, n_rows, base, rem, "
+        "CAST(LEAST(base + CASE WHEN pr <= leftover THEN 1 ELSE 0 END, n_rows) "
+        "AS BIGINT) AS alloc FROM staged)",
+    ]
+
+
+def _sql_budget_alloc() -> str:
+    body = ",\n    ".join(_sql_budget_alloc_parts(BUDGET_SAMPLE_N))
+    return f"""WITH {body}
+    SELECT stratum, n_rows, base, rem, alloc FROM alloc"""
+
+
+@register("documents_budget_alloc", _sql_budget_alloc())
+def documents_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocation audit for the budget sampler: per-stratum population, floor
+    share, remainder, and final seat count under Hamilton largest-remainder
+    apportionment of a 137-row budget (operators/sampling.py::
+    budget_allocation — exact DECIMAL(38,0)/HUGEINT integer arithmetic on
+    both engines; the audit a curation run reviews before committing to a
+    sampled mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return smp13.budget_allocation(docs, BUDGET_SAMPLE_N)
+
+
+def _sql_budget_sample() -> str:
+    body = ",\n    ".join(_sql_budget_alloc_parts(BUDGET_SAMPLE_N))
+    return f"""WITH {body},
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_SQL_SAMPLE_HASH}, doc_id) AS rk
+      FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, a.alloc
+    FROM ranked r JOIN alloc a ON r.source = a.stratum
+    WHERE r.rk <= a.alloc"""
+
+
+@register("documents_budget_sample", _sql_budget_sample())
+def documents_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified/reservoir hybrid sample with a hard 137-row total budget
+    (operators/sampling.py::budget_sample): Hamilton apportionment decides
+    each stratum's reservoir size, a deterministic hash-rank top-alloc
+    draws it (the mergeable 'rank by uniform tag' form of reservoir
+    sampling, hashed so the DuckDB oracle reproduces the exact row set).
+    Emits exactly min(137, corpus) rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = smp13.budget_sample(docs, BUDGET_SAMPLE_N)
+    return out.select("doc_id", "source", "rk", "alloc")
+
+
+def _sql_tfidf_neardup() -> str:
+    return f"""WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+      (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents) GROUP BY doc_id, term),
+    ndocs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, df, round(ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE) /
+                                   CAST(df + 0.5 AS DOUBLE)), 6) AS idf
+            FROM dfreq CROSS JOIN ndocs),
+    w AS (SELECT t.doc_id, t.term, i.df, round(t.tf * i.idf, 6) AS w
+          FROM tf t JOIN idf i ON t.term = i.term),
+    norms AS (SELECT doc_id, SUM(CAST(round(w * w, 6) AS DECIMAL(28,6))) AS norm_sq
+              FROM w GROUP BY doc_id),
+    sh AS (SELECT doc_id, unnest({_sql_shingles(SQL_NTOKS)}) AS s FROM documents),
+    sdf AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS sdf FROM sh GROUP BY s),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN sdf ON sh.s = sdf.s
+             WHERE sdf.sdf BETWEEN 2 AND {ret.NEARDUP_SHINGLE_DF_MAX}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+             FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+    dots AS (
+      SELECT c.doc1, c.doc2,
+             CAST(SUM(CAST(round(w1.w * w2.w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cand c
+      JOIN w w1 ON w1.doc_id = c.doc1
+      JOIN w w2 ON w2.doc_id = c.doc2 AND w2.term = w1.term
+      GROUP BY c.doc1, c.doc2),
+    scored AS (
+      SELECT d.doc1, d.doc2, d.n_shared,
+             CASE WHEN n1.norm_sq > 0 AND n2.norm_sq > 0
+                  THEN round(d.dot / sqrt(CAST(n1.norm_sq AS DOUBLE) *
+                                          CAST(n2.norm_sq AS DOUBLE)), 6)
+                  ELSE 0.0 END AS score
+      FROM dots d
+      JOIN norms n1 ON n1.doc_id = d.doc1
+      JOIN norms n2 ON n2.doc_id = d.doc2)
+    SELECT doc1, doc2, n_shared, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc1, doc2) AS BIGINT) AS rank
+    FROM scored ORDER BY score DESC, doc1, doc2 LIMIT {ret.NEARDUP_TOPK}"""
+
+
+@register("documents_tfidf_neardup_topk", _sql_tfidf_neardup())
+def documents_tfidf_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted near-duplicate ranking (operators/retrieval.py::
+    tfidf_neardup_topk): top-50 document pairs by full TF-IDF cosine over
+    the inverted-index posting frame, candidates blocked through rare
+    shared shingles (2 <= shingle-df <= 10) — the graded complement to the
+    threshold dedup miners, used to choose a cutoff or audit near-miss
+    pairs. Global top-k rides TakeOrderedAndProject; the rank window runs
+    over the 50-row survivor frame (whitelisted bounded shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = ret.build_postings(docs)
+    return ret.tfidf_neardup_topk(docs, postings)

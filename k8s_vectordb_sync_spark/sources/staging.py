@@ -85,6 +85,42 @@ def staged_partition_rewrite(
     return int(after)
 
 
+def recover_staged_swap(table_path: str) -> dict:
+    """Roll BACK an interrupted ``_swap_partitions``: restore every old
+    partition dir still parked in the trash (the old generation is
+    authoritative — a staged dir that already renamed into place is
+    displaced back out), then drop the trash and staging dirs, leaving the
+    table at the pre-swap generation. The caller replays the interrupted
+    batch, whose re-merge recreates the new generation idempotently.
+
+    Journal-driven and idempotent: the swap writes ``_journal.json`` before
+    the first rename, so recovery knows exactly which partitions were in
+    flight; with no journal present this is a no-op cleanup. If the crash
+    landed after the last rename but before trash cleanup, rollback restores
+    a fully-swapped table to the OLD generation — still correct, because the
+    batch's checkpoint had not committed (write_batch had not returned), so
+    the stream replays it. Returns {"restored": [dirnames]}.
+    """
+    trash = os.path.join(table_path, TRASH_DIR)
+    tmp = os.path.join(table_path, STAGE_DIR)
+    journal = os.path.join(trash, "_journal.json")
+    restored: list[str] = []
+    if os.path.exists(journal):
+        with open(journal) as fh:
+            partitions = json.load(fh)["partitions"]
+        for d in partitions:
+            parked = os.path.join(trash, d)
+            if os.path.exists(parked):
+                final = os.path.join(table_path, d)
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                os.rename(parked, final)
+                restored.append(d)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"restored": restored}
+
+
 def staged_table_rewrite(kept: DataFrame, table_path: str) -> int:
     """Whole-table variant (for unpartitioned tables, e.g. the sign-code
     table): stage the full rewrite next to the table, then swap the table

@@ -33,6 +33,34 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..config import EngineConfig
 
+# the delete priority path runs on its own fixed short cadence, independent
+# of the configured flush interval (that independence IS the bypass — the
+# reference short-circuits deletes past all buffering, debounce.go:105-121)
+DELETE_FAST_PATH_TRIGGER_MS = 1_000
+
+
+def flush_trigger(config: EngineConfig) -> dict:
+    """The trigger the instance/CRD sync queries run on when the caller does
+    not override: one micro-batch per BATCH_FLUSH_INTERVAL_MS (the
+    reference's flush ticker, debounce.go:153-232 / config.go:49). A pure
+    function of config so tests can assert the wiring without starting a
+    query (tests/test_config_topology.py)."""
+    return {"processingTime": f"{config.batch_flush_interval_ms} milliseconds"}
+
+
+def delete_trigger(config: EngineConfig) -> dict:
+    """The delete fast path's trigger — deliberately NOT derived from the
+    flush interval (config is accepted for signature symmetry and future
+    knobs)."""
+    return {"processingTime": f"{DELETE_FAST_PATH_TRIGGER_MS} milliseconds"}
+
+
+def watermark_delay_s(config: EngineConfig) -> int:
+    """Watermark lag the debounce queries use: 2x the debounce window (late
+    data inside one window must still dedup; beyond two windows the
+    reference would have flushed anyway)."""
+    return max(config.debounce_window_ms // 1000, 1) * 2
+
 
 def debounced_micro_batch(
     change_stream: DataFrame,
@@ -50,10 +78,11 @@ def debounced_micro_batch(
     watermarked dropDuplicatesWithinWatermark removes replayed duplicates by
     (key, event identity).
     """
-    gap_s = max(config.debounce_window_ms // 1000, 1)
     dedup_cols = [key_col, *tiebreak_cols]
     return (
-        change_stream.withWatermark(ts_col, f"{gap_s * 2} seconds")
+        change_stream.withWatermark(
+            ts_col, f"{watermark_delay_s(config)} seconds"
+        )
         .dropDuplicatesWithinWatermark(dedup_cols)
     )
 
@@ -103,7 +132,7 @@ def start_instance_sync(
             checkpoint_dir or config.checkpoint_dir,
         )
     )
-    trigger = trigger or {"processingTime": f"{config.batch_flush_interval_ms} milliseconds"}
+    trigger = trigger or flush_trigger(config)
     writer = writer.trigger(**trigger)
     return writer.start()
 
@@ -123,10 +152,9 @@ def start_crd_sync(
     (cmd/main.go:147-171)."""
     if not config.crd_pipeline_enabled:
         return None
-    gap_s = max(config.debounce_window_ms // 1000, 1)
     deduped = (
         crd_stream.filter(F.col("event_type") != "UPDATE")  # watcher.go:241-243
-        .withWatermark(ts_col, f"{gap_s * 2} seconds")
+        .withWatermark(ts_col, f"{watermark_delay_s(config)} seconds")
         .dropDuplicatesWithinWatermark([name_col, "event_type"])
     )
     writer = (
@@ -134,7 +162,7 @@ def start_crd_sync(
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir or config.checkpoint_dir + "/crd")
     )
-    trigger = trigger or {"processingTime": f"{config.batch_flush_interval_ms} milliseconds"}
+    trigger = trigger or flush_trigger(config)
     writer = writer.trigger(**trigger)
     return writer.start()
 
@@ -173,6 +201,6 @@ def start_delete_fast_path(
             checkpoint_dir or config.checkpoint_dir + "/deletes",
         )
     )
-    trigger = trigger or {"processingTime": "1 second"}
+    trigger = trigger or delete_trigger(config)
     writer = writer.trigger(**trigger)
     return writer.start()

@@ -173,17 +173,26 @@ def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int 
     Scale posture: the target is laid out as ``_bucket=pmod(xxhash64(key), N)``
     directory partitions, and each micro-batch touches ONLY the buckets its
     keys hash into — a batch with 1 key reads 1/N of the target (partition
-    pruning on the scan) and rewrites 1 partition directory via dynamic
-    partition overwrite. Untouched buckets are never read, never deleted,
-    never rewritten; per-batch work is O(|touched buckets|), not O(|target|).
-    A crash mid-commit can leave a touched bucket stale, but checkpoint
-    replay re-merges that batch idempotently — there is no window where the
-    whole target is deleted (the failure mode of a plain full overwrite).
-    On Delta/Iceberg this entire function is `MERGE INTO`; plain parquet is
-    what this container has.
+    pruning on the scan) and rewrites 1 partition directory. Untouched
+    buckets are never read, never deleted, never rewritten; per-batch work
+    is O(|touched buckets|), not O(|target|).
+
+    Atomicity contract (round 13): the merge commits through
+    sources/staging.py's stage-then-rename-swap — the heavy write lands in a
+    hidden staging dir with full lineage (a crash there leaves the target
+    byte-identical), and the publish is per-bucket renames behind a trash
+    journal, so a reader sees each bucket at the OLD generation or the NEW
+    one, never a half-written directory. A crash inside the rename window is
+    rolled back by staging.recover_staged_swap (old generation restored from
+    the journaled trash) and checkpoint replay re-merges the batch
+    idempotently. The cross-bucket rename sequence is the one gap a plain
+    filesystem cannot close — Delta/Iceberg snapshot commits (`MERGE INTO`)
+    are the deployment answer; fault-injection coverage:
+    tests/test_sink_faults.py.
     """
     from ..plans.forget import read_layout_meta, write_layout_meta
     from ..plans.resync import merge_deletes, merge_upserts
+    from ..sources.staging import recover_staged_swap, staged_partition_rewrite
 
     bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
@@ -203,6 +212,13 @@ def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int 
                 f"layout {layout}, sink configured with key_col={key_col!r}/"
                 f"num_buckets={num_buckets} — refusing a cross-layout merge"
             )
+        # self-healing replay: if the previous batch crashed inside the
+        # rename-swap window, roll the target back to the old generation
+        # BEFORE building the read plan (an absent in-flight bucket would
+        # otherwise vanish from the merge input, and the next swap's trash
+        # reset would discard the parked old dirs permanently — the loss
+        # mode tests/test_sink_faults.py injects). No-op on a clean target.
+        recover_staged_swap(target_path)
         spark = resolved.sparkSession
         batch = resolved.withColumn("_bucket", bucket_expr)
         # bucket ids only — bounded by num_buckets, never data rows
@@ -233,27 +249,31 @@ def parquet_upsert_sink(target_path: str, key_col: str = "id", num_buckets: int 
             merged = merge_deletes(merged, deletes, key_col)
         else:
             merged = upserts
-        # Materialize before writing: Spark refuses to overwrite a path it is
-        # reading in the same plan. Only the touched buckets are checkpointed,
-        # so the footprint is the batch's working set, not the target.
-        merged = merged.localCheckpoint()
-        (
-            merged.write.mode("overwrite")
-            # static for the one-shot legacy migration (truncates the path,
-            # removing the old flat part files); dynamic afterwards
-            .option("partitionOverwriteMode", "static" if legacy else "dynamic")
-            .partitionBy("_bucket")
-            .parquet(target_path)
-        )
-        if exists:
-            # dynamic overwrite only replaces partitions PRESENT in the output;
-            # a touched bucket whose keys were all deleted produces no rows, so
-            # clear it explicitly with an empty static overwrite of that dir.
-            remaining = {
-                r["_bucket"] for r in merged.select("_bucket").distinct().collect()
-            }
-            empty = spark.createDataFrame([], merged.drop("_bucket").schema)
-            for b in set(touched) - remaining:
-                empty.write.mode("overwrite").parquet(f"{target_path}/_bucket={b}")
+        if legacy:
+            # one-shot migration: a full static overwrite re-lays the target
+            # out as _bucket partitions and clears the old flat part files.
+            # localCheckpoint materializes first (Spark refuses to overwrite
+            # a path it is reading in the same plan); the checkpoint-loss
+            # window is confined to this single adoption write.
+            (
+                merged.localCheckpoint()
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("_bucket")
+                .parquet(target_path)
+            )
+        else:
+            # crash-safe merge commit (round 13): stage the merged touched
+            # buckets to a hidden dir with FULL lineage (any failure during
+            # the heavy write leaves the table byte-identical — no
+            # localCheckpoint durability hole), then per-bucket rename swap
+            # with a trash journal. A crash inside the swap window leaves
+            # every bucket either old-generation or new-generation (never a
+            # half-written dir); recover_staged_swap rolls the table back to
+            # the old generation and checkpoint replay re-merges the batch
+            # idempotently. Vacated buckets (all keys deleted) swap in as
+            # empty schema-bearing dirs. Tested by fault injection in
+            # tests/test_sink_faults.py.
+            staged_partition_rewrite(merged, target_path, "_bucket", touched)
 
     return write_batch

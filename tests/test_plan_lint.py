@@ -48,6 +48,13 @@ import pytest
 from k8s_vectordb_sync_spark.queries import QUERIES
 
 UNPARTITIONED_WINDOW_WHITELIST = {
+    # round 13: budget sampler's leftover-seat rank runs over the O(#strata)
+    # post-aggregate allocation frame (the mixture_weights shape); the
+    # neardup rank runs over the 50-row TakeOrderedAndProject survivor frame
+    # (the documents_global_topk_quality shape)
+    "documents_budget_alloc",
+    "documents_budget_sample",
+    "documents_tfidf_neardup_topk",
     "cdc_payload_batches",
     "documents_global_topk_quality",
     "documents_term_pmi",
