@@ -266,20 +266,41 @@ def neardup_candidates(
     bounds every shingle's contribution at C(df_max, 2) pairs — the same
     blowup bound as the LSH band join; df=1 shingles pair with nothing and
     drop out via the df >= 2 side of the band."""
-    sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col))).alias("s"),
+    # shingles hash to int64 immediately (md5-prefix, engine-exact): every
+    # downstream shuffle/join moves 8-byte keys instead of ~20-char strings
+    # (the documents_source_overlap span-hash trick); a 60-bit hash over a
+    # shingle vocabulary is collision-negligible and IDENTICAL in the
+    # oracle, so any collision affects both engines equally.
+    # _spread: the shingle build is CPU-bound per row; a local parquet file
+    # can arrive as fewer splits than cores (row-group floor), serializing
+    # it — at warehouse scale the input is already many splits and the
+    # repartition is a no-op (operators/dedup.py convention).
+    from .dedup import _spread
+
+    sh = (
+        _spread(documents.select(text_col, id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.shingles(F.col(text_col))).alias("s"),
+        )
+        .select("doc_id", T.md5_prefix_long(F.col("s")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sdf = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
+    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf"))
+    # rare is tiny (df-capped: at most df_max rows per surviving shingle) —
+    # pin it so the self-join reads the cache instead of re-exploding the
+    # corpus on both sides. The band filter joins on the 8-byte hash; at
+    # 100 TB the rare-shingle vocabulary is far beyond broadcast size, so
+    # this stays a shuffle join by design.
     rare = sh.join(
         sdf.filter(
             (F.col("sdf") >= 2) & (F.col("sdf") <= shingle_df_max)
-        ).select("s"),
-        "s",
-    )
+        ).select("sh"),
+        "sh",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return (
         rare.alias("a")
-        .join(rare.alias("b"), "s")
+        .join(rare.alias("b"), "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
@@ -328,12 +349,25 @@ def tfidf_neardup_topk(
     # runtime every reference reads this cache and the identical
     # broadcast-idf subtrees are ReuseExchange'd.
     weights = tfidf_weights(postings).persist(StorageLevel.MEMORY_AND_DISK)
+    # norms ride THROUGH the dot-product join instead of two post-aggregate
+    # joins: each weight leg carries its document's norm_sq (one doc-keyed
+    # join against the cached weight frame, before the pair expansion), the
+    # pair groupBy picks it up with max() (constant within a group), and the
+    # score is computed directly on the aggregate — two shuffles of the
+    # pair frame removed from the critical path.
     norms = tfidf_doc_norms(weights)
-    wa = weights.select(
-        F.col("doc_id").alias("doc1"), "term", F.col("w").alias("w1")
+    wn = weights.join(norms, "doc_id")
+    wa = wn.select(
+        F.col("doc_id").alias("doc1"),
+        "term",
+        F.col("w").alias("w1"),
+        F.col("norm_sq").alias("n1"),
     )
-    wb = weights.select(
-        F.col("doc_id").alias("doc2"), "term", F.col("w").alias("w2")
+    wb = wn.select(
+        F.col("doc_id").alias("doc2"),
+        "term",
+        F.col("w").alias("w2"),
+        F.col("norm_sq").alias("n2"),
     )
     dots = (
         cand.join(wa, "doc1")
@@ -341,6 +375,8 @@ def tfidf_neardup_topk(
         .select(
             "doc1",
             "doc2",
+            "n1",
+            "n2",
             F.round(F.col("w1") * F.col("w2"), 6)
             .cast("decimal(28,6)")
             .alias("c"),
@@ -349,38 +385,26 @@ def tfidf_neardup_topk(
         .agg(
             F.sum("c").cast("double").alias("dot"),
             F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
         )
     )
-    scored = (
-        dots.join(
-            norms.select(
-                F.col("doc_id").alias("doc1"), F.col("norm_sq").alias("n1")
-            ),
-            "doc1",
-        )
-        .join(
-            norms.select(
-                F.col("doc_id").alias("doc2"), F.col("norm_sq").alias("n2")
-            ),
-            "doc2",
-        )
-        .select(
-            "doc1",
-            "doc2",
-            "n_shared",
-            F.when(
-                (F.col("n1") > 0) & (F.col("n2") > 0),
-                F.round(
-                    F.col("dot")
-                    / F.sqrt(
-                        F.col("n1").cast("double") * F.col("n2").cast("double")
-                    ),
-                    6,
+    scored = dots.select(
+        "doc1",
+        "doc2",
+        "n_shared",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(
+                F.col("dot")
+                / F.sqrt(
+                    F.col("n1").cast("double") * F.col("n2").cast("double")
                 ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("score"),
+                6,
+            ),
         )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     topk = scored.orderBy(
         F.col("score").desc(), F.col("doc1").asc(), F.col("doc2").asc()

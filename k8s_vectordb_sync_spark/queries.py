@@ -9646,12 +9646,13 @@ def _sql_tfidf_neardup() -> str:
           FROM tf t JOIN idf i ON t.term = i.term),
     norms AS (SELECT doc_id, SUM(CAST(round(w * w, 6) AS DECIMAL(28,6))) AS norm_sq
               FROM w GROUP BY doc_id),
-    sh AS (SELECT doc_id, unnest({_sql_shingles(SQL_NTOKS)}) AS s FROM documents),
-    sdf AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS sdf FROM sh GROUP BY s),
-    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN sdf ON sh.s = sdf.s
+    shs AS (SELECT doc_id, unnest({_sql_shingles(SQL_NTOKS)}) AS s FROM documents),
+    sh AS (SELECT doc_id, {SQL_H15.format(x='s')} AS sh FROM shs),
+    sdf AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS sdf FROM sh GROUP BY sh),
+    rare AS (SELECT sh.doc_id, sh.sh FROM sh JOIN sdf ON sh.sh = sdf.sh
              WHERE sdf.sdf BETWEEN 2 AND {ret.NEARDUP_SHINGLE_DF_MAX}),
     cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-             FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+             FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
     dots AS (
       SELECT c.doc1, c.doc2,
              CAST(SUM(CAST(round(w1.w * w2.w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS dot,
