@@ -228,14 +228,25 @@ def build_ivf_pq_index(
             "n_clusters_floor": n_clusters_floor,
         })
 
-    centroids = kmeans_centroids(
-        embeddings, n_clusters, kmeans_iterations, vec_col=vec_col,
-        id_col=id_col, sample_hex=sample_hex,
-    )
-    codebooks = pq_codebooks(
-        embeddings, m, n_codes, pq_iterations, vec_col, id_col, dim=dim,
-        sample_hex=sample_hex,
-    )
+    # independent trainings overlapped from two driver threads (the
+    # similarity.ivf_pq_topk rationale): each is a chain of small sequential
+    # jobs, and running them concurrently back-fills idle executors without
+    # changing either result
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _cent_f = _pool.submit(
+            kmeans_centroids,
+            embeddings, n_clusters, kmeans_iterations, vec_col=vec_col,
+            id_col=id_col, sample_hex=sample_hex,
+        )
+        _books_f = _pool.submit(
+            pq_codebooks,
+            embeddings, m, n_codes, pq_iterations, vec_col, id_col, dim=dim,
+            sample_hex=sample_hex,
+        )
+        centroids = _cent_f.result()
+        codebooks = _books_f.result()
     sub = dim // m
 
     cent_df = spark.createDataFrame(

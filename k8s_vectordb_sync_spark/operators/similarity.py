@@ -28,6 +28,7 @@ fraction by bucket/centroid pruning — a partition-pruning analogue.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 from typing import Iterable, Mapping
 
@@ -122,24 +123,40 @@ def _sql_double_lit(v: float) -> str:
 
 
 def arr_lit(values):
-    """A (possibly nested) float-array literal built as ONE SQL-string
-    F.expr instead of the elementwise F.array(*[F.lit(v) ...]) tree.
-    Values and schema are identical (same doubles via round-trip repr,
-    array<double> / array<array<double>>, asserted equal incl. NaN in
-    tests), but the build cost collapses: the elementwise form crosses
-    py4j once per element (~280-360 ms for an 8x64 centroid set), the
-    string form once per ARRAY (~3 ms) — the difference dominates the
-    iterative trainers (kmeans / PQ / power iteration), which rebuild
-    their literals every iteration."""
+    """A (possibly nested) float-array literal built as ONE
+    ``from_json(<string literal>)`` expression instead of an elementwise
+    ``array(lit, lit, ...)`` tree. Values and schema are identical (doubles
+    round-trip exactly: json.dumps renders repr-shortest strings and
+    Spark's JSON reader parses them with Double.parseDouble; asserted equal
+    incl. NaN in tests), but the expression tree collapses from one node
+    PER ELEMENT to two nodes total — and the analyzer walks the tree on
+    EVERY eager Dataset analysis, so an 8x64 centroid matrix as ~1100
+    literal nodes taxed each iteration of the trainers (kmeans / PQ / power
+    iteration) with hundreds of ms of pure analysis. ``from_json`` of a
+    literal is constant-folded by the optimizer into the SAME array literal
+    the old form produced (verified on the optimized plan), so execution —
+    and every emitted value — is bit-identical, at any scale; nothing is
+    parsed per row.
+
+    Non-finite values (NaN/Inf) have no JSON form; those arrays fall back
+    to the one-SQL-string ``array(...)`` build (one py4j call, same
+    values)."""
     if not values:
         raise ValueError("arr_lit needs a non-empty value list")
-    if isinstance(values[0], (list, tuple)):
+    nested = isinstance(values[0], (list, tuple))
+    rows = [[float(v) for v in row] for row in values] if nested else None
+    flat = [v for row in rows for v in row] if nested else [float(v) for v in values]
+    if all(math.isfinite(v) for v in flat):
+        schema = "array<array<double>>" if nested else "array<double>"
+        payload = json.dumps(rows if nested else flat)
+        return F.from_json(F.lit(payload), schema)
+    if nested:
         body = ",".join(
             "array(" + ",".join(_sql_double_lit(v) for v in row) + ")"
-            for row in values
+            for row in rows
         )
     else:
-        body = ",".join(_sql_double_lit(v) for v in values)
+        body = ",".join(_sql_double_lit(v) for v in flat)
     return F.expr(f"array({body})")
 
 
@@ -1291,9 +1308,6 @@ def ivf_pq_topk(
     codebooks) honor ``sample_hex`` hash-sampling; each is a few KB
     broadcast back as plan literals.
     """
-    centroids = kmeans_centroids(
-        embeddings, n_clusters, vec_col=vec_col, id_col=id_col, sample_hex=sample_hex
-    )
     dim = _probe_dim(embeddings, vec_col)
     if dim is None:
         qid_t = queries.schema[query_id_col].dataType.simpleString()
@@ -1301,10 +1315,38 @@ def ivf_pq_topk(
         return embeddings.sparkSession.createDataFrame(
             [], f"query_id {qid_t}, neighbor_id {nid_t}, score double, rank int"
         )
-    codebooks = pq_codebooks(
-        embeddings, m, n_codes, pq_iterations, vec_col, id_col, dim=dim,
-        sample_hex=sample_hex,
-    )
+    # The two trainings are INDEPENDENT (PQ quantizes raw sub-vectors, not
+    # residuals), but each is a driver-coordinated loop of small sequential
+    # jobs that leaves most executor cores idle — so overlap them from two
+    # driver threads and let the scheduler back-fill (Spark runs concurrent
+    # jobs from one application; FIFO scheduling gives exactly the
+    # fill-the-tail behaviour wanted here). Each training's result is a pure
+    # function of its own inputs, so outputs are bit-identical to the
+    # sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _cent_f = _pool.submit(
+            kmeans_centroids,
+            embeddings,
+            n_clusters,
+            vec_col=vec_col,
+            id_col=id_col,
+            sample_hex=sample_hex,
+        )
+        _books_f = _pool.submit(
+            pq_codebooks,
+            embeddings,
+            m,
+            n_codes,
+            pq_iterations,
+            vec_col,
+            id_col,
+            dim=dim,
+            sample_hex=sample_hex,
+        )
+        centroids = _cent_f.result()
+        codebooks = _books_f.result()
     sub = dim // m
     base = assign_clusters(embeddings, [c for _, c in centroids], vec_col).select(
         F.col(id_col).alias("neighbor_id"),
