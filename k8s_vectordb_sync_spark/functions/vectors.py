@@ -46,15 +46,24 @@ def quantize_int8(a: Column) -> Column:
     every engine reproduces identical values. Zero vectors quantize to zeros.
     """
     amax = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
-    return F.when(
-        amax > 0,
-        F.transform(
-            a,
-            lambda x: F.floor(x.cast("double") * F.lit(127.0) / amax + F.lit(0.5)).cast(
-                "bigint"
+
+    # let-bind amax through a single-element transform: interpreted HOF
+    # lambdas re-evaluate captured subexpressions per element, so
+    # referencing amax (itself an O(dim) scan) inside the per-element
+    # lambda cost O(dim^2) per row. `am` is the materialized scalar;
+    # values are bit-identical.
+    def _with(am: Column) -> Column:
+        return F.when(
+            am > 0,
+            F.transform(
+                a,
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(127.0) / am + F.lit(0.5)
+                ).cast("bigint"),
             ),
-        ),
-    ).otherwise(F.transform(a, lambda x: F.lit(0).cast("bigint")))
+        ).otherwise(F.transform(a, lambda x: F.lit(0).cast("bigint")))
+
+    return F.element_at(F.transform(F.array(amax), _with), 1)
 
 
 def quantize_scale(a: Column) -> Column:

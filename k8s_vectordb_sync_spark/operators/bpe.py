@@ -92,20 +92,27 @@ def learn_bpe_merges(
     vocab = vocab.localCheckpoint()
     merges: list[tuple[str, str]] = []
     for it in range(n_merges):
-        arr = F.split(F.col("sym"), " ")
-        # guard the fully-merged single-symbol word: sequence(1, 0) would
-        # generate DESCENDING [1, 0] and index out of bounds (the
-        # _span_arrays pitfall; CaseWhen evaluates lazily)
-        pair_arr = F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.struct(
-                    F.element_at(arr, i).alias("a"),
-                    F.element_at(arr, i + 1).alias("b"),
+        # let-bind the split array (functions/text.py::shingles rationale):
+        # element_at(arr, i) inside the per-index lambda re-split the word
+        # once per pair position — O(len^2) per word per merge round
+        def _pairs_of(a):
+            # guard the fully-merged single-symbol word: sequence(1, 0)
+            # would generate DESCENDING [1, 0] and index out of bounds (the
+            # _span_arrays pitfall; CaseWhen evaluates lazily)
+            return F.when(
+                F.size(a) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(a) - 1),
+                    lambda i: F.struct(
+                        F.element_at(a, i).alias("a"),
+                        F.element_at(a, i + 1).alias("b"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+        pair_arr = F.element_at(
+            F.transform(F.array(F.split(F.col("sym"), " ")), _pairs_of), 1
+        )
         pairs = vocab.select("freq", F.explode(pair_arr).alias("p"))
         best = (
             pairs.groupBy("p")

@@ -1203,16 +1203,30 @@ def pq_topk(
         sample_hex=sample_hex,
     )
     sub = dim // m
+    # hoist the per-side norms OUT of the per-pair score (the
+    # brute_force_topk __nv/__nq pattern): cosine(qv, rv) recomputed
+    # norm(rv) and norm(qv) once per (query, neighbor) PAIR although each
+    # is constant per row/query — at Q queries that is 2/3 of the pair
+    # arithmetic for the same values (norms hoisted as attributes, same
+    # multiply order, bit-identical scores). rv is pinned in its own
+    # projection first so the norm reads the attribute, not a second
+    # reconstruct pass.
     recon = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         pq_reconstruct_expr(F.col(vec_col), codebooks, sub).alias("rv"),
-    )
+    ).select("neighbor_id", "rv", norm(F.col("rv")).alias("__nv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
+        norm(F.col(query_vec_col)).alias("__nq"),
     )
+    denom = F.col("__nq") * F.col("__nv")
     scored = recon.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("rv")).alias("score")
+        "query_id",
+        "neighbor_id",
+        F.when(denom > 0, dot(F.col("qv"), F.col("rv")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     return topk_per_query(scored, k)
 
@@ -1348,10 +1362,16 @@ def ivf_pq_topk(
         centroids = _cent_f.result()
         codebooks = _books_f.result()
     sub = dim // m
-    base = assign_clusters(embeddings, [c for _, c in centroids], vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_reconstruct_expr(F.col(vec_col), codebooks, sub).alias("rv"),
-        "cluster",
+    base = (
+        assign_clusters(embeddings, [c for _, c in centroids], vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            pq_reconstruct_expr(F.col(vec_col), codebooks, sub).alias("rv"),
+            "cluster",
+        )
+        # second projection so the norm reads the rv ATTRIBUTE (pq_topk
+        # rationale): hoisted once per row instead of per (query, row) pair
+        .select("neighbor_id", "rv", F.sqrt(dot(F.col("rv"), F.col("rv"))).alias("__nv"), "cluster")
     )
     cent_df = queries.sparkSession.createDataFrame(
         list(centroids), schema="cluster int, centroid array<double>"
@@ -1375,12 +1395,20 @@ def ivf_pq_topk(
     probes = (
         qc.withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "query_vec", "cluster")
+        .select(
+            "query_id",
+            "query_vec",
+            norm(F.col("query_vec")).alias("__nq"),
+            "cluster",
+        )
     )
+    denom = F.col("__nq") * F.col("__nv")
     scored = base.join(F.broadcast(probes), "cluster").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("rv")).alias("score"),
+        F.when(denom > 0, dot(F.col("query_vec"), F.col("rv")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     return topk_per_query(scored, k)
 

@@ -9532,10 +9532,18 @@ def embeddings_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64, sample_hex=_TRAIN_SAMPLE_HEX,
     )
     sub = 64 // sim.PQ_M
+    # materialize x and rv as attributes BEFORE cosine: cosine(a, b)
+    # references each argument several times (dot + both norms + the
+    # zero-denominator guard), and an expression argument is re-evaluated
+    # per reference — for rv that meant ~6 full PQ argmin+reconstruct
+    # passes per row. Two projections pin them to one evaluation each;
+    # values are bit-identical.
     x = F.transform(F.col("embedding"), lambda e: e.cast("double"))
-    rv = sim.pq_reconstruct_expr(x, codebooks, sub)
-    c = F.round(cosine(x, rv), 6)
-    cb = emb.select(c.alias("c"))
+    pre = emb.select(x.alias("__x")).select(
+        "__x", sim.pq_reconstruct_expr(F.col("__x"), codebooks, sub).alias("__rv")
+    )
+    c = F.round(cosine(F.col("__x"), F.col("__rv")), 6)
+    cb = pre.select(c.alias("c"))
     dist = cb.groupBy(
         F.least(F.floor(F.col("c") / F.lit(0.05)), F.lit(19)).cast("bigint").alias("bin")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
