@@ -554,12 +554,26 @@ def ivf_pq_probe(
         F.concat(*pieces).alias("rv"),
     )
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
+    # per-side norms hoisted out of the per-pair score (the
+    # similarity.pq_topk rationale): norm(rv) is constant per row and
+    # norm(query_vec) per query — cosine() recomputed both per
+    # (query, neighbor) pair. rv is pinned in its own projection first so
+    # the norm reads the attribute; same multiply order, bit-identical.
+    recon = recon.select(
+        "neighbor_id", "cluster", "rv", norm(F.col("rv")).alias("__nv")
+    )
+    probes = probes.select(
+        "query_id", "query_vec", norm(F.col("query_vec")).alias("__nq"), "cluster"
+    )
+    denom = F.col("__nq") * F.col("__nv")
     scored = recon.join(F.broadcast(probes), "cluster").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("rv")).alias("score"),
+        F.when(denom > 0, dot(F.col("query_vec"), F.col("rv")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     return topk_per_query(scored, k)
 
