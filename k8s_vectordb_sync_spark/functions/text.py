@@ -45,10 +45,22 @@ def token_count_bpe(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are stopwords."""
+    """Fraction of whitespace tokens that are stopwords.
+
+    The token array is let-bound through a single-element transform (the
+    shingles() rationale): `tokens(text)` is itself a higher-order filter,
+    so the three references below would re-tokenize the row three times —
+    HOF-containing expressions are CodegenFallback and get no
+    subexpression elimination. Values are bit-identical."""
     toks = tokens(text)
-    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
+
+    def _from(tk: Column) -> Column:
+        stops = F.filter(tk, lambda t: t.isin(*STOPWORDS))
+        return F.when(F.size(tk) > 0, F.size(stops) / F.size(tk)).otherwise(
+            F.lit(0.0)
+        )
+
+    return F.element_at(F.transform(F.array(toks), _from), 1)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -61,13 +73,18 @@ def punct_ratio(text: Column) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
+    # let-bound like stopword_ratio: three references, one tokenization
     toks = tokens(text)
-    total = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
-    )
-    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
-        F.lit(0.0)
-    )
+
+    def _from(tk: Column) -> Column:
+        total = F.aggregate(
+            F.transform(tk, F.length), F.lit(0), lambda acc, x: acc + x
+        )
+        return F.when(
+            F.size(tk) > 0, total.cast("double") / F.size(tk)
+        ).otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(toks), _from), 1)
 
 
 def quality_score(text: Column) -> Column:
