@@ -110,31 +110,8 @@ def quality_score(text: Column) -> Column:
 QUALITY_COUNT_NAMES = ("q_nchars", "q_nt", "q_ns", "q_dp", "q_np", "q_chars")
 
 
-def quality_count_cols(text: Column) -> list[Column]:
-    """The integer counts behind the quality family, null-safe, as aliased
-    columns: raw char count, token count, stopword count, non-space char
-    count, punctuation char count, summed token length."""
-    toks = tokens(text)
-    nospace = F.regexp_replace(text, "\\s+", "")
-    return [
-        F.coalesce(F.length(text), F.lit(0)).cast("bigint").alias("q_nchars"),
-        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("q_nt"),
-        F.coalesce(
-            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))), F.lit(0)
-        ).cast("bigint").alias("q_ns"),
-        F.coalesce(F.length(nospace), F.lit(0)).cast("bigint").alias("q_dp"),
-        F.coalesce(
-            F.length(F.regexp_replace(nospace, "[a-zA-Z0-9]", "")), F.lit(0)
-        ).cast("bigint").alias("q_np"),
-        F.coalesce(
-            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x),
-            F.lit(0),
-        ).cast("bigint").alias("q_chars"),
-    ]
-
-
 def quality_4dp_from_counts() -> Column:
-    """round(quality_score, 4) over the quality_count_cols columns, exact:
+    """round(quality_score, 4) over the QUALITY_COUNT_NAMES columns, exact:
     quality = (min(L,500)/500 + (1 - min(4*np, dp)/dp) + min(5*ns, nt)/nt)/3
     = num / (1500 * dp' * nt') with dp'/nt' floored at 1 (the floored
     branch only fires when the corresponding numerator count is 0, so the
@@ -151,23 +128,52 @@ def quality_4dp_from_counts() -> Column:
     return exact_ratio(num, den, 4)
 
 
-def with_quality_4dp(df, text_col: str = "text", out_col: str = "quality"):
-    """Append the exact-integer rounded composite quality column; the
-    intermediate count columns are dropped. One projection, no shuffle."""
-    return (
-        df.select("*", *quality_count_cols(F.col(text_col)))
-        .withColumn(out_col, quality_4dp_from_counts())
-        .drop(*QUALITY_COUNT_NAMES)
+def with_quality_counts(df, text_col: str = "text"):
+    """Append the QUALITY_COUNT_NAMES columns with the token array and the
+    no-space string each materialized ONCE per row: the six count
+    expressions reference the pinned aliases instead of re-running the
+    tokenizing regex / whitespace-strip per count (higher-order functions
+    are CodegenFallback, so nothing eliminates the repeated subtrees —
+    the stopword_ratio/shingles rationale). A non-cheap alias referenced
+    more than once survives CollapseProject, so the pinning projection is
+    not folded back into the count expressions. Values are bit-identical
+    to the per-count tokenizing form (same expressions, same array)."""
+    pinned = df.select(
+        "*",
+        tokens(F.col(text_col)).alias("__q_toks"),
+        F.regexp_replace(F.col(text_col), "\\s+", "").alias("__q_nosp"),
+    )
+    tk = F.col("__q_toks")
+    ns = F.col("__q_nosp")
+    return pinned.select(
+        *df.columns,
+        F.coalesce(F.length(F.col(text_col)), F.lit(0))
+        .cast("bigint")
+        .alias("q_nchars"),
+        F.coalesce(F.size(tk), F.lit(0)).cast("bigint").alias("q_nt"),
+        F.coalesce(
+            F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS))), F.lit(0)
+        ).cast("bigint").alias("q_ns"),
+        F.coalesce(F.length(ns), F.lit(0)).cast("bigint").alias("q_dp"),
+        F.coalesce(
+            F.length(F.regexp_replace(ns, "[a-zA-Z0-9]", "")), F.lit(0)
+        ).cast("bigint").alias("q_np"),
+        F.coalesce(
+            F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x),
+            F.lit(0),
+        ).cast("bigint").alias("q_chars"),
     )
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-hit count per language over the token set."""
-    toks = tokens(text)
-    return {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+def with_quality_4dp(df, text_col: str = "text", out_col: str = "quality"):
+    """Append the exact-integer rounded composite quality column; the
+    intermediate count columns are dropped. Two stacked projections, no
+    shuffle — the inner one pins the token array (with_quality_counts)."""
+    return (
+        with_quality_counts(df, text_col)
+        .withColumn(out_col, quality_4dp_from_counts())
+        .drop(*QUALITY_COUNT_NAMES)
+    )
 
 
 def detect_language(text: Column) -> Column:
@@ -175,20 +181,39 @@ def detect_language(text: Column) -> Column:
 
     Ties broken by language code order (deterministic; mirrored in the SQL
     oracle via a greatest/case chain).
-    """
-    scores = lang_scores(text)
-    langs = sorted(scores)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # Forward alphabetical order with strict >: on ties the alphabetically
-    # FIRST language wins (a later candidate only replaces when strictly
-    # higher); all-zero scores leave 'und'.
-    for lang in langs:
-        s = scores[lang]
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+
+    The token array and the 5-score array are each let-bound through a
+    single-element transform (the shingles rationale): the previous
+    when-chain referenced each score expression several times and every
+    reference re-ran the tokenizing regex — HOF-containing expressions are
+    CodegenFallback, so no subexpression elimination applies. The argmax
+    form is value-identical to the strict-> chain over alphabetical
+    language order: array_position returns the FIRST index of the max, so
+    ties resolve to the alphabetically first language, and an all-zero (or
+    NULL-token) row falls through to 'und'."""
+    langs = sorted(LANG_MARKERS)
+    toks = tokens(text)
+
+    def _pick(sc: Column) -> Column:
+        m = F.array_max(sc)
+        return F.when(
+            m > 0,
+            F.element_at(
+                F.array(*[F.lit(lang) for lang in langs]),
+                F.array_position(sc, m).cast("int"),
+            ),
+        ).otherwise(F.lit("und"))
+
+    def _from(tk: Column) -> Column:
+        sc = F.array(
+            *[
+                F.size(F.filter(tk, lambda t: t.isin(*LANG_MARKERS[lang])))
+                for lang in langs
+            ]
+        )
+        return F.element_at(F.transform(F.array(sc), _pick), 1)
+
+    return F.element_at(F.transform(F.array(toks), _from), 1)
 
 
 def md5_prefix_long(s: Column, hexlen: int = 15) -> Column:

@@ -43,17 +43,31 @@ def quality_rules(
       r_stop     stopword ratio >= MIN_STOPWORD_RATIO          (Gopher ">=2 stopwords")
       r_dup      duplicate-token ratio <= MAX_DUP_TOKEN_RATIO  (Gopher repetition rules)
     """
-    toks = T.tokens(F.col(text_col))
-    n = F.size(toks)
+    # The token array is materialized ONCE per row (a non-cheap alias
+    # referenced many times survives CollapseProject): the rule flags below
+    # reference the pinned column, not the tokenizing regex — the previous
+    # form re-tokenized per flag reference (~15x per row: HOF expressions
+    # are CodegenFallback, no subexpression elimination). The per-rule
+    # arithmetic is byte-for-byte the mean_word_length / stopword_ratio
+    # formulas over the same array, so every flag is bit-identical.
+    pinned = docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
+    tk = F.col("__toks")
+    n = F.size(tk)
+    total_len = F.aggregate(
+        F.transform(tk, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mwl = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n > 0, F.size(F.filter(tk, lambda t: t.isin(*T.STOPWORDS))) / n
+    ).otherwise(F.lit(0.0))
     dup_ratio = F.when(
-        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(tk)) / n
     ).otherwise(F.lit(0.0))
     r_len = (n >= MIN_TOKENS) & (n <= MAX_TOKENS)
-    mwl = T.mean_word_length(F.col(text_col))
     r_wordlen = (mwl >= MIN_MEAN_WORD_LEN) & (mwl <= MAX_MEAN_WORD_LEN)
-    r_stop = T.stopword_ratio(F.col(text_col)) >= MIN_STOPWORD_RATIO
+    r_stop = stop_ratio >= MIN_STOPWORD_RATIO
     r_dup = dup_ratio <= MAX_DUP_TOKEN_RATIO
-    return docs.select(
+    return pinned.select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),
         r_len.alias("r_len"),

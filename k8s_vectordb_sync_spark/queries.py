@@ -839,7 +839,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
 # quality-family integer counts (DuckDB side), mirroring
-# functions.text.quality_count_cols — null-safe (NULL text scores like
+# functions.text.with_quality_counts — null-safe (NULL text scores like
 # empty text), so the rounded quality emissions ride the exact-integer
 # discipline in functions/exact.py instead of round-on-double
 _SQL_QCOUNTS = f"""COALESCE(length(text), 0) AS q_nchars,
@@ -888,7 +888,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rounded emission on the exact-integer discipline
     (functions/exact.py) over the shared quality counts."""
     docs = load_table(spark, sf_dir, "documents")
-    m = docs.select("doc_id", *T.quality_count_cols(F.col("text")))
+    # pinned-token-array counts (T.with_quality_counts): one tokenization
+    # per row instead of one per count expression
+    m = T.with_quality_counts(docs.select("doc_id", "text")).drop("text")
     return m.select(
         "doc_id",
         F.when(F.col("q_nt") > 0, exact_ratio("q_ns", "q_nt", 4))
