@@ -3,8 +3,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 JSON record {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} followed by a compact one-line summary
-(same keys, "queries" holding only the total) — the driver records the
-tail of stdout, so the final line must fit whole.
+(same keys; "queries" holds "total" plus every per-query time keyed by the
+frozen short names in bench_short_names.json) — the driver records only the
+last ~2000 chars of stdout, so the final line must fit whole; full names
+alone are ~3.4 KB and cannot.
 
 Each query is forced with a count() (no driver-side collect of results) and
 timed as the best of two runs — the second run measures steady-state
@@ -295,21 +297,76 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # Full record first (complete per-query map for humans / bench_logs),
-    # then a compact summary as the FINAL line: the driver records only the
-    # tail of stdout, and the ~6 KB map line gets its head truncated there
-    # (BENCH_r04/r05 "parsed": null) — the last line must fit whole.
+    # Full record first (complete per-query map with FULL names for humans /
+    # bench_logs), then a compact summary as the FINAL line: the driver
+    # records only the last ~2000 chars of stdout and parses the final JSON
+    # line out of that tail, so the ~5 KB full-name map line gets its head
+    # truncated there (BENCH_r04/r05 "parsed": null) — the last line must fit
+    # whole. Full names alone weigh ~3.4 KB, so the final line keys each
+    # query by the frozen short name from bench_short_names.json (generated
+    # by scripts/gen_bench_short_names.py; "total" is unchanged and the
+    # full-name line above keeps the authoritative record). This restores
+    # the driver's per-query regression/scaling visibility lost since r05.
     print(json.dumps(out))
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": "sec",
-        "sf": out["sf"],
-        "n_queries": len(timings),
-        "queries": {"total": out["value"]},
-    }
-    print(json.dumps(compact))
+    print(json.dumps(_compact_record(out, timings), separators=(",", ":")))
     spark.stop()
+
+
+# The driver's stdout tail is 2000 chars; the final line plus its newline
+# must fit inside it whole.
+_TAIL_BUDGET = 1990
+
+
+def _short_names() -> dict[str, str]:
+    path = os.path.join(_REPO, "bench_short_names.json")
+    frozen: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            frozen = json.load(f)
+    # widen genuinely new names against the frozen set (same rule as the
+    # generator) so an unfrozen addition still gets a stable, unique key
+    taken = set(frozen.values()) | {"total", "rest"}
+    for name in BENCH_QUERIES + ["streaming_sync"]:
+        if name in frozen:
+            continue
+        for k in range(1, 13):
+            s = "".join(w[:k] for w in name.split("_"))
+            if s not in taken:
+                frozen[name] = s
+                taken.add(s)
+                break
+        else:
+            frozen[name] = name
+    return frozen
+
+
+def _compact_record(out: dict, timings: dict[str, float]) -> dict:
+    short = _short_names()
+    for digits in (3, 2, 1):
+        qmap = {short.get(n, n): round(t, digits) for n, t in timings.items()}
+        qmap["total"] = out["value"]
+        compact = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "sf": out["sf"],
+            "n_queries": len(timings),
+            "queries": qmap,
+        }
+        if len(json.dumps(compact, separators=(",", ":"))) <= _TAIL_BUDGET:
+            return compact
+    # pathological fallback (should never trigger at current sizes): fold the
+    # fastest queries into one "rest" bucket until the line fits
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    while len(ranked) > 1:
+        ranked.pop()
+        qmap = {short.get(n, n): round(t, 1) for n, t in ranked}
+        qmap["rest"] = round(out["value"] - sum(t for _, t in ranked), 1)
+        qmap["total"] = out["value"]
+        compact["queries"] = qmap
+        if len(json.dumps(compact, separators=(",", ":"))) <= _TAIL_BUDGET:
+            break
+    return compact
 
 
 if __name__ == "__main__":
