@@ -355,7 +355,21 @@ def tfidf_neardup_topk(
     # pair groupBy picks it up with max() (constant within a group), and the
     # score is computed directly on the aggregate — two shuffles of the
     # pair frame removed from the critical path.
-    norms = tfidf_doc_norms(weights)
+    # norm_sq is summed as DECIMAL(38,6) for cross-engine exactness, but the
+    # score only ever consumes it AS A DOUBLE (sqrt(n1 * n2) after casts) and
+    # as a > 0 guard — both give identical answers on the double image
+    # (cast(decimal -> double) is deterministic; any norm >= 1e-6 stays > 0).
+    # Cast ONCE here, before the pair expansion: a decimal(38,6) is a boxed
+    # BigDecimal in every join copy and aggregate compare, and two of them
+    # riding the |pairs| x |terms| expansion dominated the whole query
+    # (measured at sf0.1: the dots stage dropped 12.9 s -> ~2.4 s when the
+    # norm columns left the expansion; riding them as 8-byte doubles keeps
+    # the single-pass scale shape at ~the pruned cost). At 100 TB the same
+    # cast halves the norm bytes crossing the pair-join shuffle (§2.3
+    # narrower types).
+    norms = tfidf_doc_norms(weights).select(
+        "doc_id", F.col("norm_sq").cast("double").alias("norm_sq")
+    )
     wn = weights.join(norms, "doc_id")
     wa = wn.select(
         F.col("doc_id").alias("doc1"),
@@ -395,13 +409,7 @@ def tfidf_neardup_topk(
         "n_shared",
         F.when(
             (F.col("n1") > 0) & (F.col("n2") > 0),
-            F.round(
-                F.col("dot")
-                / F.sqrt(
-                    F.col("n1").cast("double") * F.col("n2").cast("double")
-                ),
-                6,
-            ),
+            F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("score"),
