@@ -25,6 +25,13 @@ import os
 import duckdb
 import pytest
 
+# Heavy tier: 3 fixtures x 207 queries x (Spark + DuckDB) is the bulk of the
+# suite's wall time. The bug classes frozen here regress only when a query's
+# GUARDS change; the default tier still runs every query against the
+# real-data oracle (test_oracle_parity), so this sweep runs in the builder's
+# idle full-suite pass (KVS_HEAVY_TESTS=1, log committed to bench_logs/).
+pytestmark = pytest.mark.heavy
+
 import __spark_entry__ as entry_mod
 from degenerate_data import write_degenerate, write_empty, write_skewed
 from test_oracle_parity import TABLES, _normalize
