@@ -59,14 +59,18 @@ def test_dup_clusters_small_frame_skips_parquet_roundtrip(spark, tmp_path):
     """Below the node floor the reset period widens to the backstop (12),
     so a typical small-corpus run writes ZERO scratch parquet — the r8
     +70%/+40% sf0.1 regression on dedup_cluster_pareto/_family_agreement
-    recovered. The 40-link chain converges in ~8 rounds (pointer jumping),
-    under the backstop; with the floor forced to 0 the same run pays a
-    round-trip at round 6. The scratch dir is caller-provided so the test
-    can observe exactly what was written."""
+    recovered. The 200-link chain converges in 8 loop rounds (the r13 init
+    fold absorbs round 1, pointer jumping shortcuts the rest), under the
+    backstop; with the floor forced to 0 the same run pays a round-trip at
+    round 6. (Round 14: was a 40-link chain, which the init fold brought
+    down to 6 rounds — converging ON the reset boundary, so the round-trip
+    stopped firing; the r13 tail commits landed after that round's full
+    pytest, so the miss surfaced here.) The scratch dir is caller-provided
+    so the test can observe exactly what was written."""
     from k8s_vectordb_sync_spark.operators.dedup import dup_clusters
 
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
     )
     small_scratch = str(tmp_path / "small")
     os.makedirs(small_scratch)
