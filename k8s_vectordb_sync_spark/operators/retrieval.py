@@ -298,6 +298,19 @@ def neardup_candidates(
         ).select("sh"),
         "sh",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The pair dedup rides ONE exchange pinned at defaultParallelism
+    # (REPARTITION_BY_NUM, which AQE never coalesces; hash(doc1, doc2)
+    # satisfies the dropDuplicates clustering — the dup_clusters edge-cache
+    # pattern). A bare distinct() here let AQE coalesce the exchange by its
+    # BYTE size (3.5 MB at sf0.1 -> 3 partitions), but the downstream
+    # dot-product stage expands each pair ~26x and is CPU-bound: the whole
+    # 11.2M-row expansion + aggregation ran on 3 of 32 cores — 5.4 s of the
+    # 8 s warm query in one under-parallel stage (event-log stage profile;
+    # §2.5 cost-model blind spot: AQE sizes by bytes, not downstream FLOPs).
+    # Cost: the exchange carries raw instead of partially-deduped pairs —
+    # +5% rows here (457,936 vs 435,954; pairs rarely share two rare
+    # shingles) — and at warehouse scale the pair frame is big enough that
+    # AQE never coalesces it anyway, so pinning is a no-op there.
     return (
         rare.alias("a")
         .join(rare.alias("b"), "sh")
@@ -305,7 +318,12 @@ def neardup_candidates(
         .select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
-        .distinct()
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism,
+            F.col("doc1"),
+            F.col("doc2"),
+        )
+        .dropDuplicates()
     )
 
 
