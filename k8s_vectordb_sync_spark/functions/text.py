@@ -138,6 +138,14 @@ def with_quality_counts(df, text_col: str = "text"):
     more than once survives CollapseProject, so the pinning projection is
     not folded back into the count expressions. Values are bit-identical
     to the per-count tokenizing form (same expressions, same array)."""
+    # ADVICE r13: the pinned internals and the emitted count columns are
+    # reserved names — a caller frame already carrying one would produce
+    # ambiguous columns downstream; fail loudly instead.
+    clash = ({"__q_toks", "__q_nosp", *QUALITY_COUNT_NAMES}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_quality_counts: input already has reserved column(s) {sorted(clash)}"
+        )
     pinned = df.select(
         "*",
         tokens(F.col(text_col)).alias("__q_toks"),

@@ -46,10 +46,14 @@ def quality_rules(
     # The token array is materialized ONCE per row (a non-cheap alias
     # referenced many times survives CollapseProject): the rule flags below
     # reference the pinned column, not the tokenizing regex — the previous
-    # form re-tokenized per flag reference (~15x per row: HOF expressions
-    # are CodegenFallback, no subexpression elimination). The per-rule
-    # arithmetic is byte-for-byte the mean_word_length / stopword_ratio
-    # formulas over the same array, so every flag is bit-identical.
+    # form's physical plan held 29 copies of split(lower(text)) for this
+    # operator (plan-verified, plans/r13/documents_quality_rules_before.txt;
+    # HOF expressions are CodegenFallback, no subexpression elimination).
+    # The per-rule arithmetic is byte-for-byte the mean_word_length /
+    # stopword_ratio formulas over the same array, so every flag is
+    # bit-identical.
+    if "__toks" in docs.columns:  # reserved pin name (ADVICE r13)
+        raise ValueError("quality_rules: input already has reserved column '__toks'")
     pinned = docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
     tk = F.col("__toks")
     n = F.size(tk)
